@@ -1,0 +1,139 @@
+"""The flagship pipeline: MinHash + pHash near-duplicate detection and
+clustering over an image+caption Dataset.
+
+Ray-Data-native re-expression of ``MinHashDedupePipeline``
+(``workload/minhash_dedupe.py:133-185``).  Stage graph:
+
+    input (image_id, bytes, w, h, fmt, caption, phash)
+      |  select_columns([index, content, phash])        # bytes never enter the shuffles
+      v
+    SignatureStage (map_batches, actor pool)             # normalize+minhash+band keys fused
+      -> (node_id, band_key)                             # B + phash_bands rows per doc
+      v
+    candidate_edges (local combine -> salted groupby -> chain groupby)
+      -> (u, v) star edges
+      v
+    clustering: union-find actor pool (default)          # or dataframe star-contraction
+      -> assignments (u, rep)   [rep = component min node id]
+      v
+    merge_keep (broadcast anti-filter or hash anti-join)
+      -> input rows minus duplicates
+
+Individually callable stage methods mirror the reference class so unit tests
+drive each stage on in-memory datasets (reference test style,
+``tests/test_minhash_dedupe_unit.py:232-254``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from ..config import DedupeConfig
+from ..stages.candidates import candidate_edges, distinct_edges
+from ..stages.merge import merge_keep
+from ..stages.signature import SignatureStage
+from ..state.dist_union_find import cluster_edges
+
+
+@dataclass
+class DedupeReport:
+    rows_before: int
+    rows_after: int
+    n_components: int  # non-singleton clusters
+    n_duplicates: int
+    wall_seconds: float
+
+    @property
+    def pct_kept(self) -> float:
+        return 100.0 * self.rows_after / max(1, self.rows_before)
+
+
+class MinHashDedupePipeline:
+    """Composable near-dup pipeline; each stage is ``Dataset -> Dataset``."""
+
+    def __init__(self, cfg: DedupeConfig | None = None, *, signature_concurrency: int | None = None):
+        self.cfg = cfg or DedupeConfig()
+        self.bands, self.rows = self.cfg.resolved_bands_rows()
+        self.signature_concurrency = signature_concurrency
+
+    # --- individual stages -------------------------------------------------
+
+    def prep(self, ds):
+        """Project to the dedup-relevant columns (reference ``prep``,
+        workload/minhash_dedupe.py:189-194) — wide payload columns (bytes)
+        never transit the shuffles; they rejoin via merge_keep's pass over
+        the original input."""
+        cfg = self.cfg
+        cols = [cfg.index_col, cfg.content_col]
+        if cfg.phash_col and cfg.phash_col in ds.schema().names:
+            cols.append(cfg.phash_col)
+        return ds.select_columns(cols)
+
+    def band_candidates(self, ds):
+        """prep'd input -> (node_id, band_key, kind, payload) long table.
+
+        With ``signature_concurrency`` set, runs as an actor pool (permutation
+        matrices built once per actor in ``__init__``); otherwise as stateless
+        tasks with a pre-built serialized stage (fine for small runs/tests).
+        """
+        kwargs = dict(batch_format="pyarrow", batch_size=self.cfg.batch_size)
+        if self.signature_concurrency is not None:
+            return ds.map_batches(
+                SignatureStage,
+                fn_constructor_args=(self.cfg,),
+                concurrency=self.signature_concurrency,
+                **kwargs,
+            )
+        return ds.map_batches(SignatureStage(self.cfg), **kwargs)
+
+    def edges(self, ds):
+        """prep'd input -> candidate star edges (u, v)."""
+        return candidate_edges(self.band_candidates(ds), self.cfg)
+
+    def assignments(self, edges_ds, num_actors: int = 8):
+        """edges -> (u, rep) with rep = global component min (union-find pool)."""
+        if self.cfg.cc_algorithm == "union_find":
+            return cluster_edges(edges_ds, num_actors=num_actors)
+        from ..state.cc_dataframe import connected_components_dataframe
+
+        return connected_components_dataframe(
+            distinct_edges(edges_ds, self.cfg),
+            self.cfg,
+        )
+
+    def merge(self, input_ds, assignments_ds):
+        return merge_keep(input_ds, assignments_ds, self.cfg)
+
+    # --- end to end --------------------------------------------------------
+
+    def __call__(self, ds, num_actors: int = 8):
+        """input Dataset -> deduplicated Dataset (lazy where possible)."""
+        prepped = self.prep(ds)
+        edges = self.edges(prepped)
+        assign = self.assignments(edges, num_actors=num_actors)
+        return self.merge(ds, assign)
+
+    def run_with_report(self, ds, num_actors: int = 8):
+        """Execute fully; returns (deduped Dataset, assignments Dataset,
+        DedupeReport) — the reference's run report
+        (workload/minhash_dedupe.py:760-768)."""
+        t0 = time.perf_counter()
+        rows_before = ds.count()
+        prepped = self.prep(ds)
+        edges = self.edges(prepped)
+        assign = self.assignments(edges, num_actors=num_actors)
+        out = self.merge(ds, assign).materialize()
+        rows_after = out.count()
+        n_dups = assign.filter(expr="u != rep").count()
+        n_comp = assign.filter(expr="u == rep").count()
+        report = DedupeReport(
+            rows_before=rows_before,
+            rows_after=rows_after,
+            n_components=n_comp,
+            n_duplicates=n_dups,
+            wall_seconds=time.perf_counter() - t0,
+        )
+        return out, assign, report

@@ -1,0 +1,266 @@
+"""Candidate generation: the band-key shuffle -> verified star edges, skew-proof.
+
+Reference semantics (``workload/minhash_dedupe.py:249-277``): rows sharing a
+band (or pHash sub-band) value form a group; each group contributes star
+edges ``(min(nodes), v)`` — O(n) per group instead of the O(n^2) clique
+(rationale documented at ``references/chengmao_minhash_spark.py:40-64``).
+
+Scale design (north_rule: salted keys, streamed per-band, bounded memory):
+
+1. **Local combiner** (``map_batches``): within each batch, rows sharing a
+   band key are contracted immediately — star edges are emitted locally and
+   only one representative row per (batch, key[, payload]) continues to the
+   shuffle.  Hot keys (identical captions / identical images across a large
+   corpus) are collapsed by their per-batch multiplicity before any data
+   moves — the pre-aggregate-before-groupby pattern.
+
+2. **Salted group round** (``groupby(salt_key).map_groups``): the shuffle key
+   mixes ``hash(node) % num_salts`` (captions) or ``hash(payload) % num_salts``
+   (pHash) into the band key, so even a band key shared by a constant
+   fraction of the corpus lands in at most ``num_salts`` bounded groups.
+   Each salted group emits star edges to its local min plus one *chain
+   marker* per (band key[, payload]).
+
+3. **Chain round** (``groupby(band_key)`` over markers only): the few local
+   minima per original band key are star-linked, restoring exact
+   connectivity (salting never changes the connected components, only the
+   edge set — property-tested in tests/test_candidates.py).
+
+**pHash verification** (beyond the reference): a pHash sub-band is only
+``64/phash_bands`` bits wide, so at web scale random bucket collisions are
+certain.  pHash candidate rows therefore carry their full 64-bit hash as
+``payload``; groups of kind=phash collapse identical payloads with stars
+(exact image dups) and emit cross-payload edges only after an explicit
+Hamming check ``<= cfg.phash_max_hamming``.  Caption LSH groups are NOT
+verified, exactly like the reference (band collision == candidate == edge).
+
+The Spark ancestor flags the unsalted band groupby as its bottleneck
+(``references/chengmao_minhash_spark.py:464``); stages 1-3 are the fix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupeConfig
+from ..hashing import hamming_distance64, splitmix64
+
+EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
+
+KIND_CAPTION = 0
+KIND_PHASH = 1
+
+_U64 = np.uint64
+_SALT_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _group_contract(
+    keys: np.ndarray,
+    nodes: np.ndarray,
+    kinds: np.ndarray,
+    payloads: np.ndarray,
+    max_hamming: int,
+    cross_payload_pairs: bool,
+) -> tuple[np.ndarray, np.ndarray, pa.Table]:
+    """Vectorised contraction of (key, node, kind, payload) rows.
+
+    Per distinct (key, payload) run: star edges run-min -> member, plus one
+    representative row.  For kind=phash runs under the same key, emit
+    Hamming-verified pairwise edges between run representatives when
+    ``cross_payload_pairs`` (group rounds) — the combiner defers that to the
+    shuffle rounds and only forwards representatives.
+
+    Returns (edge_u, edge_v, rep_table) where rep_table has columns
+    (band_key, node_id, kind, payload).
+    """
+    if len(keys) == 0:
+        e = np.array([], dtype=np.uint64)
+        reps = pa.table(
+            {
+                "band_key": pa.array([], pa.uint64()),
+                "node_id": pa.array([], pa.uint64()),
+                "kind": pa.array([], pa.uint8()),
+                "payload": pa.array([], pa.uint64()),
+            }
+        )
+        return e, e, reps
+    order = np.lexsort((nodes, payloads, keys))
+    k, n, kd, p = keys[order], nodes[order], kinds[order], payloads[order]
+    new_run = np.r_[True, (k[1:] != k[:-1]) | (p[1:] != p[:-1])]
+    run_starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    run_min = n[run_starts]
+    u = run_min[run_id]
+    mask = u != n
+    eu, ev = [u[mask]], [n[mask]]
+
+    rep_k, rep_n, rep_kind, rep_p = k[run_starts], run_min, kd[run_starts], p[run_starts]
+
+    if cross_payload_pairs:
+        # per key: caption runs (payload identical by construction) need a
+        # plain star across runs; phash runs need Hamming-verified pairs
+        new_key = np.r_[True, rep_k[1:] != rep_k[:-1]]
+        key_starts = np.flatnonzero(new_key)
+        key_ends = np.r_[key_starts[1:], len(rep_k)]
+        for s, e_ in zip(key_starts, key_ends):
+            if e_ - s < 2:
+                continue
+            mins = rep_n[s:e_]
+            if rep_kind[s] == KIND_PHASH:
+                ph = rep_p[s:e_]
+                # pairwise Hamming verify between distinct-payload reps
+                m = len(ph)
+                ii, jj = np.triu_indices(m, k=1)
+                d = hamming_distance64(ph[ii], ph[jj])
+                ok = d <= max_hamming
+                a, b = mins[ii[ok]], mins[jj[ok]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                eu.append(lo)
+                ev.append(hi)
+            else:
+                gmin = mins.min()
+                others = mins[mins != gmin]
+                eu.append(np.full(len(others), gmin, dtype=np.uint64))
+                ev.append(others)
+
+    reps = pa.table(
+        {
+            "band_key": pa.array(rep_k, pa.uint64()),
+            "node_id": pa.array(rep_n, pa.uint64()),
+            "kind": pa.array(rep_kind, pa.uint8()),
+            "payload": pa.array(rep_p, pa.uint64()),
+        }
+    )
+    return np.concatenate(eu), np.concatenate(ev), reps
+
+
+def _pack(edges_u, edges_v, reps: pa.Table, with_salt: bool, cfg: DedupeConfig) -> pa.Table:
+    """One uniform output stream: edge rows + forwarded representative rows."""
+    n_edge, n_rep = len(edges_u), len(reps)
+    rep_k = reps["band_key"].to_numpy(zero_copy_only=False)
+    rep_n = reps["node_id"].to_numpy(zero_copy_only=False)
+    rep_kind = reps["kind"].to_numpy(zero_copy_only=False)
+    rep_p = reps["payload"].to_numpy(zero_copy_only=False)
+    cols = {
+        "is_edge": pa.array(np.r_[np.ones(n_edge, bool), np.zeros(n_rep, bool)], pa.bool_()),
+        "u": pa.array(np.concatenate([edges_u, np.zeros(n_rep, _U64)]), pa.uint64()),
+        "v": pa.array(np.concatenate([edges_v, np.zeros(n_rep, _U64)]), pa.uint64()),
+        "band_key": pa.array(np.concatenate([np.zeros(n_edge, _U64), rep_k]), pa.uint64()),
+        "node_id": pa.array(np.concatenate([np.zeros(n_edge, _U64), rep_n]), pa.uint64()),
+        "kind": pa.array(
+            np.concatenate([np.zeros(n_edge, np.uint8), rep_kind]), pa.uint8()
+        ),
+        "payload": pa.array(np.concatenate([np.zeros(n_edge, _U64), rep_p]), pa.uint64()),
+    }
+    if with_salt:
+        # captions salt by node (any split works); phash salts by payload so
+        # identical payloads still collapse inside one salted group
+        salt_src = np.where(rep_kind == KIND_PHASH, rep_p, rep_n)
+        salt = splitmix64(salt_src) % _U64(max(1, cfg.num_salts))
+        salt_key = splitmix64(rep_k * _SALT_MIX + salt)
+        cols["salt_key"] = pa.array(
+            np.concatenate([np.zeros(n_edge, _U64), salt_key]), pa.uint64()
+        )
+    return pa.table(cols)
+
+
+def _local_combine(batch: pa.Table, cfg: DedupeConfig) -> pa.Table:
+    keys = batch["band_key"].to_numpy(zero_copy_only=False).astype(_U64)
+    nodes = batch["node_id"].to_numpy(zero_copy_only=False).astype(_U64)
+    kinds = batch["kind"].to_numpy(zero_copy_only=False)
+    payloads = batch["payload"].to_numpy(zero_copy_only=False).astype(_U64)
+    eu, ev, reps = _group_contract(
+        keys, nodes, kinds, payloads, cfg.phash_max_hamming, cross_payload_pairs=False
+    )
+    return _pack(eu, ev, reps, with_salt=True, cfg=cfg)
+
+
+def _salted_star(batch: pa.Table, cfg: DedupeConfig) -> pa.Table:
+    keys = batch["band_key"].to_numpy(zero_copy_only=False).astype(_U64)
+    nodes = batch["node_id"].to_numpy(zero_copy_only=False).astype(_U64)
+    kinds = batch["kind"].to_numpy(zero_copy_only=False)
+    payloads = batch["payload"].to_numpy(zero_copy_only=False).astype(_U64)
+    eu, ev, reps = _group_contract(
+        keys, nodes, kinds, payloads, cfg.phash_max_hamming, cross_payload_pairs=True
+    )
+    return _pack(eu, ev, reps, with_salt=False, cfg=cfg)
+
+
+def _chain_star(batch: pa.Table, cfg: DedupeConfig) -> pa.Table:
+    keys = batch["band_key"].to_numpy(zero_copy_only=False).astype(_U64)
+    nodes = batch["node_id"].to_numpy(zero_copy_only=False).astype(_U64)
+    kinds = batch["kind"].to_numpy(zero_copy_only=False)
+    payloads = batch["payload"].to_numpy(zero_copy_only=False).astype(_U64)
+    eu, ev, _reps = _group_contract(
+        keys, nodes, kinds, payloads, cfg.phash_max_hamming, cross_payload_pairs=True
+    )
+    return pa.table({"u": pa.array(eu, pa.uint64()), "v": pa.array(ev, pa.uint64())})
+
+
+def candidate_edges(candidates, cfg: DedupeConfig):
+    """(node_id, band_key, kind, payload) Dataset -> (u, v) candidate edges.
+
+    local combiner (map_batches) -> salted groupby -> chain groupby over
+    markers.  Intermediate contracted streams are materialised once so edges
+    and forwarded representatives can be split without recomputing upstream.
+    """
+    kwargs = {}
+    if cfg.num_partitions:
+        kwargs["num_partitions"] = cfg.num_partitions
+
+    combined = candidates.map_batches(
+        functools.partial(_local_combine, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    ).materialize()  # two consumers; contracted, far smaller than the band table
+    local_edges = combined.filter(expr="is_edge == True").select_columns(["u", "v"])
+    reps = combined.filter(expr="is_edge == False").select_columns(
+        ["salt_key", "band_key", "node_id", "kind", "payload"]
+    )
+
+    salted = (
+        reps.groupby("salt_key", **kwargs)
+        .map_groups(
+            functools.partial(_salted_star, cfg=cfg),
+            batch_format="pyarrow",
+        )
+        .materialize()  # two consumers; edges + <= num_salts markers per band key
+    )
+    salted_edges = salted.filter(expr="is_edge == True").select_columns(["u", "v"])
+    markers = salted.filter(expr="is_edge == False").select_columns(
+        ["band_key", "node_id", "kind", "payload"]
+    )
+
+    chain_edges = markers.groupby("band_key", **kwargs).map_groups(
+        functools.partial(_chain_star, cfg=cfg),
+        batch_format="pyarrow",
+    )
+    return local_edges.union(salted_edges).union(chain_edges)
+
+
+def distinct_edges(edges, cfg: DedupeConfig):
+    """Canonicalize (u<v) + exact distinct — reference D2/D4
+    (``workload/minhash_dedupe.py:265-277,360-368``).  Used by the dataframe
+    CC fallback; the union-find path doesn't need it (unions are idempotent).
+    """
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        mask = lo != hi
+        return pa.table(
+            {"u": pa.array(lo[mask], pa.uint64()), "v": pa.array(hi[mask], pa.uint64())}
+        )
+
+    kwargs = {"num_partitions": cfg.num_partitions} if cfg.num_partitions else {}
+    canonical = edges.map_batches(canon, batch_format="pyarrow")
+
+    def first_row(b: pa.Table) -> pa.Table:
+        return b.slice(0, 1)
+
+    return canonical.groupby(["u", "v"], **kwargs).map_groups(first_row, batch_format="pyarrow")

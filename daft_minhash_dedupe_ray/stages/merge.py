@@ -1,0 +1,81 @@
+"""Merge stage: apply cluster assignments back to the input table.
+
+Reference semantics (``merge_results``, ``workload/minhash_dedupe.py:626-647``):
+left-join docs with assignments on the id, keep rows where the component is
+null (never clustered) OR equals the row's own id (the min-id representative
+of its cluster), then drop the component column.
+
+Because node ids are deterministic functions of the index column (see
+``stages/signature.py``), the reference's two string-mapping joins
+(``_assignments_back_to_strings``, ``workload/minhash_dedupe.py:616-624``)
+vanish; the keep rule also simplifies: pre-filter assignments to true
+duplicates (``rep != u``) and keep every input row with no match — one
+anti-join instead of a left join + filter.
+
+Strategy is size-aware: if the duplicate set is small it is broadcast via
+``ray.put`` and applied as a vectorised mask inside ``map_batches`` (no
+shuffle); otherwise a hash-partitioned ``Dataset.join`` does the anti-join at
+scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..config import DedupeConfig
+from .signature import NodeIdStage, node_ids_for
+
+# below this many duplicate ids, broadcast a numpy array instead of shuffling
+BROADCAST_LIMIT = 5_000_000
+
+
+def _broadcast_filter(batch: pa.Table, cfg: DedupeConfig, drop_ref) -> pa.Table:
+    drop_sorted = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
+    if len(drop_sorted) == 0:
+        return batch
+    nodes = node_ids_for(batch, cfg)
+    is_dup = np.isin(nodes, drop_sorted, kind="sort")
+    return batch.filter(pa.array(~is_dup))
+
+
+def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int = 64):
+    """Input Dataset + assignments Dataset (u, rep) -> deduplicated Dataset
+    (input schema unchanged; duplicates dropped, representatives kept)."""
+    dups = assignments.filter(expr="u != rep").select_columns(["u"])
+    n_dups = dups.count()
+    if n_dups <= BROADCAST_LIMIT:
+        if n_dups == 0:
+            return input_ds
+        drop = np.sort(
+            dups.to_pandas()["u"].to_numpy().astype(np.uint64)
+        )
+        drop_ref = ray.put(drop)
+        return input_ds.map_batches(
+            functools.partial(_broadcast_filter, cfg=cfg, drop_ref=drop_ref),
+            batch_format="pyarrow",
+        )
+    # at scale: hash-partitioned anti join (left_outer + null filter)
+    with_ids = input_ds.map_batches(
+        NodeIdStage(cfg), batch_format="pyarrow"
+    )
+    dups = dups.map_batches(
+        lambda b: b.append_column("__dup__", pa.array(np.ones(len(b), bool))),
+        batch_format="pyarrow",
+    )
+    joined = with_ids.join(
+        dups,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("node_id",),
+        right_on=("u",),
+    )
+    kept = joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["__dup__"])), batch_format="pyarrow"
+    )
+    drop_cols = [c for c in ("node_id", "u", "__dup__") if c in kept.schema().names]
+    return kept.drop_columns(drop_cols)

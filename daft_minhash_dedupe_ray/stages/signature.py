@@ -1,0 +1,118 @@
+"""Signature stage: fused normalize -> node_id -> MinHash -> band keys.
+
+One stateful ``map_batches`` stage (callable class = Ray actor pool; the
+seeded permutation matrices are built once per actor in ``__init__``) that
+turns the input table into the flattened candidate-key table
+
+    node_id: uint64, band_key: uint64
+
+with up to ``B + phash_bands`` rows per input row.  This fuses the
+reference's ``normalize`` (workload/minhash_dedupe.py:197-215), ``minhash``
+(:218-239), ``prep_node_id_index_map`` (:241-246) and the per-row half of
+``lsh_banding`` (:249-262) into a single pass, so no list-typed signature
+column ever hits the object store and the only wide exchange left is the
+band-key groupby.
+
+Documents whose normalised text has zero shingles emit no caption band keys
+(they can only cluster via pHash / exact duplicates) — see
+``hashing.minhash_signatures`` for the rationale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupeConfig
+from ..hashing import (
+    band_keys,
+    hash64_str_array,
+    make_permutations,
+    minhash_signatures,
+    phash_band_keys,
+    shingle_hashes,
+)
+from ..text import normalize_array
+
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("node_id", pa.uint64()),
+        ("band_key", pa.uint64()),
+        ("kind", pa.uint8()),  # 0 = caption LSH band, 1 = pHash sub-band
+        ("payload", pa.uint64()),  # full 64-bit phash for kind=1 (Hamming verify); 0 otherwise
+    ]
+)
+
+
+def node_ids_for(batch: pa.Table, cfg: DedupeConfig) -> np.ndarray:
+    """Deterministic surrogate node ids: hash64 of the index column (string) or
+    the values themselves reinterpreted as uint64 (integer index columns)."""
+    col = batch[cfg.index_col]
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return hash64_str_array(col.to_pylist())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+
+
+class SignatureStage:
+    """Callable class for ``ds.map_batches(SignatureStage, fn_constructor_args=(cfg,),
+    batch_format="pyarrow", ...)``."""
+
+    def __init__(self, cfg: DedupeConfig) -> None:
+        self.cfg = cfg
+        self.bands, self.rows = cfg.resolved_bands_rows()
+        self.a, self.b = make_permutations(cfg.num_perm, cfg.seed)
+
+    def signatures(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(node_ids, sig_matrix, has_sig) for a pyarrow batch."""
+        cfg = self.cfg
+        nodes = node_ids_for(batch, cfg)
+        norm = normalize_array(batch[cfg.content_col], cfg.normalize)
+        texts = norm.to_pylist()
+        flat, offsets = shingle_hashes(texts, cfg.ngram_size, cfg.min_length)
+        sig, has_sig = minhash_signatures(flat, offsets, self.a, self.b)
+        return nodes, sig, has_sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        nodes, sig, has_sig = self.signatures(batch)
+        keyparts: list[np.ndarray] = []
+        nodeparts: list[np.ndarray] = []
+        kindparts: list[np.ndarray] = []
+        payloadparts: list[np.ndarray] = []
+        if has_sig.any():
+            bk = band_keys(sig[has_sig], self.bands, self.rows)  # (m, B)
+            m = int(has_sig.sum())
+            nodeparts.append(np.repeat(nodes[has_sig], self.bands))
+            keyparts.append(bk.reshape(-1))
+            kindparts.append(np.zeros(m * self.bands, np.uint8))
+            payloadparts.append(np.zeros(m * self.bands, np.uint64))
+        if cfg.phash_col is not None and cfg.phash_col in batch.column_names:
+            ph = batch[cfg.phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pk = phash_band_keys(ph, cfg.phash_bands)
+            nodeparts.append(np.repeat(nodes, cfg.phash_bands))
+            keyparts.append(pk.reshape(-1))
+            kindparts.append(np.ones(len(ph) * cfg.phash_bands, np.uint8))
+            payloadparts.append(np.repeat(ph.view(np.uint64), cfg.phash_bands))
+        if not keyparts:
+            return CANDIDATE_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "node_id": pa.array(np.concatenate(nodeparts), pa.uint64()),
+                "band_key": pa.array(np.concatenate(keyparts), pa.uint64()),
+                "kind": pa.array(np.concatenate(kindparts), pa.uint8()),
+                "payload": pa.array(np.concatenate(payloadparts), pa.uint64()),
+            }
+        )
+
+
+class NodeIdStage:
+    """Tiny stateless stage: append the deterministic ``node_id`` column to the
+    input (used on the merge side; obviates the reference's id_map joins,
+    ``workload/minhash_dedupe.py:616-624``)."""
+
+    def __init__(self, cfg: DedupeConfig) -> None:
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nodes = node_ids_for(batch, self.cfg)
+        return batch.append_column("node_id", pa.array(nodes, pa.uint64()))
