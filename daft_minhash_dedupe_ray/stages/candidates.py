@@ -47,8 +47,20 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import hamming_distance64, splitmix64
+from .util import ensure_schema
 
 EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
+_PACKED_SCHEMA = pa.schema(
+    [
+        ("is_edge", pa.bool_()),
+        ("u", pa.uint64()),
+        ("v", pa.uint64()),
+        ("band_key", pa.uint64()),
+        ("node_id", pa.uint64()),
+        ("kind", pa.uint8()),
+        ("payload", pa.uint64()),
+    ]
+)
 
 KIND_CAPTION = 0
 KIND_PHASH = 1
@@ -221,22 +233,24 @@ def candidate_edges(candidates, cfg: DedupeConfig):
         ["salt_key", "band_key", "node_id", "kind", "payload"]
     )
 
-    salted = (
-        reps.groupby("salt_key", **kwargs)
-        .map_groups(
+    salted = ensure_schema(
+        reps.groupby("salt_key", **kwargs).map_groups(
             functools.partial(_salted_star, cfg=cfg),
             batch_format="pyarrow",
-        )
-        .materialize()  # two consumers; edges + <= num_salts markers per band key
-    )
+        ),
+        _PACKED_SCHEMA,
+    ).materialize()  # two consumers; edges + <= num_salts markers per band key
     salted_edges = salted.filter(expr="is_edge == True").select_columns(["u", "v"])
     markers = salted.filter(expr="is_edge == False").select_columns(
         ["band_key", "node_id", "kind", "payload"]
     )
 
-    chain_edges = markers.groupby("band_key", **kwargs).map_groups(
-        functools.partial(_chain_star, cfg=cfg),
-        batch_format="pyarrow",
+    chain_edges = ensure_schema(
+        markers.groupby("band_key", **kwargs).map_groups(
+            functools.partial(_chain_star, cfg=cfg),
+            batch_format="pyarrow",
+        ),
+        EDGE_SCHEMA,
     )
     return local_edges.union(salted_edges).union(chain_edges)
 
@@ -263,4 +277,7 @@ def distinct_edges(edges, cfg: DedupeConfig):
     def first_row(b: pa.Table) -> pa.Table:
         return b.slice(0, 1)
 
-    return canonical.groupby(["u", "v"], **kwargs).map_groups(first_row, batch_format="pyarrow")
+    return ensure_schema(
+        canonical.groupby(["u", "v"], **kwargs).map_groups(first_row, batch_format="pyarrow"),
+        EDGE_SCHEMA,
+    )
