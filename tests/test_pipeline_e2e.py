@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests.
+
+1. Reference E2E pin (tests/test_minhash_dedupe_unit.py:440-448): three docs
+   ["hello world", "hello world", "unique text"] -> 2 survivors with the
+   exact surviving texts.
+2. Synthetic image+caption table (FIXTURES.md F1): survivors + assignments
+   must match the exact brute-force oracle; dup-pair recall >= 0.99 at the
+   north-star 128-perm/16-band config; per-row invariants (caption equality,
+   decoded-pixel equality) hold on survivors.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray.config import DedupeConfig, NORTH_STAR_CONFIG
+from daft_minhash_dedupe_ray.oracle import (
+    dup_pair_recall,
+    oracle_dup_pairs,
+    oracle_survivors,
+)
+from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+from daft_minhash_dedupe_ray.stages.signature import node_ids_for
+from daft_minhash_dedupe_ray.synth import generate_table, ppm_decode
+
+
+def test_reference_three_doc_pin(ray_session):
+    import ray.data as rd
+
+    cfg = DedupeConfig(
+        index_col="block_id", content_col="block_text", phash_col=None, ngram_size=1
+    )
+    t = pa.table(
+        {
+            "block_id": pa.array(["d1", "d2", "d3"], pa.string()),
+            "block_text": pa.array(["hello world", "hello world", "unique text"], pa.string()),
+        }
+    )
+    pipe = MinHashDedupePipeline(cfg)
+    out = pipe(rd.from_arrow(t), num_actors=2).to_pandas()
+    assert len(out) == 2
+    assert set(out["block_text"]) == {"hello world", "unique text"}
+
+
+@pytest.mark.parametrize("cfg", [DedupeConfig(), NORTH_STAR_CONFIG], ids=["ref-64x8", "north-128x16"])
+def test_synthetic_matches_oracle(ray_session, cfg):
+    import ray.data as rd
+
+    t = generate_table(600, seed=42, with_images=False)
+    pipe = MinHashDedupePipeline(cfg)
+    out, assign, report = pipe.run_with_report(rd.from_arrow(t), num_actors=3)
+
+    nodes = node_ids_for(t, cfg)
+    pairs = oracle_dup_pairs(
+        nodes.tolist(), t["caption"].to_pylist(), cfg, t["phash"].to_pylist()
+    )
+    ap = assign.to_pandas()
+    pred = dict(zip(ap["u"].astype(np.uint64), ap["rep"].astype(np.uint64)))
+    assert dup_pair_recall(pred, pairs) >= 0.99
+
+    surv = oracle_survivors(nodes.tolist(), pairs)
+    # phash verification makes false-positive merges rare; allow a tiny slack
+    # from caption LSH false positives (unverified, like the reference)
+    assert abs(report.rows_after - len(surv)) <= max(2, 0.01 * len(surv))
+    assert report.rows_before == 600
+    assert report.rows_after == report.rows_before - report.n_duplicates
+
+
+def test_per_row_invariants_with_images(ray_session):
+    """input_hint invariants: surviving rows match input rows exactly by
+    image_id — caption equality, decoded-pixel equality (PSNR inf for the
+    lossless ppm fmt), w/h/fmt/phash unchanged."""
+    import ray.data as rd
+
+    t = generate_table(150, seed=5, with_images=True)
+    cfg = DedupeConfig()
+    pipe = MinHashDedupePipeline(cfg)
+    out = pipe(rd.from_arrow(t), num_actors=2).to_pandas()
+    assert 0 < len(out) < 150
+
+    by_id = {t["image_id"][i].as_py(): i for i in range(len(t))}
+    for _, row in out.iterrows():
+        i = by_id[row["image_id"]]
+        assert row["caption"] == t["caption"][i].as_py()
+        assert row["phash"] == t["phash"][i].as_py()
+        assert row["w"] == t["w"][i].as_py() and row["h"] == t["h"][i].as_py()
+        assert row["fmt"] == t["fmt"][i].as_py()
+        a = ppm_decode(row["bytes"])
+        b = ppm_decode(t["bytes"][i].as_py())
+        assert (a == b).all()
+
+
+def test_empty_and_short_captions_survive(ray_session):
+    import ray.data as rd
+
+    cfg = DedupeConfig(phash_col=None)
+    t = pa.table(
+        {
+            "image_id": pa.array([f"i{k}" for k in range(4)], pa.string()),
+            "caption": pa.array(["", "", "one", "two words here"], pa.string()),
+        }
+    )
+    out = MinHashDedupePipeline(cfg)(rd.from_arrow(t), num_actors=2).to_pandas()
+    # no shingles -> no candidates -> everything survives (incl. both empties:
+    # divergence from the Spark ancestor's MAX_HASH pad, documented in hashing.py)
+    assert len(out) == 4
+
+
+def test_cc_algorithms_agree_end_to_end(ray_session):
+    import ray.data as rd
+
+    t = generate_table(250, seed=11, with_images=False)
+    base = DedupeConfig()
+    ds = rd.from_arrow(t)
+    pipe_uf = MinHashDedupePipeline(base)
+    out_uf = pipe_uf(ds, num_actors=2).to_pandas()
+    pipe_df = MinHashDedupePipeline(base.with_overrides(cc_algorithm="alternating"))
+    out_df = pipe_df(ds, num_actors=2).to_pandas()
+    assert sorted(out_uf["image_id"]) == sorted(out_df["image_id"])
