@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship MinHash dedupe pipeline on the sf0.001
+documents table.  ``queries()`` exposes one callable per implemented
+operator/pipeline from SURVEY.md §2 (plus the training-data extras);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.  Ray is initialised by the driver — nothing here calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name contract: every aggregate/computed column is named identically
+in the Ray pipeline and the SQL (the driver hashes values after sorting
+columns by name).  Float aggregates are rounded to 2 decimals on both sides;
+similarity queries return integer/id columns only, so summation-order float
+noise can never flip the hash.
 """
 
 from __future__ import annotations
@@ -18,27 +19,343 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _docs_cfg():
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+
+    return DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: MinHash near-dup dedupe over the sf0.001 documents table."""
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    ds = _read_docs("/root/testdata/sf0.001")
+    pipe = MinHashDedupePipeline(_docs_cfg())
+    return pipe(ds, num_actors=4)
+
+
+# --------------------------------------------------------------- queries
+
+
+def _minhash_dedupe_docs(sf_dir: str):
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    out = MinHashDedupePipeline(_docs_cfg())(_read_docs(sf_dir), num_actors=4)
+    pdf = out.select_columns(["doc_id"]).to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _simhash_dedupe_docs(sf_dir: str):
+    from daft_minhash_dedupe_ray.functions.similarity import simhash_candidates
+    from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
+    from daft_minhash_dedupe_ray.stages.merge import merge_keep
+
+    cfg = _docs_cfg().with_overrides(phash_max_hamming=3)
+    ds = _read_docs(sf_dir)
+    edges = simhash_candidates(ds, cfg, text_col="text", id_col="doc_id")
+    assign = cluster_edges(edges, num_actors=4)
+    out = merge_keep(ds, assign, cfg)
+    pdf = out.select_columns(["doc_id"]).to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _exact_dedup_docs(sf_dir: str):
+    from daft_minhash_dedupe_ray.functions.similarity import exact_dedup
+
+    out = exact_dedup(_read_docs(sf_dir), text_col="text", id_col="doc_id")
+    pdf = out.select_columns(["doc_id", "n_chars"]).to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _normalize_docs(sf_dir: str):
+    import functools
+
+    from daft_minhash_dedupe_ray.config import NormalizeFlags
+    from daft_minhash_dedupe_ray.text import normalize_array
+
+    flags = NormalizeFlags(remove_punct=True, lowercase=True, nfd_unicode=False, white_space=True)
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "text_norm": normalize_array(b["text"], flags)})
+
+    return _read_docs(sf_dir).map_batches(norm, batch_format="pyarrow")
+
+
+def _token_counts(sf_dir: str):
+    import functools
+
+    from daft_minhash_dedupe_ray.functions.textops import token_count_batch
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(token_count_batch, text_col="text"), batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+
+
+def _distinct_token_counts(sf_dir: str):
+    import functools
+
+    from daft_minhash_dedupe_ray.functions.textops import distinct_token_count_batch
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(distinct_token_count_batch, text_col="text"), batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_distinct_tokens"])
+
+
+def _quality_scores(sf_dir: str):
+    from daft_minhash_dedupe_ray.functions.textops import QualityScorer
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(QualityScorer("text"), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars_q", "n_tokens", "n_punct", "n_upper"]
+    )
+
+
+def _lang_id_docs(sf_dir: str):
+    from daft_minhash_dedupe_ray.functions.textops import LangId
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        LangId, fn_constructor_args=("text",), concurrency=2, batch_format="pyarrow"
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def _fingerprints(sf_dir: str):
+    import functools
+
+    from daft_minhash_dedupe_ray.functions.textops import fingerprint_batch, rolling_fingerprint_batch
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(
+        functools.partial(fingerprint_batch, text_col="text"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        functools.partial(rolling_fingerprint_batch, text_col="text"), batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "fingerprint", "doc_fingerprint"])
+
+
+def _ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import ann_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        ds.filter(expr="vec_id == 0")
+        .select_columns(["embedding"])
+        .to_pandas()["embedding"][0]
+    )
+    out = ann_topk(ds, np.asarray([list(q)]), k=10).to_pandas()
+    return pa.Table.from_pandas(
+        out[["vec_id"]].sort_values("vec_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def _cosine_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import cosine_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_dup_pairs(ds, threshold=0.3).to_pandas()
+    out = out[["u", "v"]].sort_values(["u", "v"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _cosine_pairs_lsh(sf_dir: str):
+    """Scale path (LSH-bucketed) — rows-only check: recall < 1 by design."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import cosine_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_dup_pairs(ds, threshold=0.3, n_planes=8).to_pandas()
+    out = out[["u", "v"]].sort_values(["u", "v"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _image_dedupe_synth(sf_dir: str):
+    """Flagship image+caption dedupe on the deterministic synthetic table
+    (BASELINE.json input_hint shape) — rows-only; the exact oracle for it
+    lives in tests/test_pipeline_e2e.py."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(2000, seed=42, with_images=False)
+    out = MinHashDedupePipeline(NORTH_STAR_CONFIG)(rd.from_arrow(t), num_actors=4)
+    pdf = out.select_columns(["image_id"]).to_pandas().sort_values("image_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _image_stats_synth(sf_dir: str):
+    """Multimodal plumbing: decode + feature-extract over the binary payload
+    column (actor pool, small batches) — rows-only."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.multimodal import ImageDecodeStage
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(300, seed=42, with_images=True)
+    ds = rd.from_arrow(t).map_batches(
+        ImageDecodeStage, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+    pdf = ds.select_columns(["image_id", "decode_ok"]).to_pandas().sort_values("image_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from daft_minhash_dedupe_ray.functions.similarity import word_jaccard_pairs
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def word_jaccard(sf_dir: str):
+        out = word_jaccard_pairs(
+            _read_docs(sf_dir), threshold=0.8, text_col="text", id_col="doc_id"
+        ).to_pandas()
+        out = out[["u", "v"]].sort_values(["u", "v"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    return {
+        # relational operator surface (SQL-checked)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "segment_revenue": R.segment_revenue,
+        "top_customers": R.top_customers,
+        "events_hourly": R.events_hourly,
+        "distinct_users": R.distinct_users,
+        # text ops (SQL-checked)
+        "normalize_docs": _normalize_docs,
+        "token_counts": _token_counts,
+        "distinct_token_counts": _distinct_token_counts,
+        "quality_scores": _quality_scores,
+        # dedup / similarity family
+        "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
+        "word_jaccard_pairs": word_jaccard,  # SQL-checked
+        "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
+        "ann_topk": _ann_topk,  # SQL-checked
+        "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # rows-only (LSH recall < 1)
+        "minhash_dedupe_docs": _minhash_dedupe_docs,  # rows-only (oracle in tests/)
+        "simhash_dedupe_docs": _simhash_dedupe_docs,  # rows-only
+        "lang_id_docs": _lang_id_docs,  # rows-only (heuristic model)
+        "doc_fingerprints": _fingerprints,  # rows-only (hash-based)
+        # image+caption flagship + multimodal plumbing (rows-only)
+        "image_dedupe_synth": _image_dedupe_synth,
+        "image_stats_synth": _image_stats_synth,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_customers": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_custkey
+            ORDER BY sum(o_totalprice) DESC, o_custkey ASC LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "normalize_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9_\s]', '', 'g'),
+                                       '\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "distinct_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END
+                       AS n_distinct_tokens
+            FROM documents
+        """,
+        "quality_scores": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+                   len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ORDER BY doc_id
+        """,
+        "word_jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+                FROM documents
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS n
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT u, v FROM inter
+            JOIN sizes sa ON sa.doc_id = u
+            JOIN sizes sb ON sb.doc_id = v
+            WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8
+            ORDER BY u, v
+        """,
+        "cosine_dup_pairs": """
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ORDER BY u, v
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])) AS cos
+                FROM embeddings e, q
+                ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+            ) ORDER BY vec_id
+        """,
+    }

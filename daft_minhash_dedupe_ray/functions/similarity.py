@@ -1,0 +1,328 @@
+"""Similarity / dedup operator family beyond MinHash (SURVEY.md extras):
+
+  * exact dedup (content-hash partition + per-group min-id keep)
+  * brute-force cosine top-k ANN (broadcast query matrix, per-batch matmul)
+  * LSH-bucketed cosine near-dup pairs (random-hyperplane buckets + verify)
+  * SimHash near-dup (Hamming-banded, verified — reuses the pHash machinery)
+  * exact word-set Jaccard similarity join (token inverted index)
+
+Each distributed step is a ``map_batches``/``groupby`` composition; small
+sides (query matrices, doc-size maps) are broadcast once with ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..config import DedupeConfig
+from ..hashing import hash64_str_array, simhash64, splitmix64
+from ..stages.candidates import KIND_PHASH, candidate_edges
+from ..stages.util import ensure_schema
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(ds, text_col: str, id_col: str):
+    """Exact duplicate removal: hash-partition on the content hash, keep the
+    min-id row per group.  Two-level: per-batch local dedup first (combiner),
+    then the global groupby over survivors only."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = hash64_str_array(b[text_col].to_pylist())
+        t = b.append_column("__h__", pa.array(h, pa.uint64()))
+        # local combine: keep min-id row per hash within the batch
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("__h__", "ascending"), (id_col, "ascending")])
+        t = t.take(idx)
+        hh = t["__h__"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, hh[1:] != hh[:-1]]
+        return t.filter(pa.array(first))
+
+    local = ds.map_batches(add_hash, batch_format="pyarrow")
+    in_schema = pa.schema(
+        list(zip(ds.schema().names, ds.schema().types)) + [("__h__", pa.uint64())]
+    )
+
+    def keep_min(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = pc.index(pc.equal(b[id_col], pc.min(b[id_col])), True).as_py()
+        return b.slice(i, 1)
+
+    out = ensure_schema(
+        local.groupby("__h__").map_groups(keep_min, batch_format="pyarrow"), in_schema
+    )
+    return out.drop_columns(["__h__"])
+
+
+# ------------------------------------------------------ brute-force ANN topk
+
+
+def ann_topk(ds, query_vectors: np.ndarray, k: int, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Baseline path (SURVEY.md "similarity search"): queries are broadcast once
+    via ``ray.put``; every batch does one float64 matmul and emits its local
+    top-k per query; the driver merges the tiny per-batch candidate sets.
+    Returns a pyarrow Table (query_idx, vec_id, cos_sim) sorted by
+    (query_idx, -cos_sim, vec_id).
+    """
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qn)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = qm @ en.T  # (n_q, n_batch)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for qi in range(sims.shape[0]):
+            for j in part[qi]:
+                rows.append((qi, int(ids[j]), float(sims[qi, j])))
+        arr = np.array(rows, dtype=object)
+        return pa.table(
+            {
+                "query_idx": pa.array([r[0] for r in rows], pa.int64()),
+                id_col: pa.array([r[1] for r in rows], pa.int64()),
+                "cos_sim": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, grp in cand.groupby("query_idx"):
+        grp = grp.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
+        out.append(grp)
+    import pandas as pd
+
+    merged = pd.concat(out).reset_index(drop=True)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+# ------------------------------------------- cosine near-dup pair detection
+
+
+def cosine_dup_pairs(
+    ds,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 0,
+    seed: int = 42,
+):
+    """All pairs (u < v) with cosine similarity >= threshold.
+
+    ``n_planes == 0``: exact path — the (normalised) matrix is broadcast and
+    each batch verifies its rows against the full set (O(n^2) flops spread
+    over batches; right for <= ~10^5 rows).  ``n_planes > 0``: scale path —
+    random-hyperplane signatures bucket the vectors first (cosine LSH) and
+    only bucket-mates are verified, trading recall for scale; recall for
+    pairs at angle θ is 1-(1-(1-θ/π)^n_planes)^... per standard SimHash LSH.
+    """
+    if n_planes > 0:
+        return _cosine_pairs_lsh(ds, threshold, vec_col, id_col, n_planes, seed)
+
+    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = tbl[id_col].to_numpy()
+    emb_all = np.asarray(list(tbl[vec_col]), dtype=np.float64)
+    en_all = emb_all / np.maximum(np.linalg.norm(emb_all, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, en_all))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids_a, en_a = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = en @ en_a.T
+        bi, aj = np.nonzero(sims >= threshold)
+        u = ids[bi]
+        v = ids_a[aj]
+        keep = u < v  # each unordered pair exactly once
+        return pa.table(
+            {
+                "u": pa.array(u[keep].astype(np.int64), pa.int64()),
+                "v": pa.array(v[keep].astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(sims[bi, aj][keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _cosine_pairs_lsh(ds, threshold, vec_col, id_col, n_planes, seed):
+    """Scale path: bucket by random-hyperplane sign pattern, verify inside
+    buckets via groupby.  Pairs in different buckets are missed (documented
+    LSH recall tradeoff); identical vectors always share a bucket."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(emb.shape[1], n_planes)
+        signs = (emb @ planes) > 0
+        key = np.zeros(len(emb), dtype=np.uint64)
+        for j in range(n_planes):
+            key = (key << np.uint64(1)) | signs[:, j].astype(np.uint64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "__bucket__": pa.array(splitmix64(key), pa.uint64()),
+                vec_col: b[vec_col],
+            }
+        )
+
+    def verify_group(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = en @ en.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ok = sims[ii, jj] >= threshold
+        u, v = ids[ii[ok]], ids[jj[ok]]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table(
+            {
+                "u": pa.array(lo.astype(np.int64), pa.int64()),
+                "v": pa.array(hi.astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(sims[ii[ok], jj[ok]], pa.float64()),
+            }
+        )
+
+    schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("cos_sim", pa.float64())])
+    return ensure_schema(
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(verify_group, batch_format="pyarrow"),
+        schema,
+    )
+
+
+# -------------------------------------------------------------- SimHash dedup
+
+
+def simhash_candidates(ds, cfg: DedupeConfig, text_col: str, id_col: str):
+    """SimHash near-dup candidate edges: 64-bit SimHash per doc, banded into
+    Hamming buckets and verified — reusing the pHash sub-band + verify
+    machinery (the kind=KIND_PHASH path of the candidate stages)."""
+    from ..hashing import phash_band_keys
+    from ..stages.signature import node_ids_for
+
+    def sim_batch(b: pa.Table) -> pa.Table:
+        cfg_local = cfg
+        ids = b[id_col]
+        if pa.types.is_string(ids.type):
+            nodes = hash64_str_array(ids.to_pylist())
+        else:
+            nodes = ids.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        sh = simhash64(b[text_col].to_pylist(), ngram_size=1)
+        keys = phash_band_keys(sh.view(np.int64), cfg_local.phash_bands)
+        nb = cfg_local.phash_bands
+        return pa.table(
+            {
+                "node_id": pa.array(np.repeat(nodes, nb), pa.uint64()),
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                "kind": pa.array(np.full(len(nodes) * nb, KIND_PHASH, np.uint8), pa.uint8()),
+                "payload": pa.array(np.repeat(sh, nb), pa.uint64()),
+            }
+        )
+
+    cand = ds.map_batches(sim_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return candidate_edges(cand, cfg)
+
+
+# ----------------------------------------- exact word-set Jaccard similarity
+
+
+def word_jaccard_pairs(ds, threshold: float, text_col: str, id_col: str):
+    """Exact word-set Jaccard similarity join: all pairs with
+    |A ∩ B| / |A ∪ B| >= threshold.
+
+    Distributed shape: explode distinct (doc, token) -> groupby token emits
+    co-occurrence pairs -> count per pair -> broadcast doc set sizes ->
+    filter.  NOTE the token groupby emits O(df^2) pairs per token — exact
+    set-similarity joins need frequency-ordered prefix filtering at web
+    scale; this operator is the exact small/medium-scale tool and the oracle
+    for the MinHash approximation.
+    """
+
+    def explode_tokens(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        out_ids, out_toks = [], []
+        for i, t in enumerate(texts):
+            toks = set((t or "").split())
+            out_ids += [int(ids[i])] * len(toks)
+            out_toks += list(toks)
+        th = hash64_str_array(out_toks)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "token": pa.array(th, pa.uint64()),
+            }
+        )
+
+    pairs_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("n", pa.int64())])
+    tokens = ds.map_batches(explode_tokens, batch_format="pyarrow")
+
+    # doc set sizes: tiny (one row per doc) -> aggregate then broadcast
+    from ray.data.aggregate import Count
+
+    sizes_pdf = tokens.groupby(id_col).aggregate(Count(alias_name="sz")).to_pandas()
+    size_map = dict(zip(sizes_pdf[id_col].astype(int), sizes_pdf["sz"].astype(int)))
+    size_ref = ray.put(size_map)
+
+    def emit_pairs(b: pa.Table) -> pa.Table:
+        ids = np.sort(np.unique(b[id_col].to_numpy(zero_copy_only=False)))
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "u": pa.array(ids[ii], pa.int64()),
+                "v": pa.array(ids[jj], pa.int64()),
+                "n": pa.array(np.ones(len(ii), np.int64), pa.int64()),
+            }
+        )
+
+    co = ensure_schema(
+        tokens.groupby("token").map_groups(emit_pairs, batch_format="pyarrow"), pairs_schema
+    )
+
+    def local_sum(b: pa.Table) -> pa.Table:
+        # combiner: pre-sum pair counts within the batch before the groupby
+        import pandas as pd
+
+        df = b.to_pandas().groupby(["u", "v"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(pairs_schema)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        sizes = ray.get(size_ref)
+        u = int(b["u"][0].as_py())
+        v = int(b["v"][0].as_py())
+        inter = int(sum(b["n"].to_pylist()))
+        union = sizes[u] + sizes[v] - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            return pa.table(
+                {
+                    "u": pa.array([u], pa.int64()),
+                    "v": pa.array([v], pa.int64()),
+                    "jaccard": pa.array([j], pa.float64()),
+                }
+            )
+        return pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())])
+    combined = co.map_batches(local_sum, batch_format="pyarrow")
+    return ensure_schema(
+        combined.groupby(["u", "v"]).map_groups(finalize, batch_format="pyarrow"), out_schema
+    )

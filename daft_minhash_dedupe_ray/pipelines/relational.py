@@ -1,0 +1,175 @@
+"""General relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's relational operator surface (filter, projection,
+partial-aggregate + groupby, broadcast join, sort/top-k, distinct, windowed
+aggregate) in their scale-correct shapes:
+
+  * aggregations pre-combine inside map_batches before the groupby shuffle
+    (one partial row per key per batch), so the exchange moves partials, not
+    rows;
+  * small join sides (customer dimension) are broadcast once via ``ray.put``
+    and applied as vectorised lookups — no shuffle join;
+  * top-k is local-topk-per-batch then a tiny driver merge, not a global sort;
+  * tumbling windows are ``groupby(key, floor(epoch/size))`` per the Ray
+    guide's streaming-shaped-workload pattern.
+
+Every function takes ``sf_dir`` and returns a pyarrow Table whose column
+names match the oracle SQL in ``__ray_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped: filtered lineitem grouped by returnflag+linestatus.
+    Partial aggregation inside map_batches; the groupby shuffles one row per
+    (key, batch)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pandas(),
+                "l_linestatus": b["l_linestatus"].to_pandas(),
+                "qty": b["l_quantity"].to_pandas(),
+                "disc_price": disc_price.to_pandas(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_disc_price=("disc_price", "sum"), n=("qty", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("sum_disc_price", alias_name="sum_disc_price"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def segment_revenue(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer via broadcast (customer is the small dimension side):
+    revenue per market segment."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ref = ray.put(seg_map)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = pd.Series(keys).map(m).fillna("UNKNOWN")
+        df = pd.DataFrame({"c_mktsegment": segs, "tp": b["o_totalprice"].to_pandas()})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("tp", "sum"), n_orders=("tp", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k customers by total order value: groupby-sum (with partials) then
+    a tiny driver-side top-k — no global sort."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_custkey": b["o_custkey"].to_pandas(), "tp": b["o_totalprice"].to_pandas()}
+        )
+        g = df.groupby("o_custkey", as_index=False).agg(total=("tp", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total", alias_name="total"))
+        .to_pandas()
+    )
+    totals = totals.sort_values(["total", "o_custkey"], ascending=[False, True]).head(k)
+    totals["total"] = totals["total"].round(2)
+    return pa.Table.from_pandas(totals.reset_index(drop=True), preserve_index=False)
+
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window per event_type: count + sum(value)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = us // 1_000_000 // 3600
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "hour_bucket": bucket,
+                "value": b["value"].to_pandas(),
+            }
+        )
+        g = df.groupby(["event_type", "hour_bucket"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def distinct_users(sf_dir: str) -> pa.Table:
+    """count(distinct user_id) per event_type — distinct via per-batch set
+    partials, then groupby over (event_type, user_id) partials."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_pandas(), "user_id": b["user_id"].to_pandas()}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    per_pair = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+    out = (
+        per_pair.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
