@@ -1,0 +1,166 @@
+"""Benchmark harness.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=int($RAY_GRAFT_CPUS or 32))`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+``--scaling``: runs the headline image-dedupe pipeline twice in fresh
+subprocesses (num_cpus=8 and 32) on the same input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north_rule's N vs 4N node criterion).
+
+The headline workload is the flagship image+caption near-dup pipeline on a
+deterministic synthetic table (input_hint shape) sized ~20x the sf dir's
+documents table; the table is generated once and cached under /tmp so both
+scaling runs and repeat benches read identical input (first read also warms
+the page cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_DIR = "/tmp/graft_synth_cache"
+
+
+def synth_path(n_rows: int, seed: int = 42) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    p = os.path.join(CACHE_DIR, f"img_caption_{n_rows}_{seed}.parquet")
+    if not os.path.exists(p):
+        from daft_minhash_dedupe_ray.synth import write_table
+
+        write_table(p + ".tmp", n_rows, seed=seed, with_images=False)
+        os.rename(p + ".tmp", p)
+    return p
+
+
+def synth_rows_for_sf(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return max(10_000, docs * 20)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR"
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG, DedupeConfig
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    queries: dict[str, float] = {}
+    n_img = synth_rows_for_sf(SF_DIR)
+    img_path = synth_path(n_img)
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(img_path).count()
+
+    # --- headline: image+caption near-dup dedupe at the north-star config
+    t0 = time.perf_counter()
+    pipe = MinHashDedupePipeline(
+        NORTH_STAR_CONFIG, signature_concurrency=max(2, NUM_CPUS // 4)
+    )
+    ds = rd.read_parquet(img_path)
+    out, assign, report = pipe.run_with_report(ds, num_actors=max(2, NUM_CPUS // 4))
+    headline = time.perf_counter() - t0
+    queries["image_dedupe"] = round(headline, 3)
+    images_per_sec = n_img / headline
+
+    # --- secondary pipelines over the sf dir
+    t0 = time.perf_counter()
+    MinHashDedupePipeline(
+        DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    )(rd.read_parquet(f"{SF_DIR}/documents.parquet"), num_actors=4).count()
+    queries["minhash_dedupe_docs"] = round(time.perf_counter() - t0, 3)
+
+    for name, fn in [
+        ("q1_pricing_summary", R.q1_pricing_summary),
+        ("events_hourly", R.events_hourly),
+        ("top_customers", R.top_customers),
+    ]:
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from daft_minhash_dedupe_ray.functions.similarity import cosine_dup_pairs
+
+    cosine_dup_pairs(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.3).count()
+    queries["cosine_dup_pairs"] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "image+caption near-dup dedupe wall time (synthetic, north-star 128/16 config)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_images": n_img,
+        "images_per_sec": round(images_per_sec, 1),
+        "rows_before": report.rows_before,
+        "rows_after": report.rows_after,
+        "n_components": report.n_components,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    # pre-generate the cached input so both runs read identical bytes
+    synth_path(synth_rows_for_sf(SF_DIR))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["images_per_sec"]
+    tput_hi = r_hi["images_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (images/sec at 8 vs 32 CPUs, fresh processes)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "images_per_sec_lo": tput_lo,
+        "images_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "n_images": r_hi["n_images"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

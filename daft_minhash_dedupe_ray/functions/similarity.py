@@ -21,7 +21,7 @@ import ray
 from ..config import DedupeConfig
 from ..hashing import hash64_str_array, simhash64, splitmix64
 from ..stages.candidates import KIND_PHASH, candidate_edges
-from ..stages.util import ensure_schema
+from ..stages.util import ensure_schema, partition_groupby
 
 
 # ------------------------------------------------------------- exact dedup
@@ -50,14 +50,18 @@ def exact_dedup(ds, text_col: str, id_col: str):
     )
 
     def keep_min(b: pa.Table) -> pa.Table:
+        # partition-vectorised: min-id row per hash run
         import pyarrow.compute as pc
 
-        i = pc.index(pc.equal(b[id_col], pc.min(b[id_col])), True).as_py()
-        return b.slice(i, 1)
+        if len(b) == 0:
+            return in_schema.empty_table()
+        idx = pc.sort_indices(b, sort_keys=[("__h__", "ascending"), (id_col, "ascending")])
+        b = b.take(idx)
+        hh = b["__h__"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, hh[1:] != hh[:-1]]
+        return b.filter(pa.array(first))
 
-    out = ensure_schema(
-        local.groupby("__h__").map_groups(keep_min, batch_format="pyarrow"), in_schema
-    )
+    out = partition_groupby(local, ["__h__"], keep_min, in_schema)
     return out.drop_columns(["__h__"])
 
 
@@ -180,28 +184,45 @@ def _cosine_pairs_lsh(ds, threshold, vec_col, id_col, n_planes, seed):
             }
         )
 
-    def verify_group(b: pa.Table) -> pa.Table:
+    schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("cos_sim", pa.float64())])
+
+    def verify_partition(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        buckets = b["__bucket__"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = b[id_col].to_numpy(zero_copy_only=False)
         emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
         en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        sims = en @ en.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        ok = sims[ii, jj] >= threshold
-        u, v = ids[ii[ok]], ids[jj[ok]]
-        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        order = np.argsort(buckets, kind="stable")
+        buckets, ids, en = buckets[order], ids[order], en[order]
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        us, vs, cs = [], [], []
+        for s0, e0 in zip(starts, ends):  # vectorised matmul per bucket run
+            if e0 - s0 < 2:
+                continue
+            sub = en[s0:e0]
+            sims = sub @ sub.T
+            ii, jj = np.triu_indices(e0 - s0, k=1)
+            ok = sims[ii, jj] >= threshold
+            a, c = ids[s0:e0][ii[ok]], ids[s0:e0][jj[ok]]
+            us.append(np.minimum(a, c))
+            vs.append(np.maximum(a, c))
+            cs.append(sims[ii[ok], jj[ok]])
+        if not us:
+            return schema.empty_table()
         return pa.table(
             {
-                "u": pa.array(lo.astype(np.int64), pa.int64()),
-                "v": pa.array(hi.astype(np.int64), pa.int64()),
-                "cos_sim": pa.array(sims[ii[ok], jj[ok]], pa.float64()),
+                "u": pa.array(np.concatenate(us).astype(np.int64), pa.int64()),
+                "v": pa.array(np.concatenate(vs).astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(cs), pa.float64()),
             }
         )
 
-    schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("cos_sim", pa.float64())])
-    return ensure_schema(
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby("__bucket__")
-        .map_groups(verify_group, batch_format="pyarrow"),
+    return partition_groupby(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["__bucket__"],
+        verify_partition,
         schema,
     )
 
@@ -281,19 +302,36 @@ def word_jaccard_pairs(ds, threshold: float, text_col: str, id_col: str):
     size_ref = ray.put(size_map)
 
     def emit_pairs(b: pa.Table) -> pa.Table:
-        ids = np.sort(np.unique(b[id_col].to_numpy(zero_copy_only=False)))
-        ii, jj = np.triu_indices(len(ids), k=1)
+        # partition-vectorised: co-occurrence pairs per token run
+        if len(b) == 0:
+            return pairs_schema.empty_table()
+        toks = b["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, toks))
+        toks, ids = toks[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        ends = np.r_[starts[1:], len(toks)]
+        us, vs = [], []
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
+                continue
+            g = ids[s0:e0]
+            ii, jj = np.triu_indices(e0 - s0, k=1)
+            us.append(g[ii])
+            vs.append(g[jj])
+        if not us:
+            return pairs_schema.empty_table()
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
         return pa.table(
             {
-                "u": pa.array(ids[ii], pa.int64()),
-                "v": pa.array(ids[jj], pa.int64()),
-                "n": pa.array(np.ones(len(ii), np.int64), pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "n": pa.array(np.ones(len(u), np.int64), pa.int64()),
             }
         )
 
-    co = ensure_schema(
-        tokens.groupby("token").map_groups(emit_pairs, batch_format="pyarrow"), pairs_schema
-    )
+    co = partition_groupby(tokens, ["token"], emit_pairs, pairs_schema)
 
     def local_sum(b: pa.Table) -> pa.Table:
         # combiner: pre-sum pair counts within the batch before the groupby
@@ -302,27 +340,36 @@ def word_jaccard_pairs(ds, threshold: float, text_col: str, id_col: str):
         df = b.to_pandas().groupby(["u", "v"], as_index=False)["n"].sum()
         return pa.Table.from_pandas(df, preserve_index=False).cast(pairs_schema)
 
-    def finalize(b: pa.Table) -> pa.Table:
-        sizes = ray.get(size_ref)
-        u = int(b["u"][0].as_py())
-        v = int(b["v"][0].as_py())
-        inter = int(sum(b["n"].to_pylist()))
-        union = sizes[u] + sizes[v] - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            return pa.table(
-                {
-                    "u": pa.array([u], pa.int64()),
-                    "v": pa.array([v], pa.int64()),
-                    "jaccard": pa.array([j], pa.float64()),
-                }
-            )
-        return pa.schema(
-            [("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())]
-        ).empty_table()
-
     out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        # partition-vectorised: sum counts per (u, v) run, then threshold
+        if len(b) == 0:
+            return out_schema.empty_table()
+        sizes = ray.get(size_ref)
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, n = u[order], v[order], n[order]
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        inter = np.bincount(run_id, weights=n).astype(np.int64)
+        ru, rv = u[starts], v[starts]
+        import pandas as pd
+
+        szs = pd.Series(ru).map(sizes).to_numpy() + pd.Series(rv).map(sizes).to_numpy()
+        union = szs - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ok = j >= threshold
+        return pa.table(
+            {
+                "u": pa.array(ru[ok], pa.int64()),
+                "v": pa.array(rv[ok], pa.int64()),
+                "jaccard": pa.array(j[ok], pa.float64()),
+            }
+        )
+
     combined = co.map_batches(local_sum, batch_format="pyarrow")
-    return ensure_schema(
-        combined.groupby(["u", "v"]).map_groups(finalize, batch_format="pyarrow"), out_schema
-    )
+    return partition_groupby(combined, ["u", "v"], finalize, out_schema)

@@ -116,6 +116,22 @@ class MinHashDedupePipeline:
         assign = self.assignments(edges, num_actors=num_actors)
         return self.merge(ds, assign)
 
+    def run_with_checkpoints(self, ds, ckpt_root: str, num_actors: int = 8):
+        """Checkpoint-resumable execution (north_rule): the candidate-edge
+        and assignment stages land in parquet with config-hash manifests +
+        per-partition lineage; a rerun under the same config restores the
+        finished stages and recomputes only what's missing.  Template:
+        the reference CLI's write-then-reread stage layout
+        (references/daft_minhash.py:258-323)."""
+        from ..sources.io import CheckpointManager
+
+        ckpt = CheckpointManager(ckpt_root)
+        edges = ckpt.run("edges", self.cfg, lambda: self.edges(self.prep(ds)))
+        assign = ckpt.run(
+            "assignments", self.cfg, lambda: self.assignments(edges, num_actors=num_actors)
+        )
+        return self.merge(ds, assign), assign
+
     def run_with_report(self, ds, num_actors: int = 8):
         """Execute fully; returns (deduped Dataset, assignments Dataset,
         DedupeReport) — the reference's run report
@@ -127,8 +143,10 @@ class MinHashDedupePipeline:
         assign = self.assignments(edges, num_actors=num_actors)
         out = self.merge(ds, assign).materialize()
         rows_after = out.count()
-        n_dups = assign.filter(expr="u != rep").count()
-        n_comp = assign.filter(expr="u == rep").count()
+        # assign is materialized; counts below are metadata / derived — no
+        # extra dataset executions
+        n_dups = rows_before - rows_after
+        n_comp = assign.count() - n_dups
         report = DedupeReport(
             rows_before=rows_before,
             rows_after=rows_after,

@@ -1,0 +1,171 @@
+"""Sources & sinks: Lance-or-Parquet format adapter, partitioned resumable
+save, stage checkpoints with manifests.
+
+The north_rule input is a Lance table; the ``lance`` wheel is not available
+in this sandbox, so the adapter uses ``ray.data.read_lance``/``write_lance``
+when importable and falls back to Parquet with the identical Arrow schema
+(SURVEY.md §1.3).
+
+``partitioned_save`` keeps the reference's row-count-targeted partition
+formula (``workload/minhash_dedupe.py:650-674``:
+``max(256, min(ceil(rows/chunk), max_partitions))``) but writes through Ray
+Data's parquet sink, which already emits one file per block — resumable,
+listable output, never one giant file.
+
+Checkpoints (reference template: ``references/daft_minhash.py:258-323`` —
+every wide stage lands in parquet and is re-read) are formalised with a
+manifest: config hash, row count, schema, per-partition lineage + metrics,
+and a ``_SUCCESS`` marker.  ``maybe_restore`` skips any stage whose manifest
+matches the current config hash — that is checkpoint-resume per north_rule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+import os
+import time
+
+import pyarrow as pa
+
+try:  # pragma: no cover - lance is absent in this sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def read_table(path: str, columns=None):
+    """Read a Lance dataset or Parquet file/dir into a ray Dataset."""
+    import ray.data as rd
+
+    if path.endswith(".lance") and HAVE_LANCE:
+        return rd.read_lance(path, columns=columns)
+    return rd.read_parquet(path, columns=columns)
+
+
+def write_table(ds, path: str):
+    if path.endswith(".lance") and HAVE_LANCE:
+        return ds.write_lance(path)
+    return ds.write_parquet(path, compression="snappy")
+
+
+def target_partitions(n_rows: int, chunk_size: int = 200_000, max_partitions: int = 2048) -> int:
+    """The reference's partition formula (workload/minhash_dedupe.py:663-667)."""
+    return max(256, min(math.ceil(n_rows / max(1, chunk_size)), max_partitions))
+
+
+def partitioned_save(
+    ds, path: str, chunk_size: int = 200_000, max_partitions: int = 2048
+) -> dict:
+    """Row-count-targeted partitioned snappy parquet save (reference A4).
+    Returns the written manifest."""
+    n_rows = ds.count()
+    n_parts = target_partitions(n_rows, chunk_size, max_partitions)
+    os.makedirs(path, exist_ok=True)
+    ds.repartition(min(n_parts, max(1, n_rows))).write_parquet(path, compression="snappy")
+    manifest = {
+        "rows": n_rows,
+        "target_partitions": n_parts,
+        "written_at": time.time(),
+        "files": sorted(f for f in os.listdir(path) if f.endswith(".parquet")),
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("")
+    return manifest
+
+
+def config_hash(cfg) -> str:
+    """Stable hash of a DedupeConfig (or any dataclass/dict) — the resume key."""
+    if dataclasses.is_dataclass(cfg):
+        payload = dataclasses.asdict(cfg)
+    else:
+        payload = dict(cfg)
+    s = json.dumps(payload, sort_keys=True, default=str)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+class CheckpointManager:
+    """Per-stage parquet checkpoints with config-hash manifests.
+
+    Layout: ``<root>/<stage>/`` holds the stage's parquet blocks plus
+    ``_MANIFEST.json`` (config hash, rows, schema, per-file row counts =
+    per-partition lineage/metrics) and ``_SUCCESS``.
+
+    ``run(stage, cfg, fn)`` restores the stage if a matching manifest exists,
+    else executes ``fn()``, persists its Dataset, and records the manifest —
+    the formalisation of the reference's write-then-reread stage template
+    (references/daft_minhash.py:258-260, 301-303, 322-323).
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def manifest(self, stage: str) -> dict | None:
+        p = os.path.join(self._dir(stage), "_MANIFEST.json")
+        if not os.path.exists(p) or not os.path.exists(
+            os.path.join(self._dir(stage), "_SUCCESS")
+        ):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_complete(self, stage: str, cfg) -> bool:
+        m = self.manifest(stage)
+        return m is not None and m.get("config_hash") == config_hash(cfg)
+
+    def restore(self, stage: str):
+        import ray.data as rd
+
+        return rd.read_parquet(self._dir(stage))
+
+    def save(self, stage: str, ds, cfg) -> None:
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        d = self._dir(stage)
+        # atomic-ish: write to tmp dir then rename
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        ds.write_parquet(tmp, compression="snappy")
+        files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        per_partition = []
+        total = 0
+        for fname in files:
+            md = pq.ParquetFile(os.path.join(tmp, fname)).metadata
+            per_partition.append({"file": fname, "rows": md.num_rows})
+            total += md.num_rows
+        manifest = {
+            "stage": stage,
+            "config_hash": config_hash(cfg),
+            "rows": total,
+            "partitions": per_partition,  # per-partition lineage + metrics
+            "written_at": time.time(),
+        }
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("")
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+
+    def run(self, stage: str, cfg, fn):
+        """Restore ``stage`` if checkpointed under the same config, else
+        compute via ``fn()``, persist, and return a re-read Dataset (which
+        also cuts lineage, like the reference's checkpoint-then-reread)."""
+        if self.is_complete(stage, cfg):
+            return self.restore(stage)
+        ds = fn()
+        self.save(stage, ds, cfg)
+        return self.restore(stage)

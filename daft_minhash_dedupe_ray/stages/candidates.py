@@ -47,7 +47,7 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import hamming_distance64, splitmix64
-from .util import ensure_schema
+from .util import ensure_schema, partition_groupby
 
 EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
 _PACKED_SCHEMA = pa.schema(
@@ -219,9 +219,7 @@ def candidate_edges(candidates, cfg: DedupeConfig):
     markers.  Intermediate contracted streams are materialised once so edges
     and forwarded representatives can be split without recomputing upstream.
     """
-    kwargs = {}
-    if cfg.num_partitions:
-        kwargs["num_partitions"] = cfg.num_partitions
+    P = cfg.num_partitions or 64
 
     combined = candidates.map_batches(
         functools.partial(_local_combine, cfg=cfg),
@@ -233,24 +231,27 @@ def candidate_edges(candidates, cfg: DedupeConfig):
         ["salt_key", "band_key", "node_id", "kind", "payload"]
     )
 
-    salted = ensure_schema(
-        reps.groupby("salt_key", **kwargs).map_groups(
-            functools.partial(_salted_star, cfg=cfg),
-            batch_format="pyarrow",
-        ),
+    # partition on salt_key (so hot band keys spread across partitions), but
+    # contract on (band_key, payload) inside the partition — merging salted
+    # subgroups that happen to co-locate early is harmless for connectivity
+    salted = partition_groupby(
+        reps,
+        ["salt_key"],
+        functools.partial(_salted_star, cfg=cfg),
         _PACKED_SCHEMA,
+        num_partitions=P,
     ).materialize()  # two consumers; edges + <= num_salts markers per band key
     salted_edges = salted.filter(expr="is_edge == True").select_columns(["u", "v"])
     markers = salted.filter(expr="is_edge == False").select_columns(
         ["band_key", "node_id", "kind", "payload"]
     )
 
-    chain_edges = ensure_schema(
-        markers.groupby("band_key", **kwargs).map_groups(
-            functools.partial(_chain_star, cfg=cfg),
-            batch_format="pyarrow",
-        ),
+    chain_edges = partition_groupby(
+        markers,
+        ["band_key"],
+        functools.partial(_chain_star, cfg=cfg),
         EDGE_SCHEMA,
+        num_partitions=P,
     )
     return local_edges.union(salted_edges).union(chain_edges)
 
@@ -259,6 +260,8 @@ def distinct_edges(edges, cfg: DedupeConfig):
     """Canonicalize (u<v) + exact distinct — reference D2/D4
     (``workload/minhash_dedupe.py:265-277,360-368``).  Used by the dataframe
     CC fallback; the union-find path doesn't need it (unions are idempotent).
+    Distinct is a partition-granular vectorised sort-unique, not a per-pair
+    map_groups.
     """
 
     def canon(b: pa.Table) -> pa.Table:
@@ -267,17 +270,23 @@ def distinct_edges(edges, cfg: DedupeConfig):
         lo = np.minimum(u, v)
         hi = np.maximum(u, v)
         mask = lo != hi
+        # local pre-dedup before the shuffle
+        pairs = np.stack([lo[mask], hi[mask]], axis=1)
+        pairs = np.unique(pairs, axis=0) if len(pairs) else pairs
         return pa.table(
-            {"u": pa.array(lo[mask], pa.uint64()), "v": pa.array(hi[mask], pa.uint64())}
+            {"u": pa.array(pairs[:, 0], pa.uint64()), "v": pa.array(pairs[:, 1], pa.uint64())}
         )
 
-    kwargs = {"num_partitions": cfg.num_partitions} if cfg.num_partitions else {}
+    def dedup_partition(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pairs = np.unique(np.stack([u, v], axis=1), axis=0) if len(u) else np.zeros((0, 2), np.uint64)
+        return pa.table(
+            {"u": pa.array(pairs[:, 0], pa.uint64()), "v": pa.array(pairs[:, 1], pa.uint64())}
+        )
+
     canonical = edges.map_batches(canon, batch_format="pyarrow")
-
-    def first_row(b: pa.Table) -> pa.Table:
-        return b.slice(0, 1)
-
-    return ensure_schema(
-        canonical.groupby(["u", "v"], **kwargs).map_groups(first_row, batch_format="pyarrow"),
-        EDGE_SCHEMA,
+    return partition_groupby(
+        canonical, ["u", "v"], dedup_partition, EDGE_SCHEMA,
+        num_partitions=cfg.num_partitions or 64,
     )

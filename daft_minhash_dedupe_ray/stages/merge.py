@@ -46,8 +46,8 @@ def _broadcast_filter(batch: pa.Table, cfg: DedupeConfig, drop_ref) -> pa.Table:
 def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int = 64):
     """Input Dataset + assignments Dataset (u, rep) -> deduplicated Dataset
     (input schema unchanged; duplicates dropped, representatives kept)."""
-    dups = assignments.filter(expr="u != rep").select_columns(["u"])
-    n_dups = dups.count()
+    dups = assignments.filter(expr="u != rep").select_columns(["u"]).materialize()
+    n_dups = dups.count()  # metadata on the materialized set — no extra pass
     if n_dups <= BROADCAST_LIMIT:
         if n_dups == 0:
             return input_ds

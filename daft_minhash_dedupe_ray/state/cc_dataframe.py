@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import hash64_int_pairs
-from ..stages.util import ensure_schema
+from ..stages.util import ensure_schema, partition_groupby
 
 EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
 ASSIGN_SCHEMA = pa.schema([("u", pa.uint64()), ("rep", pa.uint64())])
@@ -64,45 +64,60 @@ def canonicalize(edges):
     return edges.map_batches(canon, batch_format="pyarrow")
 
 
-def _dedup_uv(edges, cfg: DedupeConfig):
-    kwargs = {"num_partitions": cfg.num_partitions} if cfg.num_partitions else {}
-    return ensure_schema(
-        edges.groupby(["u", "v"], **kwargs).map_groups(
-            lambda b: b.slice(0, 1), batch_format="pyarrow"
-        ),
-        EDGE_SCHEMA,
+def _dedup_partition(b: pa.Table) -> pa.Table:
+    u = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    v = b["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    pairs = np.unique(np.stack([u, v], axis=1), axis=0) if len(u) else np.zeros((0, 2), np.uint64)
+    return pa.table(
+        {"u": pa.array(pairs[:, 0], pa.uint64()), "v": pa.array(pairs[:, 1], pa.uint64())}
     )
 
 
-def _star_group(batch: pa.Table, large: bool) -> pa.Table:
-    """map_groups body shared by large/small star.  ``batch`` holds the full
-    neighbourhood of one u (already directed appropriately by the caller).
-    m = min(neighbours ∪ {u}); large emits (nbr, m) for nbr > u, small for all
-    nbrs plus u itself; self-loops dropped."""
-    u = int(batch["u"][0].as_py())
-    v = np.unique(batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64))
-    m = min(int(v.min()), u)
+def _dedup_uv(edges, cfg: DedupeConfig):
+    return partition_groupby(
+        edges, ["u", "v"], _dedup_partition, EDGE_SCHEMA,
+        num_partitions=cfg.num_partitions or 64,
+    )
+
+
+def _star_partition(batch: pa.Table, large: bool) -> pa.Table:
+    """Partition-granular star contraction, vectorised over every u in the
+    partition (all rows of a given u are co-located by partition_groupby).
+    Per u: m = min(neighbours ∪ {u}); large emits (nbr, m) for nbr > u,
+    small for all nbrs plus u itself; self-loops dropped."""
+    u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if len(u) == 0:
+        return EDGE_SCHEMA.empty_table()
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    # drop duplicate (u, v) rows
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    u, v = u[keep], v[keep]
+    new_run = np.r_[True, u[1:] != u[:-1]]
+    run_id = np.cumsum(new_run) - 1
+    run_starts = np.flatnonzero(new_run)
+    run_u = u[run_starts]
+    m = np.minimum(v[run_starts], run_u)  # min neighbour is first v in the run
     if large:
-        out_nodes = v[v > u]
+        mask = v > u
+        out_u, out_v = v[mask], m[run_id][mask]
     else:
-        out_nodes = np.union1d(v, np.array([u], dtype=np.uint64))
-    m_arr = np.full(len(out_nodes), m, dtype=np.uint64)
-    keep = out_nodes != m_arr
+        out_u = np.concatenate([v, run_u])
+        out_v = np.concatenate([m[run_id], m])
+    keep = out_u != out_v
     return pa.table(
-        {"u": pa.array(out_nodes[keep], pa.uint64()), "v": pa.array(m_arr[keep], pa.uint64())}
+        {"u": pa.array(out_u[keep], pa.uint64()), "v": pa.array(out_v[keep], pa.uint64())}
     )
 
 
 def large_star(edges, cfg: DedupeConfig):
     """Reference E1 (workload/minhash_dedupe.py:279-316): symmetrize; per-u
     neighbourhood min (null-safe with u itself); emit (nbr, m) for nbr > u."""
-    kwargs = {"num_partitions": cfg.num_partitions} if cfg.num_partitions else {}
     sym = symmetrize(edges)
-    return ensure_schema(
-        sym.groupby("u", **kwargs).map_groups(
-            functools.partial(_star_group, large=True), batch_format="pyarrow"
-        ),
-        EDGE_SCHEMA,
+    return partition_groupby(
+        sym, ["u"], functools.partial(_star_partition, large=True), EDGE_SCHEMA,
+        num_partitions=cfg.num_partitions or 64,
     )
 
 
@@ -115,8 +130,6 @@ def small_star(edges, cfg: DedupeConfig):
     connectivity and keeps isolated chains attached — both converge to the
     same components (tests/test_cc.py pins the reference's 3-component graph).
     """
-    kwargs = {"num_partitions": cfg.num_partitions} if cfg.num_partitions else {}
-
     def orient(b: pa.Table) -> pa.Table:
         u = b["u"].to_numpy(zero_copy_only=False)
         v = b["v"].to_numpy(zero_copy_only=False)
@@ -125,11 +138,9 @@ def small_star(edges, cfg: DedupeConfig):
         return pa.table({"u": pa.array(hi[m], pa.uint64()), "v": pa.array(lo[m], pa.uint64())})
 
     directed = edges.map_batches(orient, batch_format="pyarrow")
-    return ensure_schema(
-        directed.groupby("u", **kwargs).map_groups(
-            functools.partial(_star_group, large=False), batch_format="pyarrow"
-        ),
-        EDGE_SCHEMA,
+    return partition_groupby(
+        directed, ["u"], functools.partial(_star_partition, large=False), EDGE_SCHEMA,
+        num_partitions=cfg.num_partitions or 64,
     )
 
 
@@ -194,21 +205,26 @@ def connected_components_dataframe(edges, cfg: DedupeConfig):
 def construct_assignments(b, cfg: DedupeConfig):
     """Reference E5 (workload/minhash_dedupe.py:388-421): every node in the
     edge set joined with its min neighbour; nodes without a smaller neighbour
-    become their own representative."""
-    kwargs = {"num_partitions": cfg.num_partitions} if cfg.num_partitions else {}
+    become their own representative.  The symmetrized partition-groupby
+    covers every node on either side, subsuming the reference's nodes-union +
+    left-join formulation; the per-u min is a vectorised run-min."""
     sym = symmetrize(b)
 
-    def min_per_group(batch: pa.Table) -> pa.Table:
-        u = int(batch["u"][0].as_py())
+    def min_per_u(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        rep = min(int(v.min()), u)
-        return pa.table({"u": pa.array([u], pa.uint64()), "rep": pa.array([rep], pa.uint64())})
+        if len(u) == 0:
+            return ASSIGN_SCHEMA.empty_table()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        rep = np.minimum(v[starts], u[starts])
+        return pa.table(
+            {"u": pa.array(u[starts], pa.uint64()), "rep": pa.array(rep, pa.uint64())}
+        )
 
-    # symmetrized groupby covers every node that appears on either side,
-    # subsuming the reference's nodes-union + left-join formulation
-    return ensure_schema(
-        sym.groupby("u", **kwargs).map_groups(min_per_group, batch_format="pyarrow"),
-        ASSIGN_SCHEMA,
+    return partition_groupby(
+        sym, ["u"], min_per_u, ASSIGN_SCHEMA, num_partitions=cfg.num_partitions or 64
     )
 
 
@@ -230,7 +246,6 @@ def global_min_label_propagation(edges, assignments, cfg: DedupeConfig):
     is the classic BSP min-label step and avoids ``Dataset.join`` entirely
     (whose hash-join backend mishandles empty partitions in Ray 2.49).
     """
-    kwargs = {"num_partitions": cfg.num_partitions} if cfg.num_partitions else {}
     sym = symmetrize(edges).materialize()
     labels = assignments.materialize()
 
@@ -257,38 +272,51 @@ def global_min_label_propagation(edges, assignments, cfg: DedupeConfig):
         )
 
     def forward(batch: pa.Table) -> pa.Table:
-        node = int(batch["node"][0].as_py())
+        """Partition-vectorised: per node run, lab = min(label rows) else the
+        node itself; forwarded to every peer and to the node."""
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(node) == 0:
+            return ASSIGN_SCHEMA.empty_table()
         is_label = batch["is_label"].to_numpy(zero_copy_only=False)
-        labs = batch["lab"].to_numpy(zero_copy_only=False).astype(np.uint64)[is_label]
-        peers = batch["peer"].to_numpy(zero_copy_only=False).astype(np.uint64)[~is_label]
-        lab = int(labs.min()) if len(labs) else node
-        out_nodes = np.concatenate([peers, np.array([node], np.uint64)])
+        lab = batch["lab"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        peer = batch["peer"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # sort label rows first within each node so the run head carries lab-min
+        sort_lab = np.where(is_label, lab, np.iinfo(np.uint64).max)
+        order = np.lexsort((sort_lab, node))
+        node, is_label, lab, peer = node[order], is_label[order], lab[order], peer[order]
+        new_run = np.r_[True, node[1:] != node[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        head_lab = np.where(is_label[starts], lab[starts], node[starts])
+        row_lab = head_lab[run_id]
+        edge_rows = ~is_label
+        out_u = np.concatenate([peer[edge_rows], node[starts]])
+        out_rep = np.concatenate([row_lab[edge_rows], head_lab])
         return pa.table(
-            {
-                "u": pa.array(out_nodes, pa.uint64()),
-                "rep": pa.array(np.full(len(out_nodes), lab, np.uint64), pa.uint64()),
-            }
+            {"u": pa.array(out_u, pa.uint64()), "rep": pa.array(out_rep, pa.uint64())}
         )
 
     def min_label(batch: pa.Table) -> pa.Table:
-        u = int(batch["u"][0].as_py())
-        lab = batch["rep"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(u) == 0:
+            return ASSIGN_SCHEMA.empty_table()
+        rep = batch["rep"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((rep, u))
+        u, rep = u[order], rep[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         return pa.table(
-            {"u": pa.array([u], pa.uint64()), "rep": pa.array([int(lab.min())], pa.uint64())}
+            {"u": pa.array(u[starts], pa.uint64()), "rep": pa.array(rep[starts], pa.uint64())}
         )
 
+    P = cfg.num_partitions or 64
     edge_msgs = sym.map_batches(edges_as_msgs, batch_format="pyarrow").materialize()
 
     prev_fp = None
     for _ in range(cfg.max_cc_iterations):
         msgs = edge_msgs.union(labels.map_batches(labels_as_msgs, batch_format="pyarrow"))
-        forwarded = ensure_schema(
-            msgs.groupby("node", **kwargs).map_groups(forward, batch_format="pyarrow"),
-            ASSIGN_SCHEMA,
-        )
-        labels = ensure_schema(
-            forwarded.groupby("u", **kwargs).map_groups(min_label, batch_format="pyarrow"),
-            ASSIGN_SCHEMA,
+        forwarded = partition_groupby(msgs, ["node"], forward, ASSIGN_SCHEMA, num_partitions=P)
+        labels = partition_groupby(
+            forwarded, ["u"], min_label, ASSIGN_SCHEMA, num_partitions=P
         ).materialize()
         fp = edge_fingerprint(
             labels.map_batches(

@@ -1,0 +1,82 @@
+"""Sources/sinks: partitioned save, checkpoint manifests, resume skip."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray.config import DedupeConfig
+from daft_minhash_dedupe_ray.sources.io import (
+    CheckpointManager,
+    config_hash,
+    partitioned_save,
+    read_table,
+    target_partitions,
+)
+
+
+def test_target_partitions_formula():
+    # reference formula: max(256, min(ceil(rows/chunk), max_partitions))
+    assert target_partitions(100) == 256
+    assert target_partitions(200_000 * 300) == 300
+    assert target_partitions(200_000 * 5000) == 2048
+
+
+def test_partitioned_save_and_read(ray_session, tmp_path):
+    import ray.data as rd
+
+    ds = rd.range(1000).map_batches(
+        lambda b: pa.table({"x": b["id"]}), batch_format="pyarrow"
+    )
+    path = str(tmp_path / "out")
+    manifest = partitioned_save(ds, path)
+    assert manifest["rows"] == 1000
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "_MANIFEST.json"))
+    back = read_table(path)
+    assert back.count() == 1000
+
+
+def test_checkpoint_run_restore_and_invalidate(ray_session, tmp_path):
+    import ray.data as rd
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    cfg = DedupeConfig()
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return rd.from_arrow(pa.table({"u": pa.array([1, 2, 3], pa.uint64())}))
+
+    out1 = ckpt.run("stage1", cfg, compute)
+    assert out1.count() == 3 and len(calls) == 1
+    # same config: restored, not recomputed
+    out2 = ckpt.run("stage1", cfg, compute)
+    assert out2.count() == 3 and len(calls) == 1
+    # manifest carries per-partition lineage
+    m = ckpt.manifest("stage1")
+    assert m["config_hash"] == config_hash(cfg)
+    assert sum(p["rows"] for p in m["partitions"]) == 3
+    # changed config: stage recomputed
+    ckpt.run("stage1", cfg.with_overrides(num_perm=128, bands=16, rows=8), compute)
+    assert len(calls) == 2
+
+
+def test_checkpointed_pipeline_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(200, seed=3, with_images=False)
+    cfg = DedupeConfig()
+    pipe = MinHashDedupePipeline(cfg)
+    root = str(tmp_path / "ck")
+    out1, _ = pipe.run_with_checkpoints(rd.from_arrow(t), root, num_actors=2)
+    n1 = out1.count()
+    # second run restores both stages from the manifests
+    out2, _ = pipe.run_with_checkpoints(rd.from_arrow(t), root, num_actors=2)
+    assert out2.count() == n1
+    assert os.path.exists(os.path.join(root, "edges", "_SUCCESS"))
+    assert os.path.exists(os.path.join(root, "assignments", "_SUCCESS"))
