@@ -123,8 +123,13 @@ class DedupeConfig:
     max_cc_iterations: int = 100
 
     # --- scale knobs ---
-    salt_threshold: int = 4096  # band groups larger than this are salted into chains
-    num_salts: int = 16
+    # num_salts == 1: single-shuffle candidate generation (default) — the
+    # batch-level combiner plus partition-granular contraction bound per-key
+    # work, so salting is unnecessary for natural skew.  num_salts > 1
+    # activates the salted two-round path (hot band keys spread over up to
+    # num_salts partitions, re-linked by a chain round) for adversarial
+    # distributions; connectivity is identical (property-tested).
+    num_salts: int = 1
     batch_size: int = 8192
     num_partitions: int | None = None  # groupby/join partitions; None = Ray default
 

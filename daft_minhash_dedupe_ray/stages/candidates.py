@@ -231,9 +231,26 @@ def candidate_edges(candidates, cfg: DedupeConfig):
         ["salt_key", "band_key", "node_id", "kind", "payload"]
     )
 
-    # partition on salt_key (so hot band keys spread across partitions), but
-    # contract on (band_key, payload) inside the partition — merging salted
-    # subgroups that happen to co-locate early is harmless for connectivity
+    if cfg.num_salts <= 1:
+        # single-shuffle path (default): every band key lives in exactly one
+        # hash partition, so the partition-granular contraction is complete
+        # and no chain round is needed.  Skew note: the batch combiner caps
+        # any key's row count at one per (batch, band), so a key touched by a
+        # fraction f of the corpus contributes <= n_batches rows to its
+        # partition — bounded, and spread over many keys per partition.  For
+        # adversarially hot keys beyond that bound, set num_salts > 1.
+        chain = partition_groupby(
+            reps.select_columns(["band_key", "node_id", "kind", "payload"]),
+            ["band_key"],
+            functools.partial(_chain_star, cfg=cfg),
+            EDGE_SCHEMA,
+            num_partitions=P,
+        )
+        return local_edges.union(chain)
+
+    # skew-hardened path: partition on salt_key (hot band keys spread across
+    # up to num_salts partitions), contract on (band_key, payload) inside the
+    # partition, then star-link the per-salt minima in a chain round
     salted = partition_groupby(
         reps,
         ["salt_key"],
