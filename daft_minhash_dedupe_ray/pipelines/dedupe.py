@@ -116,6 +116,39 @@ class MinHashDedupePipeline:
         assign = self.assignments(edges, num_actors=num_actors)
         return self.merge(ds, assign)
 
+    def run_fused(self, ds, num_actors: int = 4, materialize_output: bool = True):
+        """Minimal-data-movement execution (the throughput path): one map pass
+        computes signatures + local contraction and streams edges straight
+        into the union-find pool; the explicit exchange's reduce tasks ingest
+        the chain edges; nothing edge-shaped hits the object store.  Returns
+        (deduped Dataset, assignments Dataset, DedupeReport)."""
+        import time as _time
+
+        from ..stages.candidates import fused_candidate_ingest
+        from ..state.dist_union_find import converge_and_collect, get_uf_pool
+
+        t0 = _time.perf_counter()
+        rows_before = ds.count()
+        actors = get_uf_pool(num_actors)
+        import ray as _ray
+
+        _ray.get([a.reset.remote() for a in actors])
+        fused_candidate_ingest(self.prep(ds), self.cfg, actors)
+        assign = converge_and_collect(actors)
+        out = self.merge(ds, assign)
+        if materialize_output:
+            out = out.materialize()
+        rows_after = out.count()
+        n_dups = rows_before - rows_after
+        report = DedupeReport(
+            rows_before=rows_before,
+            rows_after=rows_after,
+            n_components=assign.count() - n_dups,
+            n_duplicates=n_dups,
+            wall_seconds=_time.perf_counter() - t0,
+        )
+        return out, assign, report
+
     def run_with_checkpoints(self, ds, ckpt_root: str, num_actors: int = 8):
         """Checkpoint-resumable execution (north_rule): the candidate-edge
         and assignment stages land in parquet with config-hash manifests +

@@ -47,7 +47,7 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import hamming_distance64, splitmix64
-from .util import ensure_schema, partition_groupby
+from .util import DEFAULT_PARTITIONS, ensure_schema, partition_groupby, partition_groupby_prekeyed
 
 EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
 _PACKED_SCHEMA = pa.schema(
@@ -187,7 +187,14 @@ def _local_combine(batch: pa.Table, cfg: DedupeConfig) -> pa.Table:
     eu, ev, reps = _group_contract(
         keys, nodes, kinds, payloads, cfg.phash_max_hamming, cross_payload_pairs=False
     )
-    return _pack(eu, ev, reps, with_salt=True, cfg=cfg)
+    out = _pack(eu, ev, reps, with_salt=cfg.num_salts > 1, cfg=cfg)
+    if cfg.num_salts <= 1:
+        # fuse the shuffle-partition key into this pass (saves a map over the
+        # full rep stream before the groupby)
+        P = np.uint64(cfg.num_partitions or DEFAULT_PARTITIONS)
+        bk = out["band_key"].to_numpy(zero_copy_only=False)
+        out = out.append_column("__p__", pa.array(splitmix64(bk * _SALT_MIX) % P, pa.uint64()))
+    return out
 
 
 def _salted_star(batch: pa.Table, cfg: DedupeConfig) -> pa.Table:
@@ -219,7 +226,7 @@ def candidate_edges(candidates, cfg: DedupeConfig):
     markers.  Intermediate contracted streams are materialised once so edges
     and forwarded representatives can be split without recomputing upstream.
     """
-    P = cfg.num_partitions or 64
+    P = cfg.num_partitions or DEFAULT_PARTITIONS
 
     combined = candidates.map_batches(
         functools.partial(_local_combine, cfg=cfg),
@@ -227,9 +234,12 @@ def candidate_edges(candidates, cfg: DedupeConfig):
         batch_size=cfg.batch_size,
     ).materialize()  # two consumers; contracted, far smaller than the band table
     local_edges = combined.filter(expr="is_edge == True").select_columns(["u", "v"])
-    reps = combined.filter(expr="is_edge == False").select_columns(
-        ["salt_key", "band_key", "node_id", "kind", "payload"]
-    )
+    if cfg.num_salts <= 1:
+        reps_prekeyed = combined.filter(expr="is_edge == False")
+    else:
+        reps = combined.filter(expr="is_edge == False").select_columns(
+            ["salt_key", "band_key", "node_id", "kind", "payload"]
+        )
 
     if cfg.num_salts <= 1:
         # single-shuffle path (default): every band key lives in exactly one
@@ -239,9 +249,8 @@ def candidate_edges(candidates, cfg: DedupeConfig):
         # fraction f of the corpus contributes <= n_batches rows to its
         # partition — bounded, and spread over many keys per partition.  For
         # adversarially hot keys beyond that bound, set num_salts > 1.
-        chain = partition_groupby(
-            reps.select_columns(["band_key", "node_id", "kind", "payload"]),
-            ["band_key"],
+        chain = partition_groupby_prekeyed(
+            reps_prekeyed.select_columns(["__p__", "band_key", "node_id", "kind", "payload"]),
             functools.partial(_chain_star, cfg=cfg),
             EDGE_SCHEMA,
             num_partitions=P,
@@ -271,6 +280,80 @@ def candidate_edges(candidates, cfg: DedupeConfig):
         num_partitions=P,
     )
     return local_edges.union(salted_edges).union(chain_edges)
+
+
+def fused_candidate_ingest(prepped, cfg: DedupeConfig, actors: list) -> None:
+    """Minimal-data-movement fan-in of candidate edges into the union-find
+    actor pool (the bench/throughput path; ``candidate_edges`` is the modular
+    Dataset-producing equivalent — a test asserts they yield identical
+    clusters).
+
+    One map pass computes signature -> local combine and ingests the locally
+    emitted star edges straight into the actors (side effect; unions are
+    idempotent, so task retries are safe), emitting only the partition-keyed
+    representative stream.  The explicit exchange's reduce tasks then run the
+    chain contraction and likewise ingest their edges, returning only counts.
+    Nothing edge-shaped is ever materialised in the object store.
+    """
+    import ray
+
+    from ..state.dist_union_find import owner_of
+    from ..stages.signature import SignatureStage
+    from .util import _reduce_apply, _split_block_remote
+
+    num_actors = len(actors)
+    sig = SignatureStage(cfg)
+
+    def _ingest_edges(eu: np.ndarray, ev: np.ndarray) -> None:
+        if len(eu) == 0:
+            return
+        owners = owner_of(eu, num_actors)
+        refs = []
+        for o in np.unique(owners):
+            m = owners == o
+            refs.append(actors[int(o)].ingest.remote(eu[m], ev[m]))
+        ray.get(refs)
+
+    P = cfg.num_partitions or DEFAULT_PARTITIONS
+
+    def sig_combine(batch: pa.Table) -> pa.Table:
+        cand = sig(batch)
+        keys = cand["band_key"].to_numpy(zero_copy_only=False)
+        nodes = cand["node_id"].to_numpy(zero_copy_only=False)
+        kinds = cand["kind"].to_numpy(zero_copy_only=False)
+        payloads = cand["payload"].to_numpy(zero_copy_only=False)
+        eu, ev, reps = _group_contract(
+            keys, nodes, kinds, payloads, cfg.phash_max_hamming, cross_payload_pairs=False
+        )
+        _ingest_edges(eu, ev)
+        bk = reps["band_key"].to_numpy(zero_copy_only=False)
+        return reps.append_column(
+            "__p__", pa.array(splitmix64(bk * _SALT_MIX) % np.uint64(P), pa.uint64())
+        )
+
+    def chain_ingest(batch: pa.Table) -> pa.Table:
+        out = _chain_star(batch, cfg)
+        _ingest_edges(
+            out["u"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            out["v"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+        return pa.table({"n": pa.array([len(out)], pa.int64())})
+
+    reps = prepped.map_batches(
+        sig_combine, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    count_schema = pa.schema([("n", pa.int64())])
+    blocks = reps.to_arrow_refs()
+    schema_ser = count_schema.serialize().to_pybytes()
+    splitter = _split_block_remote.options(num_returns=P)
+    parts = [splitter.remote(b, P) for b in blocks]
+    if P == 1:
+        parts = [[p] for p in parts]
+    out_refs = [
+        _reduce_apply.remote(chain_ingest, schema_ser, *[pb[p] for pb in parts])
+        for p in range(P)
+    ]
+    ray.get(out_refs)  # barrier: all edges delivered
 
 
 def distinct_edges(edges, cfg: DedupeConfig):
@@ -305,5 +388,5 @@ def distinct_edges(edges, cfg: DedupeConfig):
     canonical = edges.map_batches(canon, batch_format="pyarrow")
     return partition_groupby(
         canonical, ["u", "v"], dedup_partition, EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or 64,
+        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
     )

@@ -46,20 +46,24 @@ def _broadcast_filter(batch: pa.Table, cfg: DedupeConfig, drop_ref) -> pa.Table:
 def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int = 64):
     """Input Dataset + assignments Dataset (u, rep) -> deduplicated Dataset
     (input schema unchanged; duplicates dropped, representatives kept)."""
-    dups = assignments.filter(expr="u != rep").select_columns(["u"]).materialize()
-    n_dups = dups.count()  # metadata on the materialized set — no extra pass
-    if n_dups <= BROADCAST_LIMIT:
-        if n_dups == 0:
+    # assignments is small relative to input (one row per clustered node);
+    # counting it is metadata-cheap when materialized, and the duplicate set
+    # is pulled in a single pass when it fits the broadcast budget
+    n_assign = assignments.count()
+    if n_assign == 0:
+        return input_ds
+    if n_assign <= BROADCAST_LIMIT:
+        ap = assignments.to_pandas()
+        drop = np.sort(ap.loc[ap["u"] != ap["rep"], "u"].to_numpy().astype(np.uint64))
+        if len(drop) == 0:
             return input_ds
-        drop = np.sort(
-            dups.to_pandas()["u"].to_numpy().astype(np.uint64)
-        )
         drop_ref = ray.put(drop)
         return input_ds.map_batches(
             functools.partial(_broadcast_filter, cfg=cfg, drop_ref=drop_ref),
             batch_format="pyarrow",
         )
     # at scale: hash-partitioned anti join (left_outer + null filter)
+    dups = assignments.filter(expr="u != rep").select_columns(["u"])
     with_ids = input_ds.map_batches(
         NodeIdStage(cfg), batch_format="pyarrow"
     )

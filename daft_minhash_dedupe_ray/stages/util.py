@@ -1,4 +1,24 @@
-"""Small shared Dataset utilities."""
+"""Shared keyed-exchange utilities — the engine's canonical wide-op shape.
+
+All grouped kernels here are *partition-granular*: rows are hashed to a
+partition id, every row of a given key lands in exactly one partition, and
+the (numpy-vectorised, multi-key) kernel runs once per partition.  This
+avoids both failure modes of naive grouped processing at scale:
+
+  * ``Dataset.groupby(key).map_groups(fn)`` invokes the UDF once per group —
+    ruinous with millions of keys (the LSH band table has one key per band
+    bucket);
+  * Ray Data's groupby backend is a sort-based all-to-all whose sampled
+    boundaries skew badly on low-cardinality partition columns, and whose
+    reduce phase straggles.
+
+The exchange itself is explicit MapReduce in raw Ray tasks (the documented
+escape hatch for what the Dataset API can't express efficiently): one map
+task per block splits rows by partition id (``num_returns=P`` object refs),
+one reduce task per partition concatenates its shards and applies the
+kernel.  Deterministic, no sort, no sampling; parallelism = blocks on the
+map side, partitions on the reduce side.
+"""
 
 from __future__ import annotations
 
@@ -6,8 +26,14 @@ import functools
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from ..hashing import splitmix64
+
+# default partition count for keyed exchanges; each reduce partition holds
+# rows/P of the stream — raise via DedupeConfig.num_partitions for larger
+# inputs (rule of thumb: rows/P ~ a few hundred thousand)
+DEFAULT_PARTITIONS = 64
 
 
 def _restore(b: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -17,13 +43,8 @@ def _restore(b: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 def ensure_schema(ds, schema: pa.Schema):
-    """Pin a Dataset's schema after ``groupby(...).map_groups``.
-
-    Ray's hash-shuffle map_groups emits zero-column blocks for empty hash
-    partitions; those poison schema unification (``ds.schema()`` becomes
-    empty) and break downstream ``Dataset.join`` planning.  This pass rebuilds
-    empty blocks with the right schema and fixes column order on the rest.
-    """
+    """Pin a Dataset's schema (zero-column blocks from empty partitions poison
+    schema unification and break downstream join planning)."""
     return ds.map_batches(functools.partial(_restore, schema=schema), batch_format="pyarrow")
 
 
@@ -35,34 +56,80 @@ def _key_partition(b: pa.Table, key_cols: list[str], num_partitions: int) -> pa.
     return b.append_column("__p__", pa.array(h % np.uint64(num_partitions), pa.uint64()))
 
 
-def _strip_and_apply(b: pa.Table, fn) -> pa.Table:
-    if b.num_columns == 0:
-        return b
-    if "__p__" in b.column_names:
-        b = b.drop_columns(["__p__"])
-    return fn(b)
+@ray.remote
+def _reduce_apply(fn, schema_ser: bytes, *tables) -> pa.Table:
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+    tabs = [t for t in tables if t is not None and len(t)]
+    if not tabs:
+        return schema.empty_table()
+    merged = pa.concat_tables(tabs, promote_options="default")
+    if "__p__" in merged.column_names:
+        merged = merged.drop_columns(["__p__"])
+    out = fn(merged)
+    if out.num_columns == 0:
+        return schema.empty_table()
+    return out.select([f.name for f in schema]).cast(schema)
 
 
-def partition_groupby(ds, key_cols: list[str], fn, schema: pa.Schema, num_partitions: int = 64):
-    """Vectorised grouped processing at PARTITION granularity.
+def _split_block(block: pa.Table, num_partitions: int):
+    if len(block) == 0 or block.num_columns == 0:
+        out = [None] * num_partitions
+        return out if num_partitions > 1 else out[0]
+    p = block["__p__"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(p, kind="stable")
+    ps = p[order]
+    sorted_block = block.take(pa.array(order))
+    bounds = np.searchsorted(ps, np.arange(num_partitions + 1))
+    out = []
+    for i in range(num_partitions):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        out.append(sorted_block.slice(lo, hi - lo) if hi > lo else None)
+    return out if num_partitions > 1 else out[0]
 
-    ``Dataset.groupby(key).map_groups(fn)`` invokes the UDF once per group —
-    ruinous when there are millions of keys (the LSH band table has one key
-    per band bucket).  Instead: hash the key columns to a partition id
-    (``% num_partitions``), shuffle on that, and call ``fn`` once per
-    partition.  ``fn`` must handle multiple keys per call (sort/segment
+
+_split_block_remote = ray.remote(_split_block)
+
+
+def raw_partition_exchange(ds, fn, schema: pa.Schema, num_partitions: int):
+    """``__p__``-keyed explicit hash exchange; see module docstring.
+
+    ``ds`` must carry a ``__p__`` column in [0, num_partitions).  Returns a
+    Dataset of ``fn``-outputs, one block per partition, cast to ``schema``.
+    """
+    import ray.data as rd
+
+    blocks = ds.to_arrow_refs()
+    schema_ser = schema.serialize().to_pybytes()
+    splitter = _split_block_remote.options(num_returns=num_partitions)
+    parts = [splitter.remote(b, num_partitions) for b in blocks]
+    if num_partitions == 1:
+        parts = [[p] for p in parts]
+    out_refs = [
+        _reduce_apply.remote(fn, schema_ser, *[pb[p] for pb in parts])
+        for p in range(num_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def partition_groupby(
+    ds, key_cols: list[str], fn, schema: pa.Schema, num_partitions: int = DEFAULT_PARTITIONS
+):
+    """Hash the key columns to ``__p__`` and run the partition-granular
+    exchange.  ``fn`` must handle multiple keys per call (sort/segment
     internally); every row of a given key lands in exactly one partition, so
     per-key semantics are preserved while UDF invocations drop from O(keys)
-    to O(num_partitions).
-
-    This is the engine's canonical wide-op shape: all the star/contract/
-    dedup kernels are numpy-vectorised over sorted key runs.
-    """
+    to O(num_partitions)."""
     keyed = ds.map_batches(
         functools.partial(_key_partition, key_cols=key_cols, num_partitions=num_partitions),
         batch_format="pyarrow",
     )
-    grouped = keyed.groupby("__p__").map_groups(
-        functools.partial(_strip_and_apply, fn=fn), batch_format="pyarrow"
-    )
-    return ensure_schema(grouped, schema)
+    return raw_partition_exchange(keyed, fn, schema, num_partitions)
+
+
+def partition_groupby_prekeyed(
+    ds, fn, schema: pa.Schema, num_partitions: int = DEFAULT_PARTITIONS
+):
+    """Like :func:`partition_groupby` but the dataset already carries a
+    ``__p__`` partition column (fused into an upstream pass to save a full
+    map over the data)."""
+    return raw_partition_exchange(ds, fn, schema, num_partitions)

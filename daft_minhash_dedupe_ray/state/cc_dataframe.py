@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import hash64_int_pairs
-from ..stages.util import ensure_schema, partition_groupby
+from ..stages.util import DEFAULT_PARTITIONS, ensure_schema, partition_groupby
 
 EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
 ASSIGN_SCHEMA = pa.schema([("u", pa.uint64()), ("rep", pa.uint64())])
@@ -76,7 +76,7 @@ def _dedup_partition(b: pa.Table) -> pa.Table:
 def _dedup_uv(edges, cfg: DedupeConfig):
     return partition_groupby(
         edges, ["u", "v"], _dedup_partition, EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or 64,
+        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
     )
 
 
@@ -117,7 +117,7 @@ def large_star(edges, cfg: DedupeConfig):
     sym = symmetrize(edges)
     return partition_groupby(
         sym, ["u"], functools.partial(_star_partition, large=True), EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or 64,
+        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
     )
 
 
@@ -140,7 +140,7 @@ def small_star(edges, cfg: DedupeConfig):
     directed = edges.map_batches(orient, batch_format="pyarrow")
     return partition_groupby(
         directed, ["u"], functools.partial(_star_partition, large=False), EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or 64,
+        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
     )
 
 
@@ -224,7 +224,7 @@ def construct_assignments(b, cfg: DedupeConfig):
         )
 
     return partition_groupby(
-        sym, ["u"], min_per_u, ASSIGN_SCHEMA, num_partitions=cfg.num_partitions or 64
+        sym, ["u"], min_per_u, ASSIGN_SCHEMA, num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS
     )
 
 
@@ -308,7 +308,7 @@ def global_min_label_propagation(edges, assignments, cfg: DedupeConfig):
             {"u": pa.array(u[starts], pa.uint64()), "rep": pa.array(rep[starts], pa.uint64())}
         )
 
-    P = cfg.num_partitions or 64
+    P = cfg.num_partitions or DEFAULT_PARTITIONS
     edge_msgs = sym.map_batches(edges_as_msgs, batch_format="pyarrow").materialize()
 
     prev_fp = None

@@ -50,6 +50,11 @@ class UnionFindActor:
         self.nodes = np.zeros(0, dtype=np.uint64)  # sorted known nodes
         self.roots = np.zeros(0, dtype=np.uint64)  # component-min per node
 
+    def reset(self) -> None:
+        self.buffers.clear()
+        self.nodes = np.zeros(0, dtype=np.uint64)
+        self.roots = np.zeros(0, dtype=np.uint64)
+
     def ingest(self, u: np.ndarray, v: np.ndarray) -> int:
         self.buffers.append(np.stack([u, v], axis=1).astype(np.uint64))
         return len(u)
@@ -146,6 +151,23 @@ def _make_router(actors: list, num_actors: int):
     return route
 
 
+_POOLS: dict[int, list] = {}
+
+
+def get_uf_pool(num_actors: int) -> list:
+    """Cached union-find actor pool (actor cold-start costs ~1s each; a
+    long-lived pipeline reuses the pool across runs, resetting state)."""
+    pool = _POOLS.get(num_actors)
+    if pool is None:
+        pool = [UnionFindActor.remote(i, num_actors) for i in range(num_actors)]
+        _POOLS[num_actors] = pool
+    return pool
+
+
+def warm_uf_pool(num_actors: int) -> None:
+    ray.get([a.reset.remote() for a in get_uf_pool(num_actors)])
+
+
 def cluster_edges(
     edges,
     num_actors: int = 8,
@@ -156,12 +178,18 @@ def cluster_edges(
     ``rep`` is the global min node id of u's component; every node that
     appears in any edge gets a row (isolated input rows simply never appear).
     """
-    actors = [UnionFindActor.remote(i, num_actors) for i in range(num_actors)]
+    actors = get_uf_pool(num_actors)
+    ray.get([a.reset.remote() for a in actors])
     # stream edges into the pool; .sum() drives execution with backpressure
     edges.map_batches(
         _make_router(actors, num_actors), batch_format="pyarrow"
     ).sum("n")
+    return converge_and_collect(actors, max_rounds)
 
+
+def converge_and_collect(actors: list, max_rounds: int = 50):
+    """Boundary-exchange rounds to fixpoint, then collect the owned
+    assignments — used by both ``cluster_edges`` and the fused ingest path."""
     prev_fp = None
     for _ in range(max_rounds):
         outs = ray.get([a.boundary_pairs.remote() for a in actors])
@@ -194,7 +222,4 @@ def cluster_edges(
     tables = [a.owned_assignments.remote() for a in actors]
     import ray.data as rd
 
-    ds = rd.from_arrow_refs(tables).materialize()
-    for a in actors:
-        ray.kill(a)
-    return ds
+    return rd.from_arrow_refs(tables).materialize()

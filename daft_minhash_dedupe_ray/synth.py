@@ -261,10 +261,21 @@ def generate_table(
     )
 
 
-def write_table(path: str, n_rows: int, seed: int = 42, with_images: bool = True) -> str:
-    """Write the synthetic table as a parquet file; returns the path."""
+def write_table(
+    path: str,
+    n_rows: int,
+    seed: int = 42,
+    with_images: bool = True,
+    row_group_size: int = 16384,
+) -> str:
+    """Write the synthetic table as a parquet file; returns the path.
+
+    Small row groups matter: Ray Data can only split a parquet file into
+    read tasks at row-group boundaries, so a single-row-group file serialises
+    the whole downstream map chain onto one task.
+    """
     import pyarrow.parquet as pq
 
     t = generate_table(n_rows, seed=seed, with_images=with_images)
-    pq.write_table(t, path, compression="snappy")
+    pq.write_table(t, path, compression="snappy", row_group_size=row_group_size)
     return path
