@@ -186,6 +186,24 @@ def _cosine_pairs_lsh(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _substring_pairs(sf_dir: str):
+    from daft_minhash_dedupe_ray.config import DedupeConfig, NormalizeFlags
+    from daft_minhash_dedupe_ray.functions.substring import substring_dup_pairs
+
+    cfg = DedupeConfig(
+        index_col="doc_id",
+        content_col="text",
+        phash_col=None,
+        normalize=NormalizeFlags(False, False, False, False),  # raw text, SQL-replicable
+    )
+    out = substring_dup_pairs(_read_docs(sf_dir), cfg, exact=True).to_pandas()
+    out["u"] = out["u"].astype(np.uint64).astype("int64")
+    out["v"] = out["v"].astype(np.uint64).astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["u", "v"]).reset_index(drop=True), preserve_index=False
+    )
+
+
 def _image_dedupe_synth(sf_dir: str):
     """Flagship image+caption dedupe on the deterministic synthetic table
     (BASELINE.json input_hint shape) — rows-only; the exact oracle for it
@@ -244,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _quality_scores,
         # dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
+        "substring_dup_pairs": _substring_pairs,  # SQL-checked
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
         "ann_topk": _ann_topk,  # SQL-checked
@@ -323,6 +342,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
             ORDER BY doc_id
+        """,
+        "substring_dup_pairs": """
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE position(a.text IN b.text) > 0 OR position(b.text IN a.text) > 0
+            ORDER BY u, v
         """,
         "word_jaccard_pairs": r"""
             WITH toks AS (

@@ -118,6 +118,11 @@ class DedupeConfig:
     # matching the reference (band collision == edge).
     phash_max_hamming: int = 3
 
+    # --- optional passes ---
+    # exact substring-duplicate edges (suffix-array pass, functions/substring.py)
+    # unioned into the candidate edge stream before clustering
+    substring_pass: bool = False
+
     # --- clustering ---
     cc_algorithm: str = "union_find"  # "union_find" | "alternating" | "two_phase"
     max_cc_iterations: int = 100

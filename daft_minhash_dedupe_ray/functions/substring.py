@@ -1,0 +1,232 @@
+"""Exact substring-duplicate detection over captions (the north_star's
+optional suffix-array pass).
+
+Two modes:
+
+* ``substring_dup_pairs(..., exact=True)`` — broadcast the full normalized
+  caption table (``ray.put`` once) and verify every batch's captions against
+  it.  O(n^2) substring checks spread over batches; the small/medium-scale
+  exact tool and the oracle for the partitioned path.
+
+* ``substring_dup_pairs(..., exact=False)`` — the scale path: each caption is
+  routed (with its text) to up to three partitions keyed by its FIRST, LAST
+  and MINIMUM word-5-gram shingle hash; within each partition a numpy
+  prefix-doubling suffix array over the concatenated corpus answers
+  "does caption A occur inside any other caption here?" exactly.
+
+  Partitioning assumption (documented per the build brief): a contained
+  caption A ⊆ B shares *all* its shingles with B, so A's first/last/min
+  shingle each occur in B — but B is routed by B's *own* first/last/min.
+  The pass therefore guarantees detection of prefix truncations (first
+  shingles equal), suffix truncations (last shingles equal), and pairs
+  whose container's minimum shingle lies inside the contained span; interior
+  substrings at other offsets can be missed.  Those three classes cover the
+  dominant dedup cases (truncated/extended captions).
+
+Detected pairs are ordinary ``(u, v)`` edges — union them into the MinHash
+edge stream ahead of clustering (``MinHashDedupePipeline.assignments``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..config import DedupeConfig
+from ..hashing import shingle_hashes, splitmix64
+from ..stages.signature import node_ids_for
+from ..stages.util import partition_groupby
+from ..text import normalize_array
+
+EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
+_SEP = "\x00"
+
+
+def suffix_array(s: str) -> np.ndarray:
+    """O(n log^2 n) prefix-doubling suffix array (numpy ranks + argsort)."""
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rank = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.int64)
+    if len(rank) != n:  # non-ascii: fall back to codepoint ranks
+        rank = np.array([ord(c) for c in s], dtype=np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        prev = (rank[order][1:] != rank[order][:-1]) | (key2[order][1:] != key2[order][:-1])
+        new_rank[order] = np.r_[0, np.cumsum(prev.astype(np.int64))]
+        rank = new_rank
+        sa = order
+        if rank.max() == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def _occurrences(corpus: str, sa: np.ndarray, pattern: str) -> tuple[int, int]:
+    """[lo, hi) range of suffixes starting with ``pattern`` (binary search)."""
+    n = len(sa)
+    lo, hi = 0, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if corpus[sa[mid] : sa[mid] + len(pattern)] < pattern:
+            lo = mid + 1
+        else:
+            hi = mid
+    start = lo
+    hi = n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if corpus[sa[mid] : sa[mid] + len(pattern)] <= pattern:
+            lo = mid + 1
+        else:
+            hi = mid
+    return start, lo
+
+
+def _partition_substring_pairs(batch: pa.Table) -> pa.Table:
+    nodes = batch["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    texts = batch["text_norm"].to_pylist()
+    # dedupe routed copies of the same doc
+    _, first_idx = np.unique(nodes, return_index=True)
+    nodes = nodes[first_idx]
+    texts = [texts[i] for i in first_idx]
+    if len(nodes) < 2:
+        return EDGE_SCHEMA.empty_table()
+
+    out_u: list[int] = []
+    out_v: list[int] = []
+    # collapse identical texts first: star edges inside each equal-text group
+    # (bounds identical-caption floods to O(n) edges), keep one representative
+    by_text: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    rep_nodes: list[int] = []
+    rep_texts: list[str] = []
+    for t, members in by_text.items():
+        member_nodes = sorted(int(nodes[i]) for i in members)
+        rep = member_nodes[0]
+        for other in member_nodes[1:]:
+            out_u.append(rep)
+            out_v.append(other)
+        rep_nodes.append(rep)
+        rep_texts.append(t)
+
+    # suffix array over the distinct-text corpus; every occurrence of text i
+    # inside a different (longer) text is an exact substring containment
+    corpus = _SEP + _SEP.join(rep_texts) + _SEP
+    doc_of = np.zeros(len(corpus), dtype=np.int64)
+    pos = 1
+    starts = np.zeros(len(rep_texts), dtype=np.int64)
+    for i, t in enumerate(rep_texts):
+        starts[i] = pos
+        doc_of[pos : pos + len(t)] = i
+        pos += len(t) + 1
+    sa = suffix_array(corpus)
+    for i, t in enumerate(rep_texts):
+        if not t:
+            continue
+        lo, hi = _occurrences(corpus, sa, t)
+        for j in range(lo, hi):
+            p = int(sa[j])
+            if corpus[p] == _SEP:
+                continue
+            d = int(doc_of[p])
+            if d == i:
+                continue
+            a, b = rep_nodes[i], rep_nodes[d]
+            if a > b:
+                a, b = b, a
+            out_u.append(a)
+            out_v.append(b)
+    if not out_u:
+        return EDGE_SCHEMA.empty_table()
+    pairs = np.unique(
+        np.stack([np.array(out_u, np.uint64), np.array(out_v, np.uint64)], axis=1), axis=0
+    )
+    return pa.table(
+        {"u": pa.array(pairs[:, 0], pa.uint64()), "v": pa.array(pairs[:, 1], pa.uint64())}
+    )
+
+
+def substring_dup_pairs(ds, cfg: DedupeConfig, exact: bool = False):
+    """Dataset -> (u, v) pairs where one normalized caption occurs inside the
+    other (see module docstring for the two modes)."""
+    flags = cfg.normalize
+
+    if exact:
+        tbl = ds.select_columns([cfg.index_col, cfg.content_col]).to_pandas()
+        all_nodes = node_ids_for(pa.Table.from_pandas(tbl, preserve_index=False), cfg)
+        all_texts = normalize_array(
+            pa.array(tbl[cfg.content_col].fillna(""), pa.string()), flags
+        ).to_pylist()
+        ref = ray.put((all_nodes, all_texts))
+
+        def verify(b: pa.Table) -> pa.Table:
+            nodes_a, texts_a = ray.get(ref)
+            nodes = node_ids_for(b, cfg)
+            texts = normalize_array(b[cfg.content_col], flags).to_pylist()
+            out_u, out_v = [], []
+            for i, t in enumerate(texts):
+                if not t:
+                    continue
+                for j, other in enumerate(texts_a):
+                    if nodes_a[j] == nodes[i] or not other:
+                        continue
+                    if t in other or other in t:
+                        a, c = (
+                            (nodes[i], nodes_a[j])
+                            if nodes[i] < nodes_a[j]
+                            else (nodes_a[j], nodes[i])
+                        )
+                        out_u.append(a)
+                        out_v.append(c)
+            return pa.table(
+                {"u": pa.array(out_u, pa.uint64()), "v": pa.array(out_v, pa.uint64())}
+            )
+
+        # dedupe (each pair found from both sides)
+        from ..stages.candidates import distinct_edges
+
+        return distinct_edges(ds.map_batches(verify, batch_format="pyarrow"), cfg)
+
+    def route(b: pa.Table) -> pa.Table:
+        nodes = node_ids_for(b, cfg)
+        texts = normalize_array(b[cfg.content_col], flags).to_pylist()
+        flat, offsets = shingle_hashes(texts, cfg.ngram_size)
+        out_nodes, out_keys, out_texts = [], [], []
+        for i, t in enumerate(texts):
+            lo, hi = int(offsets[i]), int(offsets[i + 1])
+            if hi <= lo or not t:
+                continue
+            sh = flat[lo:hi]
+            for key in {int(sh[0]), int(sh[-1]), int(sh.min())}:
+                out_nodes.append(int(nodes[i]))
+                out_keys.append(key)
+                out_texts.append(t)
+        return pa.table(
+            {
+                "node_id": pa.array(np.array(out_nodes, np.uint64), pa.uint64()),
+                "route_key": pa.array(
+                    splitmix64(np.array(out_keys, np.uint64)), pa.uint64()
+                ),
+                "text_norm": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    routed = ds.map_batches(route, batch_format="pyarrow", batch_size=cfg.batch_size)
+    pairs = partition_groupby(
+        routed,
+        ["route_key"],
+        _partition_substring_pairs,
+        EDGE_SCHEMA,
+        num_partitions=cfg.num_partitions or 64,
+    )
+    from ..stages.candidates import distinct_edges
+
+    return distinct_edges(pairs, cfg)

@@ -90,8 +90,15 @@ class MinHashDedupePipeline:
         return ds.map_batches(SignatureStage(self.cfg), **kwargs)
 
     def edges(self, ds):
-        """prep'd input -> candidate star edges (u, v)."""
-        return candidate_edges(self.band_candidates(ds), self.cfg)
+        """prep'd input -> candidate star edges (u, v).  With
+        ``cfg.substring_pass`` the suffix-array exact-substring edges are
+        unioned into the stream (north_star optional pass)."""
+        e = candidate_edges(self.band_candidates(ds), self.cfg)
+        if self.cfg.substring_pass:
+            from ..functions.substring import substring_dup_pairs
+
+            e = e.union(substring_dup_pairs(ds, self.cfg, exact=False))
+        return e
 
     def assignments(self, edges_ds, num_actors: int = 8):
         """edges -> (u, rep) with rep = global component min (union-find pool)."""
