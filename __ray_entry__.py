@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": R.segment_revenue,
         "top_customers": R.top_customers,
         "events_hourly": R.events_hourly,
+        "user_sessions": R.user_sessions,
         "distinct_users": R.distinct_users,
         # text ops (SQL-checked)
         "normalize_docs": _normalize_docs,
@@ -309,6 +310,19 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(1 + sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            GROUP BY user_id ORDER BY user_id
         """,
         "normalize_docs": r"""
             SELECT doc_id,

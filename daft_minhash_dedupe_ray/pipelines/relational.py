@@ -153,6 +153,61 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
+    """Gap-based sessionization per user (streaming-shaped workload per the
+    Ray guide: treat events as a keyed log, partition by user, order by ts
+    within the partition, split sessions at gaps > 30 min).  All timestamp
+    math in integer microseconds so the DuckDB oracle (epoch_us) matches
+    exactly."""
+    from ..stages.util import partition_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+            }
+        )
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("n_sessions", pa.int64())]
+    )
+
+    def sessionize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        # hash-partition columns arrive as uint-ish; sort by (user, ts, event_id)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gaps = np.zeros(len(u), dtype=np.int64)
+        gaps[1:] = ts[1:] - ts[:-1]
+        breaks = (~new_user) & (gaps > gap_us)
+        starts = np.flatnonzero(new_user)
+        run_id = np.cumsum(new_user) - 1
+        n_events = np.bincount(run_id).astype(np.int64)
+        n_breaks = np.bincount(run_id, weights=breaks.astype(np.int64)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts].astype(np.int64), pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_sessions": pa.array(1 + n_breaks, pa.int64()),
+            }
+        )
+
+    out = partition_groupby(
+        ds.map_batches(to_us, batch_format="pyarrow"), ["user_id"], sessionize, schema
+    )
+    pdf = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def distinct_users(sf_dir: str) -> pa.Table:
     """count(distinct user_id) per event_type — distinct via per-batch set
     partials, then groupby over (event_type, user_id) partials."""

@@ -62,24 +62,31 @@ def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int = 6
             functools.partial(_broadcast_filter, cfg=cfg, drop_ref=drop_ref),
             batch_format="pyarrow",
         )
-    # at scale: hash-partitioned anti join (left_outer + null filter)
+    # at scale: exact hash-partitioned anti-join via the cogroup exchange
+    # (ray.data.Dataset.join's hash backend mishandles empty partitions in
+    # 2.49, so the engine's own exchange does the anti-join)
+    from .util import raw_cogroup_exchange
+
     dups = assignments.filter(expr="u != rep").select_columns(["u"])
-    with_ids = input_ds.map_batches(
-        NodeIdStage(cfg), batch_format="pyarrow"
+    with_ids = input_ds.map_batches(NodeIdStage(cfg), batch_format="pyarrow")
+    out_schema = pa.schema(
+        [
+            (n, t)
+            for n, t in zip(with_ids.schema().names, with_ids.schema().types)
+            if n != "node_id"
+        ]
     )
-    dups = dups.map_batches(
-        lambda b: b.append_column("__dup__", pa.array(np.ones(len(b), bool))),
-        batch_format="pyarrow",
+
+    def anti(left: pa.Table | None, right: pa.Table | None) -> pa.Table | None:
+        if left is None:
+            return None
+        if right is None or len(right) == 0:
+            return left.drop_columns(["node_id"])
+        drop = np.unique(right["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        nodes = left["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = ~np.isin(nodes, drop, kind="sort")
+        return left.filter(pa.array(keep)).drop_columns(["node_id"])
+
+    return raw_cogroup_exchange(
+        with_ids, dups, ["node_id"], ["u"], anti, out_schema, num_partitions
     )
-    joined = with_ids.join(
-        dups,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("node_id",),
-        right_on=("u",),
-    )
-    kept = joined.map_batches(
-        lambda b: b.filter(pc.is_null(b["__dup__"])), batch_format="pyarrow"
-    )
-    drop_cols = [c for c in ("node_id", "u", "__dup__") if c in kept.schema().names]
-    return kept.drop_columns(drop_cols)

@@ -111,6 +111,65 @@ def raw_partition_exchange(ds, fn, schema: pa.Schema, num_partitions: int):
     return rd.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _reduce_cogroup(fn, schema_ser: bytes, n_left: int, *tables) -> pa.Table:
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+
+    def _merge(tabs):
+        tabs = [t for t in tabs if t is not None and len(t)]
+        if not tabs:
+            return None
+        m = pa.concat_tables(tabs, promote_options="default")
+        return m.drop_columns(["__p__"]) if "__p__" in m.column_names else m
+
+    left = _merge(tables[:n_left])
+    right = _merge(tables[n_left:])
+    out = fn(left, right)
+    if out is None or out.num_columns == 0:
+        return schema.empty_table()
+    return out.select([f.name for f in schema]).cast(schema)
+
+
+def raw_cogroup_exchange(ds_a, ds_b, key_cols_a, key_cols_b, fn, schema, num_partitions):
+    """Two-sided keyed exchange: both datasets are hash-partitioned on their
+    key columns; ``fn(left_table_or_None, right_table_or_None)`` runs once per
+    partition with the co-located shards — the building block for exact
+    distributed joins/anti-joins without Ray Data's join operator (whose hash
+    backend mishandles empty partitions in 2.49)."""
+    import functools as _ft
+
+    import ray.data as rd
+
+    keyed_a = ds_a.map_batches(
+        _ft.partial(_key_partition, key_cols=key_cols_a, num_partitions=num_partitions),
+        batch_format="pyarrow",
+    )
+    keyed_b = ds_b.map_batches(
+        _ft.partial(_key_partition, key_cols=key_cols_b, num_partitions=num_partitions),
+        batch_format="pyarrow",
+    )
+    blocks_a = keyed_a.to_arrow_refs()
+    blocks_b = keyed_b.to_arrow_refs()
+    schema_ser = schema.serialize().to_pybytes()
+    splitter = _split_block_remote.options(num_returns=num_partitions)
+    parts_a = [splitter.remote(b, num_partitions) for b in blocks_a]
+    parts_b = [splitter.remote(b, num_partitions) for b in blocks_b]
+    if num_partitions == 1:
+        parts_a = [[p] for p in parts_a]
+        parts_b = [[p] for p in parts_b]
+    out_refs = [
+        _reduce_cogroup.remote(
+            fn,
+            schema_ser,
+            len(parts_a),
+            *[pb[p] for pb in parts_a],
+            *[pb[p] for pb in parts_b],
+        )
+        for p in range(num_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def partition_groupby(
     ds, key_cols: list[str], fn, schema: pa.Schema, num_partitions: int = DEFAULT_PARTITIONS
 ):

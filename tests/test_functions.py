@@ -1,0 +1,214 @@
+"""Training-data operator family: text analysis, similarity, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray.functions.textops import (
+    LangId,
+    QualityScorer,
+    distinct_token_count_batch,
+    fingerprint_batch,
+    rolling_fingerprint_batch,
+    token_count_batch,
+)
+
+
+def _docs(texts):
+    return pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+def test_token_counts():
+    b = token_count_batch(_docs(["a b c", "", "  x  ", "one"]), "text")
+    assert b["n_tokens"].to_pylist() == [3, 0, 1, 1]
+
+
+def test_distinct_token_counts():
+    b = distinct_token_count_batch(_docs(["a b a b c", "", "x x x"]), "text")
+    assert b["n_distinct_tokens"].to_pylist() == [3, 0, 1]
+
+
+def test_quality_scorer():
+    b = QualityScorer("text")(_docs(["Hello, World!", "abc"]))
+    assert b["n_chars_q"].to_pylist() == [13, 3]
+    assert b["n_tokens"].to_pylist() == [2, 1]
+    assert b["n_punct"].to_pylist() == [2, 0]  # "," and "!"
+    assert b["n_upper"].to_pylist() == [2, 0]
+
+
+def test_lang_id_heuristic():
+    b = LangId("text")(
+        _docs(
+            [
+                "the cat and the dog sing of the morning",
+                "der hund und die katze singen schnell",
+                "",
+            ]
+        )
+    )
+    assert b["lang_pred"].to_pylist()[:2] == ["en", "de"]
+    assert b["lang_pred"].to_pylist()[2] == "und"
+
+
+def test_fingerprints_deterministic_and_edit_robust():
+    b1 = fingerprint_batch(_docs(["hello world", "hello world", "other"]), "text")
+    fps = b1["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+    long = "w" + " w".join(str(i) for i in range(50))
+    b2 = rolling_fingerprint_batch(_docs([long, long + " extra tail"]), "text")
+    # winnowing min over rolling windows is robust to a small tail edit
+    assert b2["doc_fingerprint"].to_pylist()[0] == b2["doc_fingerprint"].to_pylist()[1]
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 3], pa.int64()),
+            "text": pa.array(["same", "same", "same", "unique"]),
+        }
+    )
+    out = exact_dedup(rd.from_arrow(t), "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]  # min id kept per text
+
+
+def test_ann_topk_exact(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import ann_topk
+
+    rng = np.random.RandomState(0)
+    emb = rng.randn(100, 16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(100)), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb]),
+        }
+    )
+    q = emb[7]
+    out = ann_topk(rd.from_arrow(t), q[None, :], k=5).to_pandas()
+    # brute-force oracle
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = en @ (q / np.linalg.norm(q))
+    want = set(np.argsort(-sims)[:5].tolist())
+    assert set(out["vec_id"]) == want
+    assert out["vec_id"].iloc[0] == 7  # self is the top hit
+
+
+def test_cosine_pairs_exact_vs_lsh(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import cosine_dup_pairs
+
+    rng = np.random.RandomState(1)
+    base = rng.randn(30, 8)
+    # plant near-dup pairs: rows 30..39 are tiny perturbations of rows 0..9
+    near = base[:10] + rng.randn(10, 8) * 0.01
+    emb = np.vstack([base, near])
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(40)), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb]),
+        }
+    )
+    exact = cosine_dup_pairs(rd.from_arrow(t), threshold=0.99).to_pandas()
+    got = set(zip(exact["u"], exact["v"]))
+    assert {(i, 30 + i) for i in range(10)} <= got
+    lsh = cosine_dup_pairs(rd.from_arrow(t), threshold=0.99, n_planes=6).to_pandas()
+    got_lsh = set(zip(lsh["u"], lsh["v"]))
+    assert got_lsh <= got  # LSH path never invents pairs
+    assert len(got_lsh) >= 5  # and recalls most planted near-identical pairs
+
+
+def test_simhash_dedupe_clusters_near_identical(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.similarity import simhash_candidates
+    from daft_minhash_dedupe_ray.state.union_find import connected_components_oracle
+
+    base = "w" + " w".join(str(i) for i in range(60))
+    texts = [base, base + " tail", "completely different words here now ok yes"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)})
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None, phash_max_hamming=6)
+    edges = simhash_candidates(rd.from_arrow(t), cfg, "text", "doc_id").to_pandas()
+    assign = connected_components_oracle(
+        list(zip(edges["u"].astype(np.uint64).astype(int), edges["v"].astype(np.uint64).astype(int)))
+    )
+    n0, n1, n2 = (int(np.int64(i).astype(np.uint64)) for i in (0, 1, 2))
+    assert assign.get(n0, n0) == assign.get(n1, n1)
+    assert assign.get(n2, n2) != assign.get(n0, n0)
+
+
+def test_word_jaccard_pairs(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import word_jaccard_pairs
+
+    t = _docs(["a b c d", "a b c e", "x y z w", "a b c d"])
+    out = word_jaccard_pairs(rd.from_arrow(t), 0.6, "text", "doc_id").to_pandas()
+    got = {(int(u), int(v)): round(j, 3) for u, v, j in zip(out["u"], out["v"], out["jaccard"])}
+    assert got[(0, 3)] == 1.0
+    assert got[(0, 1)] == round(3 / 5, 3)
+    assert (0, 2) not in got and (2, 3) not in got
+
+
+def test_multimodal_decode_resize_phash(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.multimodal import (
+        ImageDecodeStage,
+        ImageResizeStage,
+        PHashStage,
+    )
+    from daft_minhash_dedupe_ray.synth import generate_table, ppm_decode
+
+    t = generate_table(40, seed=13, with_images=True)
+    ds = rd.from_arrow(t)
+    dec = ds.map_batches(ImageDecodeStage(), batch_format="pyarrow", batch_size=16).to_pandas()
+    assert dec["decode_ok"].all()
+    assert (dec["mean_luma"] > 0).all()
+
+    rs = ds.map_batches(
+        ImageResizeStage(16, 16), batch_format="pyarrow", batch_size=16
+    ).to_pandas()
+    px = ppm_decode(rs["bytes"].iloc[0])
+    assert px.shape == (16, 16, 3)
+    assert (rs["w"] == 16).all() and (rs["h"] == 16).all()
+
+    ph = ds.map_batches(PHashStage(), batch_format="pyarrow", batch_size=16).to_pandas()
+    # recomputed phash matches the stored column except planted bit flips
+    from daft_minhash_dedupe_ray.hashing import hamming_distance64
+
+    d = hamming_distance64(
+        ph["phash"].to_numpy().astype(np.int64).view(np.uint64),
+        t["phash"].to_numpy().astype(np.int64).view(np.uint64),
+    )
+    assert (d <= 3).all()
+
+
+def test_multimodal_unsupported_fmt_stub():
+    from daft_minhash_dedupe_ray.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_fused_equals_modular(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(500, seed=99, with_images=False)
+    ds = rd.from_arrow(t)
+    pipe = MinHashDedupePipeline(NORTH_STAR_CONFIG)
+    out_mod = pipe(ds, num_actors=3).to_pandas()
+    out_fused, _, _ = pipe.run_fused(ds, num_actors=3)
+    assert sorted(out_mod["image_id"]) == sorted(out_fused.to_pandas()["image_id"])

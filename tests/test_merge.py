@@ -53,3 +53,33 @@ def test_merge_empty_assignments_keeps_all(ray_session):
     )
     out = merge_keep(rd.from_arrow(t), empty, cfg).to_pandas()
     assert sorted(out["block_id"]) == ["a", "b"]
+
+
+def test_merge_scale_path_cogroup_anti_join(ray_session, monkeypatch):
+    """Force the at-scale exact anti-join (cogroup exchange) path."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.stages import merge as M
+
+    monkeypatch.setattr(M, "BROADCAST_LIMIT", 0)
+    cfg = _docs_cfg()
+    t = pa.table(
+        {
+            "block_id": pa.array([f"b{k}" for k in range(50)], pa.string()),
+            "block_text": pa.array([f"text {k}" for k in range(50)], pa.string()),
+        }
+    )
+    nodes = node_ids_for(t, cfg)
+    # drop every odd row
+    drops = [int(nodes[k]) for k in range(1, 50, 2)]
+    assignments = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(drops + [int(nodes[0])], pa.uint64()),
+                "rep": pa.array([int(nodes[0])] * len(drops) + [int(nodes[0])], pa.uint64()),
+            }
+        )
+    )
+    out = M.merge_keep(rd.from_arrow(t), assignments, cfg).to_pandas()
+    assert sorted(out["block_id"]) == sorted(f"b{k}" for k in range(0, 50, 2))
+    assert sorted(out.columns) == ["block_id", "block_text"]
