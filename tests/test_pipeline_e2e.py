@@ -117,3 +117,66 @@ def test_cc_algorithms_agree_end_to_end(ray_session):
     pipe_df = MinHashDedupePipeline(base.with_overrides(cc_algorithm="alternating"))
     out_df = pipe_df(ds, num_actors=2).to_pandas()
     assert sorted(out_uf["image_id"]) == sorted(out_df["image_id"])
+
+
+def test_oracle_match_at_5k(ray_session):
+    """FIXTURES.md sf-s scale: exact oracle on 5k rows, north-star config."""
+    import ray.data as rd
+
+    cfg = NORTH_STAR_CONFIG
+    t = generate_table(5000, seed=42, with_images=False)
+    pipe = MinHashDedupePipeline(cfg)
+    out, assign, report = pipe.run_with_report(rd.from_arrow(t), num_actors=4)
+
+    nodes = node_ids_for(t, cfg)
+    pairs = oracle_dup_pairs(
+        nodes.tolist(), t["caption"].to_pylist(), cfg, t["phash"].to_pylist()
+    )
+    ap = assign.to_pandas()
+    pred = dict(zip(ap["u"].astype(np.uint64), ap["rep"].astype(np.uint64)))
+    assert dup_pair_recall(pred, pairs) >= 0.99
+    surv = oracle_survivors(nodes.tolist(), pairs)
+    assert abs(report.rows_after - len(surv)) <= max(2, 0.005 * len(surv))
+
+
+def test_min_length_filter(ray_session):
+    """B11 variant (references/daft_minhash.py:252): docs below min_length
+    tokens produce no signature and therefore never cluster."""
+    import ray.data as rd
+
+    cfg = DedupeConfig(phash_col=None, min_length=5, ngram_size=3)
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "caption": pa.array(
+                ["one two three", "one two three", "w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6"],
+            ),
+        }
+    )
+    out = MinHashDedupePipeline(cfg)(rd.from_arrow(t), num_actors=2).to_pandas()
+    # short identical captions both survive (below min_length); long identical pair dedups
+    assert sorted(out["image_id"]) == ["a", "b", "c"]
+
+
+def test_substring_pass_in_pipeline(ray_session):
+    """cfg.substring_pass unions suffix-array edges into the dedupe stream."""
+    import ray.data as rd
+
+    caps = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon",  # prefix truncation, J < threshold
+        "unrelated caption with entirely different words here",
+    ]
+    t = pa.table(
+        {
+            "image_id": pa.array(["x", "y", "z"], pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+    base = DedupeConfig(phash_col=None, threshold=0.9)
+    without = MinHashDedupePipeline(base)(rd.from_arrow(t), num_actors=2).to_pandas()
+    with_sub = MinHashDedupePipeline(base.with_overrides(substring_pass=True))(
+        rd.from_arrow(t), num_actors=2
+    ).to_pandas()
+    assert len(without) == 3  # 5-gram Jaccard below threshold: no dedupe
+    assert len(with_sub) == 2  # substring edge merges the truncation pair
