@@ -12,8 +12,6 @@ sides (query matrices, doc-size maps) are broadcast once with ``ray.put``.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import pyarrow as pa
 import ray

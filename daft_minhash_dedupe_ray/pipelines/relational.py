@@ -19,8 +19,6 @@ names match the oracle SQL in ``__ray_entry__.oracle_sql`` exactly.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -24,7 +24,6 @@ import functools
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
 from ..config import DedupeConfig

@@ -120,3 +120,37 @@ def test_mixed_kind_candidates_end_to_end(ray_session):
     out = candidate_edges(rd.from_arrow(cand), DedupeConfig()).to_pandas()
     got = set(zip(out["u"].astype(int), out["v"].astype(int)))
     assert got == {(1, 2), (3, 4)}
+
+
+def test_extreme_hot_caption_salted_vs_unsalted(ray_session):
+    """Adversarial skew: 20% of rows share one caption.  The salted two-round
+    path and the default single-shuffle path must produce identical clusters,
+    and the hot group must not blow up the edge count (star edges are O(n))."""
+    import ray.data as rd
+
+    import pyarrow as pa_
+
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{k}" for k in range(200)]
+    hot = "the very same caption repeated across a fifth of the corpus verbatim"
+    caps = [
+        hot if rng.rand() < 0.2 else " ".join(rng.choice(vocab, 12))
+        for _ in range(2000)
+    ]
+    t = pa_.table(
+        {
+            "image_id": pa_.array([f"i{k}" for k in range(2000)], pa_.string()),
+            "caption": pa_.array(caps, pa_.string()),
+        }
+    )
+    base = DedupeConfig(phash_col=None, batch_size=256)
+    out_plain = MinHashDedupePipeline(base)(rd.from_arrow(t), num_actors=3).to_pandas()
+    out_salted = MinHashDedupePipeline(base.with_overrides(num_salts=16))(
+        rd.from_arrow(t), num_actors=3
+    ).to_pandas()
+    assert sorted(out_plain["image_id"]) == sorted(out_salted["image_id"])
+    # the ~400 hot rows collapse to one representative
+    kept_hot = sum(1 for c in out_plain["caption"] if c == hot)
+    assert kept_hot == 1
