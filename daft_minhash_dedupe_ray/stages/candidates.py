@@ -64,6 +64,7 @@ _PACKED_SCHEMA = pa.schema(
 
 KIND_CAPTION = 0
 KIND_PHASH = 1
+KIND_LOCAL_EDGE = 2  # fused path: locally-contracted edge riding the exchange
 
 _U64 = np.uint64
 _SALT_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -316,6 +317,10 @@ def fused_candidate_ingest(prepped, cfg: DedupeConfig, actors: list) -> None:
 
     P = cfg.num_partitions or DEFAULT_PARTITIONS
 
+    # locally-emitted star edges travel through the exchange as tagged rows
+    # (kind=KIND_LOCAL_EDGE, band_key<-u, node_id<-v, partitioned by hash(u))
+    # rather than per-map-task actor round trips — the map pass never blocks
+    # on the actor pool, only the P reduce tasks talk to it
     def sig_combine(batch: pa.Table) -> pa.Table:
         cand = sig(batch)
         keys = cand["band_key"].to_numpy(zero_copy_only=False)
@@ -325,19 +330,52 @@ def fused_candidate_ingest(prepped, cfg: DedupeConfig, actors: list) -> None:
         eu, ev, reps = _group_contract(
             keys, nodes, kinds, payloads, cfg.phash_max_hamming, cross_payload_pairs=False
         )
-        _ingest_edges(eu, ev)
         bk = reps["band_key"].to_numpy(zero_copy_only=False)
-        return reps.append_column(
-            "__p__", pa.array(splitmix64(bk * _SALT_MIX) % np.uint64(P), pa.uint64())
+        n_e = len(eu)
+        out = pa.table(
+            {
+                "band_key": pa.array(np.concatenate([bk, eu]), pa.uint64()),
+                "node_id": pa.array(
+                    np.concatenate([reps["node_id"].to_numpy(zero_copy_only=False), ev]),
+                    pa.uint64(),
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            reps["kind"].to_numpy(zero_copy_only=False),
+                            np.full(n_e, KIND_LOCAL_EDGE, np.uint8),
+                        ]
+                    ),
+                    pa.uint8(),
+                ),
+                "payload": pa.array(
+                    np.concatenate(
+                        [reps["payload"].to_numpy(zero_copy_only=False), np.zeros(n_e, _U64)]
+                    ),
+                    pa.uint64(),
+                ),
+            }
         )
+        part = np.concatenate(
+            [splitmix64(bk * _SALT_MIX) % np.uint64(P), splitmix64(eu) % np.uint64(P)]
+        )
+        return out.append_column("__p__", pa.array(part, pa.uint64()))
 
     def chain_ingest(batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        is_local = kinds == KIND_LOCAL_EDGE
+        n_local = int(is_local.sum())
+        if n_local:
+            eu = batch["band_key"].to_numpy(zero_copy_only=False)[is_local].astype(np.uint64)
+            ev = batch["node_id"].to_numpy(zero_copy_only=False)[is_local].astype(np.uint64)
+            _ingest_edges(eu, ev)
+            batch = batch.filter(pa.array(~is_local))
         out = _chain_star(batch, cfg)
         _ingest_edges(
             out["u"].to_numpy(zero_copy_only=False).astype(np.uint64),
             out["v"].to_numpy(zero_copy_only=False).astype(np.uint64),
         )
-        return pa.table({"n": pa.array([len(out)], pa.int64())})
+        return pa.table({"n": pa.array([len(out) + n_local], pa.int64())})
 
     reps = prepped.map_batches(
         sig_combine, batch_format="pyarrow", batch_size=cfg.batch_size
