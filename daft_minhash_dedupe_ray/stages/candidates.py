@@ -14,17 +14,20 @@ Scale design (north_rule: salted keys, streamed per-band, bounded memory):
    corpus) are collapsed by their per-batch multiplicity before any data
    moves — the pre-aggregate-before-groupby pattern.
 
-2. **Salted group round** (``groupby(salt_key).map_groups``): the shuffle key
+2. **Default single-shuffle round**: representatives are hash-partitioned on
+   band_key (partition id fused into the combiner pass) and contracted
+   per-partition; the combiner caps any key at one row per (batch, band), so
+   per-key volume is bounded by the batch count and no chain round is needed.
+
+3. **Salted mode** (``num_salts > 1``, for adversarial skew): the shuffle key
    mixes ``hash(node) % num_salts`` (captions) or ``hash(payload) % num_salts``
    (pHash) into the band key, so even a band key shared by a constant
-   fraction of the corpus lands in at most ``num_salts`` bounded groups.
-   Each salted group emits star edges to its local min plus one *chain
-   marker* per (band key[, payload]).
-
-3. **Chain round** (``groupby(band_key)`` over markers only): the few local
-   minima per original band key are star-linked, restoring exact
-   connectivity (salting never changes the connected components, only the
-   edge set — property-tested in tests/test_candidates.py).
+   fraction of the corpus lands in at most ``num_salts`` bounded partitions;
+   each salted group emits star edges to its local min plus one *chain
+   marker* per (band key[, payload]), and a chain round star-links the local
+   minima — restoring exact connectivity (salting never changes the
+   connected components, only the edge set — property-tested in
+   tests/test_candidates.py, including a 20%-hot-caption stress case).
 
 **pHash verification** (beyond the reference): a pHash sub-band is only
 ``64/phash_bands`` bits wide, so at web scale random bucket collisions are
