@@ -101,3 +101,20 @@ def test_empty_edges(ray_session):
     ds = _edge_ds(ray_session, [])
     assert cluster_edges(ds, num_actors=2).count() == 0
     assert connected_components_dataframe(ds, DedupeConfig()).count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=0, max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_numpy_cc_matches_union_find(edge_list):
+    from daft_minhash_dedupe_ray.state.numpy_cc import numpy_cc
+
+    edges = [(u, v) for u, v in edge_list if u != v]
+    E = np.array(edges, dtype=np.uint64).reshape(-1, 2)
+    nodes, roots = numpy_cc(E)
+    got = dict(zip(nodes.tolist(), roots.tolist()))
+    want = connected_components_oracle(edges)
+    assert got == want

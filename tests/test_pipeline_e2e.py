@@ -180,3 +180,27 @@ def test_substring_pass_in_pipeline(ray_session):
     ).to_pandas()
     assert len(without) == 3  # 5-gram Jaccard below threshold: no dedupe
     assert len(with_sub) == 2  # substring edge merges the truncation pair
+
+
+def test_documents_table_matches_oracle_sf001(ray_session):
+    """Driver-data anchor: the docs-table dedupe at sf0.01 must match the
+    exact Jaccard oracle (same check the driver's rows-only gate can't do)."""
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.01"
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    ds = rd.read_parquet(f"{sf}/documents.parquet")
+    pipe = MinHashDedupePipeline(cfg)
+    out, assign, report = pipe.run_with_report(ds, num_actors=3)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet")
+    nodes = node_ids_for(t, cfg)
+    pairs = oracle_dup_pairs(nodes.tolist(), t["text"].to_pylist(), cfg)
+    assert len(pairs) > 0  # sf0.01 documents do contain near-dups
+    ap = assign.to_pandas()
+    pred = dict(zip(ap["u"].astype(np.uint64), ap["rep"].astype(np.uint64)))
+    assert dup_pair_recall(pred, pairs) >= 0.99
+    surv = oracle_survivors(nodes.tolist(), pairs)
+    assert abs(report.rows_after - len(surv)) <= max(2, 0.01 * len(surv))
