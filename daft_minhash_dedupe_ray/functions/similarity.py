@@ -371,3 +371,80 @@ def word_jaccard_pairs(ds, threshold: float, text_col: str, id_col: str):
 
     combined = co.map_batches(local_sum, batch_format="pyarrow")
     return partition_groupby(combined, ["u", "v"], finalize, out_schema)
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def train_centroids(
+    ds, n_clusters: int, vec_col: str = "embedding", seed: int = 42, n_iters: int = 10,
+    sample_limit: int = 50_000,
+):
+    """Seeded mini k-means over a driver-side sample (the coarse quantizer).
+    The sample is bounded; training cost is independent of dataset size."""
+    sample = np.asarray(
+        ds.limit(sample_limit).select_columns([vec_col]).to_pandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def build_ivf_index(
+    ds, path: str, n_clusters: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id", seed: int = 42,
+):
+    """IVF index = the dataset written as cluster-partitioned parquet
+    (``cluster=<c>/`` directories) plus the centroid matrix.  Queries then
+    read ONLY the probed clusters' files — the column/partition-pruned-read
+    pattern for similarity search at scale.  Returns the centroids."""
+    cent = train_centroids(ds, n_clusters, vec_col, seed)
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        cluster = np.argmax(en @ c.T, axis=1).astype(np.int64)
+        return b.append_column("cluster", pa.array(cluster, pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["cluster"]
+    )
+    np.save(f"{path}/centroids.npy", cent)
+    return cent
+
+
+def ivf_topk(
+    index_path: str, query_vectors: np.ndarray, k: int, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Approximate cosine top-k over an IVF index: probe the ``nprobe``
+    nearest clusters per query, reading only those partitions from disk.
+    ``nprobe == n_clusters`` degrades gracefully to exact search."""
+    import ray.data as rd
+
+    cent = np.load(f"{index_path}/centroids.npy")
+    qn = np.asarray(query_vectors, dtype=np.float64)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    sims_c = qn @ cent.T
+    probe = np.argsort(-sims_c, axis=1)[:, : min(nprobe, cent.shape[0])]
+    clusters = sorted(set(probe.ravel().tolist()))
+    import glob
+
+    files = [
+        f
+        for c in clusters
+        for f in sorted(glob.glob(f"{index_path}/cluster={c}/*.parquet"))
+    ]
+    sub = rd.read_parquet(files)
+    return ann_topk(sub, query_vectors, k, vec_col=vec_col, id_col=id_col)

@@ -212,3 +212,31 @@ def test_fused_equals_modular(ray_session):
     out_mod = pipe(ds, num_actors=3).to_pandas()
     out_fused, _, _ = pipe.run_fused(ds, num_actors=3)
     assert sorted(out_mod["image_id"]) == sorted(out_fused.to_pandas()["image_id"])
+
+
+def test_ivf_topk_recall(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import (
+        ann_topk,
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(4)
+    emb = rng.randn(400, 16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(400)), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb]),
+        }
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t), idx, n_clusters=8)
+    q = emb[3][None, :]
+    exact = set(ann_topk(rd.from_arrow(t), q, 10).to_pandas()["vec_id"])
+    approx = set(ivf_topk(idx, q, 10, nprobe=4).to_pandas()["vec_id"])
+    assert 3 in approx  # self always found (its own cluster is the nearest)
+    assert len(approx & exact) >= 6  # decent recall at nprobe=4/8
+    full = set(ivf_topk(idx, q, 10, nprobe=8).to_pandas()["vec_id"])
+    assert full == exact  # probing every cluster is exact
