@@ -204,6 +204,25 @@ def _substring_pairs(sf_dir: str):
     )
 
 
+def _ivf_topk(sf_dir: str):
+    """IVF-partitioned ANN (rows-only: centroid training is iterative /
+    non-SQL; exactness at full probe is covered by tests)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import build_ivf_index, ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = ds.filter(expr="vec_id == 0").select_columns(["embedding"]).to_pandas()["embedding"][0]
+    with tempfile.TemporaryDirectory() as d:
+        build_ivf_index(ds, d, n_clusters=8)
+        out = ivf_topk(d, np.asarray([list(q)]), k=10, nprobe=4).to_pandas()
+    return pa.Table.from_pandas(
+        out[["vec_id"]].sort_values("vec_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _image_dedupe_synth(sf_dir: str):
     """Flagship image+caption dedupe on the deterministic synthetic table
     (BASELINE.json input_hint shape) — rows-only; the exact oracle for it
@@ -268,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
         "ann_topk": _ann_topk,  # SQL-checked
         "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # rows-only (LSH recall < 1)
+        "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "minhash_dedupe_docs": _minhash_dedupe_docs,  # rows-only (oracle in tests/)
         "simhash_dedupe_docs": _simhash_dedupe_docs,  # rows-only
         "lang_id_docs": _lang_id_docs,  # rows-only (heuristic model)
