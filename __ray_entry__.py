@@ -175,13 +175,15 @@ def _cosine_pairs(sf_dir: str):
 
 
 def _cosine_pairs_lsh(sf_dir: str):
-    """Scale path (LSH-bucketed) — rows-only check: recall < 1 by design."""
+    """Scale path: AND-OR banded hyperplane LSH (bands auto-sized for miss
+    prob <= 1e-4 at the threshold) + exact in-bucket verification — recall
+    high enough to hash-match the exact-join oracle."""
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.functions.similarity import cosine_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_dup_pairs(ds, threshold=0.3, n_planes=8).to_pandas()
+    out = cosine_dup_pairs(ds, threshold=0.3, force_lsh=True).to_pandas()
     out = out[["u", "v"]].sort_values(["u", "v"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -286,7 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
         "ann_topk": _ann_topk,  # SQL-checked
-        "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # rows-only (LSH recall < 1)
+        "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # SQL-checked (banded LSH + verify)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "minhash_dedupe_docs": _minhash_dedupe_docs,  # rows-only (oracle in tests/)
         "simhash_dedupe_docs": _simhash_dedupe_docs,  # rows-only
@@ -401,6 +403,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY u, v
         """,
         "cosine_dup_pairs": """
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ORDER BY u, v
+        """,
+        "cosine_dup_pairs_lsh": """
             SELECT a.vec_id AS u, b.vec_id AS v
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

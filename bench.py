@@ -118,6 +118,7 @@ def run_bench() -> dict:
             "rows_before": report.rows_before,
             "rows_after": report.rows_after,
             "n_components": report.n_components,
+            "phase_walls": {k: round(v, 2) for k, v in (report.phase_walls or {}).items()},
         }
 
     # --- secondary pipelines over the sf dir

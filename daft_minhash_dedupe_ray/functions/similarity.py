@@ -14,12 +14,34 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..config import DedupeConfig
 from ..hashing import hash64_str_array, simhash64, splitmix64
 from ..stages.candidates import KIND_PHASH, candidate_edges
 from ..stages.util import ensure_schema, partition_groupby
+
+
+def embedding_matrix(b: pa.Table, vec_col: str) -> np.ndarray:
+    """Zero-copy-ish (n, d) float64 matrix from a list<float> /
+    fixed_size_list<float> column — flatten the child values and reshape,
+    never a per-row ``to_pylist`` Python round-trip."""
+    col = b[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type) or pa.types.is_fixed_size_list(col.type):
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        n = len(col)
+        if n == 0:
+            return np.zeros((0, 0), dtype=np.float64)
+        d = flat.size // n
+        return flat.astype(np.float64, copy=False).reshape(n, d)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
 # ------------------------------------------------------------- exact dedup
@@ -76,27 +98,28 @@ def ann_topk(ds, query_vectors: np.ndarray, k: int, vec_col: str = "embedding", 
     (query_idx, -cos_sim, vec_id).
     """
     q = np.asarray(query_vectors, dtype=np.float64)
-    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qn = _normalize_rows(q)
     q_ref = ray.put(qn)
+    empty = pa.schema(
+        [("query_idx", pa.int64()), (id_col, pa.int64()), ("cos_sim", pa.float64())]
+    ).empty_table()
 
     def local_topk(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return empty
         qm = ray.get(q_ref)
-        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        en = _normalize_rows(embedding_matrix(b, vec_col))
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = qm @ en.T  # (n_q, n_batch)
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = []
-        for qi in range(sims.shape[0]):
-            for j in part[qi]:
-                rows.append((qi, int(ids[j]), float(sims[qi, j])))
-        arr = np.array(rows, dtype=object)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (n_q, kk)
+        qi = np.repeat(np.arange(sims.shape[0], dtype=np.int64), kk)
+        jj = part.ravel()
         return pa.table(
             {
-                "query_idx": pa.array([r[0] for r in rows], pa.int64()),
-                id_col: pa.array([r[1] for r in rows], pa.int64()),
-                "cos_sim": pa.array([r[2] for r in rows], pa.float64()),
+                "query_idx": pa.array(qi, pa.int64()),
+                id_col: pa.array(ids[jj], pa.int64()),
+                "cos_sim": pa.array(sims[qi, jj], pa.float64()),
             }
         )
 
@@ -114,6 +137,42 @@ def ann_topk(ds, query_vectors: np.ndarray, k: int, vec_col: str = "embedding", 
 # ------------------------------------------- cosine near-dup pair detection
 
 
+# above this many rows the exact O(n^2) path auto-switches to banded LSH
+EXACT_COSINE_LIMIT = 200_000
+
+_PAIR_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("cos_sim", pa.float64())])
+
+
+@ray.remote
+def _block_pair_sims(left: pa.Table, right: pa.Table | None, threshold: float, id_col: str) -> pa.Table:
+    """Exact cosine pairs between two normalized blocks (right=None: within
+    the left block).  Runs as a task; neither block ever lands on the driver."""
+    ids_l = left["__id__"].to_numpy(zero_copy_only=False)
+    en_l = embedding_matrix(left, "__vec__")
+    if right is None:
+        ids_r, en_r = ids_l, en_l
+    else:
+        ids_r = right["__id__"].to_numpy(zero_copy_only=False)
+        en_r = embedding_matrix(right, "__vec__")
+    sims = en_l @ en_r.T
+    li, rj = np.nonzero(sims >= threshold)
+    u, v = ids_l[li], ids_r[rj]
+    if right is None:
+        keep = u < v  # within-block: each unordered pair exactly once
+        lo, hi = u[keep], v[keep]
+    else:
+        keep = u != v  # cross-block tile computes each pair once; canonicalize
+        lo = np.minimum(u[keep], v[keep])
+        hi = np.maximum(u[keep], v[keep])
+    return pa.table(
+        {
+            "u": pa.array(lo, pa.int64()),
+            "v": pa.array(hi, pa.int64()),
+            "cos_sim": pa.array(sims[li, rj][keep], pa.float64()),
+        }
+    )
+
+
 def cosine_dup_pairs(
     ds,
     threshold: float,
@@ -121,76 +180,135 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     n_planes: int = 0,
     seed: int = 42,
+    exact_limit: int = EXACT_COSINE_LIMIT,
+    force_lsh: bool = False,
 ):
     """All pairs (u < v) with cosine similarity >= threshold.
 
-    ``n_planes == 0``: exact path — the (normalised) matrix is broadcast and
-    each batch verifies its rows against the full set (O(n^2) flops spread
-    over batches; right for <= ~10^5 rows).  ``n_planes > 0``: scale path —
-    random-hyperplane signatures bucket the vectors first (cosine LSH) and
-    only bucket-mates are verified, trading recall for scale; recall for
-    pairs at angle θ is 1-(1-(1-θ/π)^n_planes)^... per standard SimHash LSH.
+    Default: exact *blocked* path — rows are normalized per block inside
+    ``map_batches``, blocks stay in the object store, and one task per block
+    pair computes that tile of the O(n^2) similarity matrix (the driver only
+    holds object refs — nothing dataset-sized is ever materialized on it).
+    Above ``exact_limit`` rows (where O(n^2) flops stop being sensible) the
+    call auto-switches to the AND-OR banded LSH path sized for recall ~0.999
+    at ``threshold``.  ``n_planes > 0`` forces the LSH path with bands of
+    ``n_planes`` hyperplanes each.
     """
-    if n_planes > 0:
+    if n_planes > 0 or force_lsh:
         return _cosine_pairs_lsh(ds, threshold, vec_col, id_col, n_planes, seed)
+    n_rows = ds.count()
+    if n_rows > exact_limit:
+        return _cosine_pairs_lsh(ds, threshold, vec_col, id_col, 0, seed)
 
-    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = tbl[id_col].to_numpy()
-    emb_all = np.asarray(list(tbl[vec_col]), dtype=np.float64)
-    en_all = emb_all / np.maximum(np.linalg.norm(emb_all, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_all, en_all))
-
-    def verify(b: pa.Table) -> pa.Table:
-        ids_a, en_a = ray.get(ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
-        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        sims = en @ en_a.T
-        bi, aj = np.nonzero(sims >= threshold)
-        u = ids[bi]
-        v = ids_a[aj]
-        keep = u < v  # each unordered pair exactly once
+    def norm_block(b: pa.Table) -> pa.Table:
+        en = _normalize_rows(embedding_matrix(b, vec_col))
+        flat = pa.array(en.ravel(), pa.float64())
         return pa.table(
             {
-                "u": pa.array(u[keep].astype(np.int64), pa.int64()),
-                "v": pa.array(v[keep].astype(np.int64), pa.int64()),
-                "cos_sim": pa.array(sims[bi, aj][keep], pa.float64()),
+                "__id__": pc.cast(b[id_col], pa.int64()),
+                "__vec__": pa.FixedSizeListArray.from_arrays(flat, en.shape[1] if len(b) else 1),
             }
         )
 
-    return ds.map_batches(verify, batch_format="pyarrow")
+    # ~sqrt-sized blocks keep the task count (B*(B+1)/2) and per-task flops
+    # balanced; each block is a few MB of normalized float64
+    block_rows = max(1024, int(np.sqrt(max(n_rows, 1)) * 8))
+    blocks = [
+        r
+        for r in (
+            ds.select_columns([id_col, vec_col])
+            .map_batches(norm_block, batch_format="pyarrow", batch_size=block_rows)
+            .to_arrow_refs()
+        )
+    ]
+    out_refs = []
+    for i in range(len(blocks)):
+        out_refs.append(_block_pair_sims.remote(blocks[i], None, threshold, id_col))
+        for j in range(i + 1, len(blocks)):
+            out_refs.append(_block_pair_sims.remote(blocks[i], blocks[j], threshold, id_col))
+    import ray.data as rd
+
+    if not out_refs:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    return rd.from_arrow_refs(out_refs)
+
+
+def lsh_params_for(threshold: float, n_planes: int = 0, eps: float = 1e-4) -> tuple[int, int]:
+    """(planes_per_band r, n_bands b) for AND-OR amplified hyperplane LSH.
+
+    Per-pair collision prob at cosine ``t`` is p = 1 - arccos(t)/pi per
+    plane; a pair at the threshold is missed with prob (1 - p^r)^b, so b is
+    sized for miss prob <= ``eps`` (reference analogue: the MinHash side's
+    optimal_param S-curve sizing, workload/minhash_dedupe.py:88-130)."""
+    r = n_planes if n_planes > 0 else (8 if threshold >= 0.7 else 4 if threshold >= 0.5 else 2)
+    p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
+    pr = p**r
+    if pr >= 1.0:
+        return r, 1
+    b = int(np.ceil(np.log(eps) / np.log(max(1.0 - pr, 1e-300))))
+    return r, max(1, min(b, 128))
+
+
+class _HyperplaneBucketer:
+    """Banded random-hyperplane bucketing; the plane tensor is generated once
+    per (worker, dim) and cached on the instance — not per batch."""
+
+    def __init__(self, vec_col: str, id_col: str, n_planes: int, n_bands: int, seed: int):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.n_planes, self.n_bands, self.seed = n_planes, n_bands, seed
+        self._planes: np.ndarray | None = None  # (dim, n_bands * n_planes)
+
+    def _planes_for(self, dim: int) -> np.ndarray:
+        if self._planes is None or self._planes.shape[0] != dim:
+            rng = np.random.RandomState(self.seed)
+            self._planes = rng.randn(dim, self.n_bands * self.n_planes)
+        return self._planes
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        emb = embedding_matrix(b, self.vec_col)
+        n = len(b)
+        if n == 0:
+            return pa.schema(
+                [(self.id_col, pa.int64()), ("__bucket__", pa.uint64()), (self.vec_col, b[self.vec_col].type)]
+            ).empty_table()
+        planes = self._planes_for(emb.shape[1])
+        signs = (emb @ planes) > 0  # (n, b*r)
+        bits = signs.reshape(n, self.n_bands, self.n_planes)
+        key = np.zeros((n, self.n_bands), dtype=np.uint64)
+        for j in range(self.n_planes):
+            key = (key << np.uint64(1)) | bits[:, :, j].astype(np.uint64)
+        # mix the band index into the key so band b's buckets never collide
+        # with band b''s in the shared shuffle
+        key ^= splitmix64(np.arange(self.n_bands, dtype=np.uint64) + np.uint64(0x9E37))[None, :]
+        ids = pc.cast(b[self.id_col], pa.int64())
+        take = np.repeat(np.arange(n), self.n_bands)
+        return pa.table(
+            {
+                self.id_col: ids.take(pa.array(take)),
+                "__bucket__": pa.array(splitmix64(key.ravel()), pa.uint64()),
+                self.vec_col: b[self.vec_col].take(pa.array(take)),
+            }
+        )
 
 
 def _cosine_pairs_lsh(ds, threshold, vec_col, id_col, n_planes, seed):
-    """Scale path: bucket by random-hyperplane sign pattern, verify inside
-    buckets via groupby.  Pairs in different buckets are missed (documented
-    LSH recall tradeoff); identical vectors always share a bucket."""
+    """Scale path: AND-OR banded hyperplane LSH.  ``n_bands`` independent
+    plane sets each produce an r-bit bucket key; a pair collides if it shares
+    ANY band's bucket (OR amplification), then bucket-mates are verified with
+    the exact cosine, and the pair stream is deduplicated across bands.  Band
+    count is sized for miss prob <= 1e-4 at the threshold, so recall ~1 and
+    precision exact (every emitted pair is verified)."""
+    r, n_bands = lsh_params_for(threshold, n_planes)
+    bucketer = _HyperplaneBucketer(vec_col, id_col, r, n_bands, seed)
 
-    def bucket(b: pa.Table) -> pa.Table:
-        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(emb.shape[1], n_planes)
-        signs = (emb @ planes) > 0
-        key = np.zeros(len(emb), dtype=np.uint64)
-        for j in range(n_planes):
-            key = (key << np.uint64(1)) | signs[:, j].astype(np.uint64)
-        return pa.table(
-            {
-                id_col: b[id_col],
-                "__bucket__": pa.array(splitmix64(key), pa.uint64()),
-                vec_col: b[vec_col],
-            }
-        )
-
-    schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("cos_sim", pa.float64())])
+    schema = _PAIR_SCHEMA
 
     def verify_partition(b: pa.Table) -> pa.Table:
         if len(b) == 0:
             return schema.empty_table()
         buckets = b["__bucket__"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
-        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        en = _normalize_rows(embedding_matrix(b, vec_col))
         order = np.argsort(buckets, kind="stable")
         buckets, ids, en = buckets[order], ids[order], en[order]
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
@@ -217,12 +335,27 @@ def _cosine_pairs_lsh(ds, threshold, vec_col, id_col, n_planes, seed):
             }
         )
 
-    return partition_groupby(
-        ds.map_batches(bucket, batch_format="pyarrow"),
+    def dedup_pairs(b: pa.Table) -> pa.Table:
+        # a pair colliding in k bands arrives k times (identical cos_sim);
+        # keep the first occurrence per (u, v)
+        if len(b) == 0:
+            return schema.empty_table()
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        first = np.zeros(len(u), dtype=bool)
+        us, vs = u[order], v[order]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])]
+        first[order[keep]] = True
+        return b.filter(pa.array(first))
+
+    pairs = partition_groupby(
+        ds.map_batches(bucketer, batch_format="pyarrow"),
         ["__bucket__"],
         verify_partition,
         schema,
     )
+    return partition_groupby(pairs, ["u", "v"], dedup_pairs, schema)
 
 
 # -------------------------------------------------------------- SimHash dedup
@@ -261,17 +394,27 @@ def simhash_candidates(ds, cfg: DedupeConfig, text_col: str, id_col: str):
 # ----------------------------------------- exact word-set Jaccard similarity
 
 
-def word_jaccard_pairs(ds, threshold: float, text_col: str, id_col: str):
+def word_jaccard_pairs(
+    ds, threshold: float, text_col: str, id_col: str, max_df_entries: int = 5_000_000
+):
     """Exact word-set Jaccard similarity join: all pairs with
-    |A ∩ B| / |A ∪ B| >= threshold.
+    |A ∩ B| / |A ∪ B| >= threshold — via *frequency-ordered prefix
+    filtering* (Bayardo all-pairs / Vernica et al. VLDB'10 distributed
+    shape), not the O(df^2) per-token clique emission.
 
-    Distributed shape: explode distinct (doc, token) -> groupby token emits
-    co-occurrence pairs -> count per pair -> broadcast doc set sizes ->
-    filter.  NOTE the token groupby emits O(df^2) pairs per token — exact
-    set-similarity joins need frequency-ordered prefix filtering at web
-    scale; this operator is the exact small/medium-scale tool and the oracle
-    for the MinHash approximation.
+    Under a global token total order, any pair with J >= t must share a
+    token inside both docs' length-(|d| - ceil(t*|d|) + 1) prefixes, so the
+    inverted index holds only prefix tokens; ordering tokens rarest-first
+    makes prefixes avoid stopwords, bounding per-token fan-out.  Candidates
+    are verified with the exact intersection inside the token group (each
+    doc's row carries its full sorted token-hash list), then deduplicated.
+    Correctness needs only *a* consistent global order, so the document-
+    frequency table broadcast for ordering may be capped at
+    ``max_df_entries`` (uncapped tokens order as df=1 by hash) — the cap
+    trades prefix quality, never correctness.
     """
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())])
+    tok_schema = pa.schema([(id_col, pa.int64()), ("token", pa.uint64())])
 
     def explode_tokens(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
@@ -289,88 +432,147 @@ def word_jaccard_pairs(ds, threshold: float, text_col: str, id_col: str):
             }
         )
 
-    pairs_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("n", pa.int64())])
     tokens = ds.map_batches(explode_tokens, batch_format="pyarrow")
 
-    # doc set sizes: tiny (one row per doc) -> aggregate then broadcast
-    from ray.data.aggregate import Count
+    # --- pass 1: token document frequencies (df >= 2; df-1 tokens cannot
+    # form pairs and default to rank df=1 anyway)
+    df_schema = pa.schema([("token", pa.uint64()), ("df", pa.int64())])
 
-    sizes_pdf = tokens.groupby(id_col).aggregate(Count(alias_name="sz")).to_pandas()
-    size_map = dict(zip(sizes_pdf[id_col].astype(int), sizes_pdf["sz"].astype(int)))
-    size_ref = ray.put(size_map)
-
-    def emit_pairs(b: pa.Table) -> pa.Table:
-        # partition-vectorised: co-occurrence pairs per token run
-        if len(b) == 0:
-            return pairs_schema.empty_table()
-        toks = b["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, toks))
-        toks, ids = toks[order], ids[order]
-        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
-        ends = np.r_[starts[1:], len(toks)]
-        us, vs = [], []
-        for s0, e0 in zip(starts, ends):
-            if e0 - s0 < 2:
-                continue
-            g = ids[s0:e0]
-            ii, jj = np.triu_indices(e0 - s0, k=1)
-            us.append(g[ii])
-            vs.append(g[jj])
-        if not us:
-            return pairs_schema.empty_table()
-        u = np.concatenate(us)
-        v = np.concatenate(vs)
+    def count_df(b: pa.Table) -> pa.Table:
+        t = b["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t.sort()
+        first = np.r_[True, t[1:] != t[:-1]]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(t)])
+        keep = cnt >= 2
         return pa.table(
             {
-                "u": pa.array(u, pa.int64()),
-                "v": pa.array(v, pa.int64()),
-                "n": pa.array(np.ones(len(u), np.int64), pa.int64()),
+                "token": pa.array(t[starts][keep], pa.uint64()),
+                "df": pa.array(cnt[keep], pa.int64()),
             }
         )
 
-    co = partition_groupby(tokens, ["token"], emit_pairs, pairs_schema)
+    df_pdf = partition_groupby(tokens, ["token"], count_df, df_schema).to_pandas()
+    if len(df_pdf) > max_df_entries:
+        df_pdf = df_pdf.nlargest(max_df_entries, "df")
+    df_tok = np.sort(df_pdf["token"].to_numpy().astype(np.uint64))
+    order_tok = np.argsort(df_pdf["token"].to_numpy().astype(np.uint64))
+    df_cnt = df_pdf["df"].to_numpy()[order_tok].astype(np.int64)
+    df_ref = ray.put((df_tok, df_cnt))
 
-    def local_sum(b: pa.Table) -> pa.Table:
-        # combiner: pre-sum pair counts within the batch before the groupby
-        import pandas as pd
+    # --- pass 2: per doc, emit one row per *prefix* token carrying the full
+    # value-sorted token-hash list for exact verification
+    prefix_schema = pa.schema(
+        [
+            ("token", pa.uint64()),
+            (id_col, pa.int64()),
+            ("toks", pa.list_(pa.uint64())),
+        ]
+    )
 
-        df = b.to_pandas().groupby(["u", "v"], as_index=False)["n"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False).cast(pairs_schema)
+    def emit_prefix(b: pa.Table) -> pa.Table:
+        dft, dfc = ray.get(df_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        out_tok, out_id, list_vals, list_offs = [], [], [], [0]
+        for i, t in enumerate(texts):
+            toks = set((t or "").split())
+            n = len(toks)
+            if n == 0:
+                continue
+            h = np.sort(hash64_str_array(list(toks)))
+            pos = np.searchsorted(dft, h)
+            pos_c = np.minimum(pos, max(len(dft) - 1, 0))
+            df = np.ones(n, dtype=np.int64)
+            if len(dft):
+                found = dft[pos_c] == h
+                df[found] = dfc[pos_c[found]]
+            # global order: (df asc, token asc) — rarest first
+            order = np.lexsort((h, df))
+            L = n - int(np.ceil(threshold * n)) + 1
+            prefix = h[order[:L]]
+            out_tok.append(prefix)
+            out_id.append(np.full(L, int(ids[i]), np.int64))
+            for _ in range(L):
+                list_vals.append(h)
+                list_offs.append(list_offs[-1] + n)
+        if not out_tok:
+            return prefix_schema.empty_table()
+        values = pa.array(np.concatenate(list_vals), pa.uint64())
+        toks_col = pa.ListArray.from_arrays(pa.array(list_offs, pa.int32()), values)
+        return pa.table(
+            {
+                "token": pa.array(np.concatenate(out_tok), pa.uint64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "toks": toks_col,
+            }
+        )
 
-    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())])
+    prefix_rows = ds.map_batches(emit_prefix, batch_format="pyarrow")
 
-    def finalize(b: pa.Table) -> pa.Table:
-        # partition-vectorised: sum counts per (u, v) run, then threshold
+    # --- pass 3: group by prefix token; exact-verify candidate pairs
+    def verify(b: pa.Table) -> pa.Table:
         if len(b) == 0:
             return out_schema.empty_table()
-        sizes = ray.get(size_ref)
-        u = b["u"].to_numpy(zero_copy_only=False)
-        v = b["v"].to_numpy(zero_copy_only=False)
-        n = b["n"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        u, v, n = u[order], v[order], n[order]
-        new_run = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
-        run_id = np.cumsum(new_run) - 1
-        starts = np.flatnonzero(new_run)
-        inter = np.bincount(run_id, weights=n).astype(np.int64)
-        ru, rv = u[starts], v[starts]
-        import pandas as pd
-
-        szs = pd.Series(ru).map(sizes).to_numpy() + pd.Series(rv).map(sizes).to_numpy()
-        union = szs - inter
-        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        ok = j >= threshold
+        tok = b["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        toks_col = b["toks"]
+        if isinstance(toks_col, pa.ChunkedArray):
+            toks_col = toks_col.combine_chunks()
+        offs = toks_col.offsets.to_numpy(zero_copy_only=False)
+        vals = toks_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(tok, kind="stable")
+        starts = np.flatnonzero(np.r_[True, tok[order][1:] != tok[order][:-1]])
+        ends = np.r_[starts[1:], len(tok)]
+        us, vs, js = [], [], []
+        for s0, e0 in zip(starts, ends):
+            grp = order[s0:e0]
+            m = len(grp)
+            if m < 2:
+                continue
+            lists = [vals[offs[g] : offs[g + 1]] for g in grp]
+            szs = np.array([len(x) for x in lists], dtype=np.int64)
+            gids = ids[grp]
+            for a in range(m):
+                for c in range(a + 1, m):
+                    if gids[a] == gids[c]:
+                        continue
+                    sa, sc = szs[a], szs[c]
+                    # length filter: J >= t needs min >= t * max
+                    if min(sa, sc) < threshold * max(sa, sc):
+                        continue
+                    inter = np.intersect1d(lists[a], lists[c], assume_unique=True).size
+                    jac = inter / (sa + sc - inter)
+                    if jac >= threshold:
+                        us.append(min(gids[a], gids[c]))
+                        vs.append(max(gids[a], gids[c]))
+                        js.append(jac)
+        if not us:
+            return out_schema.empty_table()
         return pa.table(
             {
-                "u": pa.array(ru[ok], pa.int64()),
-                "v": pa.array(rv[ok], pa.int64()),
-                "jaccard": pa.array(j[ok], pa.float64()),
+                "u": pa.array(np.array(us, np.int64), pa.int64()),
+                "v": pa.array(np.array(vs, np.int64), pa.int64()),
+                "jaccard": pa.array(np.array(js, np.float64), pa.float64()),
             }
         )
 
-    combined = co.map_batches(local_sum, batch_format="pyarrow")
-    return partition_groupby(combined, ["u", "v"], finalize, out_schema)
+    cand = partition_groupby(prefix_rows, ["token"], verify, out_schema)
+
+    def dedup(b: pa.Table) -> pa.Table:
+        # pairs sharing k prefix tokens arrive k times; keep the first
+        if len(b) == 0:
+            return out_schema.empty_table()
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])]
+        first = np.zeros(len(u), dtype=bool)
+        first[order[keep]] = True
+        return b.filter(pa.array(first))
+
+    return partition_groupby(cand, ["u", "v"], dedup, out_schema)
 
 
 # ------------------------------------------------------------------ IVF ANN
@@ -412,15 +614,15 @@ def build_ivf_index(
 
     def assign(b: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
-        en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        en = _normalize_rows(embedding_matrix(b, vec_col))
         cluster = np.argmax(en @ c.T, axis=1).astype(np.int64)
         return b.append_column("cluster", pa.array(cluster, pa.int64()))
 
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         path, partition_cols=["cluster"]
     )
-    np.save(f"{path}/centroids.npy", cent)
+    # underscore-prefixed so dataset readers globbing the dir skip it
+    np.save(f"{path}/_centroids.npy", cent)
     return cent
 
 
@@ -431,20 +633,37 @@ def ivf_topk(
     """Approximate cosine top-k over an IVF index: probe the ``nprobe``
     nearest clusters per query, reading only those partitions from disk.
     ``nprobe == n_clusters`` degrades gracefully to exact search."""
+    import glob
+    import os
+
     import ray.data as rd
 
-    cent = np.load(f"{index_path}/centroids.npy")
-    qn = np.asarray(query_vectors, dtype=np.float64)
-    qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    cent = np.load(f"{index_path}/_centroids.npy")
+    qn = _normalize_rows(np.asarray(query_vectors, dtype=np.float64))
     sims_c = qn @ cent.T
-    probe = np.argsort(-sims_c, axis=1)[:, : min(nprobe, cent.shape[0])]
-    clusters = sorted(set(probe.ravel().tolist()))
-    import glob
-
-    files = [
-        f
-        for c in clusters
-        for f in sorted(glob.glob(f"{index_path}/cluster={c}/*.parquet"))
-    ]
+    # probe order: nearest centroids first; k-means can leave clusters empty
+    # (no cluster=<c>/ dir written), so walk outward until nprobe non-empty
+    # cluster file sets are found
+    probe_order = np.argsort(-sims_c, axis=1)
+    want = min(nprobe, cent.shape[0])
+    files: list[str] = []
+    n_nonempty = 0
+    seen: set[int] = set()
+    for rank in range(cent.shape[0]):
+        for qi in range(probe_order.shape[0]):
+            c = int(probe_order[qi, rank])
+            if c in seen:
+                continue
+            seen.add(c)
+            fs = sorted(glob.glob(os.path.join(index_path, f"cluster={c}", "*.parquet")))
+            if fs:
+                files.extend(fs)
+                n_nonempty += 1
+        if n_nonempty >= want:
+            break
+    if not files:
+        return pa.schema(
+            [("query_idx", pa.int64()), (id_col, pa.int64()), ("cos_sim", pa.float64())]
+        ).empty_table()
     sub = rd.read_parquet(files)
     return ann_topk(sub, query_vectors, k, vec_col=vec_col, id_col=id_col)

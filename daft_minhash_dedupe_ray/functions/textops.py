@@ -31,13 +31,27 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def distinct_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Distinct whitespace-token count per row (split is per-row, but the
-    split itself is an Arrow kernel; the set sizes use numpy over offsets)."""
+    """Distinct whitespace-token count per row — fully vectorised: Arrow
+    splits to a list column, tokens are hashed flat, and distinct-per-row is
+    a sort+segment over (row_id, token_hash) — no per-row Python set."""
     splits = pc.split_pattern_regex(pc.utf8_trim_whitespace(batch[text_col]), pattern=_WS_RE)
-    out = np.empty(len(batch), dtype=np.int64)
-    for i, lst in enumerate(splits.to_pylist()):
-        out[i] = len({t for t in (lst or []) if t})
-    return batch.append_column("n_distinct_tokens", pa.array(out, pa.int64()))
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    offsets = splits.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.list_flatten(splits)
+    n = len(batch)
+    if len(toks) == 0:
+        return batch.append_column("n_distinct_tokens", pa.array(np.zeros(n, np.int64)))
+    th = hash64_str_array(toks.to_pylist())
+    row_id = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    # empty string survives the split of a blank text; drop it like the set did
+    nonempty = np.asarray(pc.not_equal(toks, "").to_numpy(zero_copy_only=False), dtype=bool)
+    th, row_id = th[nonempty], row_id[nonempty]
+    order = np.lexsort((th, row_id))
+    rs, ts = row_id[order], th[order]
+    first = np.r_[True, (rs[1:] != rs[:-1]) | (ts[1:] != ts[:-1])] if len(rs) else np.zeros(0, bool)
+    counts = np.bincount(rs[first], minlength=n).astype(np.int64) if len(rs) else np.zeros(n, np.int64)
+    return batch.append_column("n_distinct_tokens", pa.array(counts, pa.int64()))
 
 
 class QualityScorer:

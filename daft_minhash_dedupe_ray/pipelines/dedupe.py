@@ -45,6 +45,7 @@ class DedupeReport:
     n_components: int  # non-singleton clusters
     n_duplicates: int
     wall_seconds: float
+    phase_walls: dict | None = None  # per-phase wall seconds (fused path)
 
     @property
     def pct_kept(self) -> float:
@@ -134,18 +135,33 @@ class MinHashDedupePipeline:
         from ..stages.candidates import fused_candidate_ingest
         from ..state.dist_union_find import converge_and_collect, get_uf_pool
 
+        if self.cfg.substring_pass or self.cfg.num_salts > 1:
+            # the fused map pass doesn't carry the substring edge stream or
+            # salted chain rounds; route through the modular path so those
+            # config knobs keep their semantics instead of being ignored
+            out, assign, report = self.run_with_report(ds, num_actors=num_actors)
+            return out, assign, report
+
         t0 = _time.perf_counter()
+        walls: dict[str, float] = {}
         rows_before = ds.count()
         actors = get_uf_pool(num_actors)
         import ray as _ray
 
         _ray.get([a.reset.remote() for a in actors])
+        walls["setup"] = _time.perf_counter() - t0
+        t = _time.perf_counter()
         fused_candidate_ingest(self.prep(ds), self.cfg, actors)
+        walls["ingest"] = _time.perf_counter() - t
+        t = _time.perf_counter()
         assign = converge_and_collect(actors)
+        walls["converge"] = _time.perf_counter() - t
+        t = _time.perf_counter()
         out = self.merge(ds, assign)
         if materialize_output:
             out = out.materialize()
         rows_after = out.count()
+        walls["merge"] = _time.perf_counter() - t
         n_dups = rows_before - rows_after
         report = DedupeReport(
             rows_before=rows_before,
@@ -153,6 +169,7 @@ class MinHashDedupePipeline:
             n_components=assign.count() - n_dups,
             n_duplicates=n_dups,
             wall_seconds=_time.perf_counter() - t0,
+            phase_walls=walls,
         )
         return out, assign, report
 

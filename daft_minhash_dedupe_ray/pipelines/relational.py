@@ -43,19 +43,22 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
     )
 
     def partial(b: pa.Table) -> pa.Table:
+        # arrow-native combiner: no pandas round-trip in the hot path
         disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "l_returnflag": b["l_returnflag"].to_pandas(),
-                "l_linestatus": b["l_linestatus"].to_pandas(),
-                "qty": b["l_quantity"].to_pandas(),
-                "disc_price": disc_price.to_pandas(),
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "disc_price": disc_price,
             }
         )
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"), sum_disc_price=("disc_price", "sum"), n=("qty", "size")
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("disc_price", "sum"), ("qty", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price", "n"]
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -73,18 +76,25 @@ def segment_revenue(sf_dir: str) -> pa.Table:
     """orders ⋈ customer via broadcast (customer is the small dimension side):
     revenue per market segment."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
-    ref = ray.put(seg_map)
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], cust["c_mktsegment"].to_numpy()[order]))
 
     def partial(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = pd.Series(keys).map(m).fillna("UNKNOWN")
-        df = pd.DataFrame({"c_mktsegment": segs, "tp": b["o_totalprice"].to_pandas()})
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            revenue=("tp", "sum"), n_orders=("tp", "size")
+        keys_sorted, segs_sorted = ray.get(ref)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys_sorted, keys)
+        pos_c = np.minimum(pos, len(keys_sorted) - 1)
+        # inner-join semantics: orders with custkeys absent from customer drop
+        found = keys_sorted[pos_c] == keys
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(segs_sorted[pos_c[found]], pa.string()),
+                "tp": b["o_totalprice"].filter(pa.array(found)),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by("c_mktsegment").aggregate([("tp", "sum"), ("tp", "count")])
+        return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
 
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -104,11 +114,12 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"o_custkey": b["o_custkey"].to_pandas(), "tp": b["o_totalprice"].to_pandas()}
+        g = (
+            pa.table({"o_custkey": b["o_custkey"], "tp": b["o_totalprice"]})
+            .group_by("o_custkey")
+            .aggregate([("tp", "sum")])
         )
-        g = df.groupby("o_custkey", as_index=False).agg(total=("tp", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(["o_custkey", "total"])
 
     totals = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -128,17 +139,17 @@ def events_hourly(sf_dir: str) -> pa.Table:
     def partial(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         bucket = us // 1_000_000 // 3600
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": b["event_type"].to_pandas(),
-                "hour_bucket": bucket,
-                "value": b["value"].to_pandas(),
+                "event_type": b["event_type"],
+                "hour_bucket": pa.array(bucket, pa.int64()),
+                "value": b["value"],
             }
         )
-        g = df.groupby(["event_type", "hour_bucket"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
+        g = t.group_by(["event_type", "hour_bucket"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(["event_type", "hour_bucket", "n", "sum_value"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -212,10 +223,12 @@ def distinct_users(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"event_type": b["event_type"].to_pandas(), "user_id": b["user_id"].to_pandas()}
-        ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # arrow-native per-batch distinct
+        return (
+            pa.table({"event_type": b["event_type"], "user_id": b["user_id"]})
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
     per_pair = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))

@@ -42,21 +42,37 @@ def _broadcast_filter(batch: pa.Table, cfg: DedupeConfig, drop_ref) -> pa.Table:
     return batch.filter(pa.array(~is_dup))
 
 
-def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int = 64):
+@ray.remote
+def _dups_from_assign_blocks(*tables) -> np.ndarray:
+    """Sorted duplicate-id array from assignment blocks — runs as a task so
+    the assignments never land on the driver; the driver only holds the ref."""
+    outs = []
+    for t in tables:
+        if t is None or len(t) == 0:
+            continue
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = t["rep"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        outs.append(u[u != r])
+    if not outs:
+        return np.zeros(0, dtype=np.uint64)
+    return np.sort(np.concatenate(outs))
+
+
+def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int | None = None):
     """Input Dataset + assignments Dataset (u, rep) -> deduplicated Dataset
     (input schema unchanged; duplicates dropped, representatives kept)."""
+    from .util import DEFAULT_PARTITIONS
+
+    P = num_partitions or cfg.num_partitions or DEFAULT_PARTITIONS
     # assignments is small relative to input (one row per clustered node);
     # counting it is metadata-cheap when materialized, and the duplicate set
-    # is pulled in a single pass when it fits the broadcast budget
+    # is reduced to a broadcast drop-array inside a task when it fits the
+    # broadcast budget
     n_assign = assignments.count()
     if n_assign == 0:
         return input_ds
     if n_assign <= BROADCAST_LIMIT:
-        ap = assignments.to_pandas()
-        drop = np.sort(ap.loc[ap["u"] != ap["rep"], "u"].to_numpy().astype(np.uint64))
-        if len(drop) == 0:
-            return input_ds
-        drop_ref = ray.put(drop)
+        drop_ref = _dups_from_assign_blocks.remote(*assignments.to_arrow_refs())
         return input_ds.map_batches(
             functools.partial(_broadcast_filter, cfg=cfg, drop_ref=drop_ref),
             batch_format="pyarrow",
@@ -87,5 +103,5 @@ def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int = 6
         return left.filter(pa.array(keep)).drop_columns(["node_id"])
 
     return raw_cogroup_exchange(
-        with_ids, dups, ["node_id"], ["u"], anti, out_schema, num_partitions
+        with_ids, dups, ["node_id"], ["u"], anti, out_schema, P
     )

@@ -10,18 +10,22 @@ Topology: ``num_actors`` actors; node ``x`` is *owned* by actor
 ``splitmix64(x) % num_actors``.  Edge batches are pre-contracted in the
 routing tasks (vectorised ``numpy_cc``), routed to the owner of each
 forest-pair root, and buffered; actors contract their buffers with the same
-vectorised kernel (no per-edge Python loop anywhere).  Convergence rounds
-then exchange boundary knowledge:
+vectorised kernel (no per-edge Python loop anywhere).
 
-  push: every actor sends ``(x, root(x))`` for each known *foreign* node x to
-        x's owner (transfers cross-partition connectivity toward owners);
-  pull: every actor asks each owner for the current root of its foreign
-        nodes and merges the answers (transfers owner knowledge back).
+Convergence is a *delta* protocol with direct actor-to-actor messages — no
+(node, root) array ever transits the driver, and each round sends only pairs
+whose root changed since the last round:
+
+  * an actor pushes changed pairs for *foreign* nodes to their owner,
+    registering itself as a subscriber for those nodes;
+  * an owner replies to new registrations with its current roots once, then
+    pushes only changed owned roots to the registered subscribers.
 
 Roots only ever decrease (min convention), so the fixpoint exists; rounds
-stop when no actor's owned-assignment fingerprint changes.  At fixpoint the
-owner's root for every node is the global component minimum (property-tested
-against the pure-python oracle on random graphs in tests/test_cc.py).
+stop when no actor sent anything (a root that stopped changing everywhere is
+globally minimal).  At fixpoint the owner's root for every node is the global
+component minimum (property-tested against the pure-python oracle on random
+graphs in tests/test_cc.py).
 
 Merges are idempotent and commutative, so Ray task retries that re-ingest an
 edge batch are harmless (at-least-once delivery is sufficient).
@@ -41,26 +45,52 @@ def owner_of(nodes: np.ndarray, num_actors: int) -> np.ndarray:
     return (splitmix64(nodes.astype(np.uint64)) % np.uint64(num_actors)).astype(np.int64)
 
 
+def _sorted_union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not len(a):
+        return np.unique(b)
+    return np.union1d(a, b)
+
+
 @ray.remote
 class UnionFindActor:
     def __init__(self, actor_id: int, num_actors: int) -> None:
         self.actor_id = actor_id
         self.num_actors = num_actors
+        self.pool: list | None = None  # peer handles (set once per run)
         self.buffers: list[np.ndarray] = []  # pending (n, 2) edge arrays
         self.nodes = np.zeros(0, dtype=np.uint64)  # sorted known nodes
         self.roots = np.zeros(0, dtype=np.uint64)  # component-min per node
+        # delta-exchange state
+        self.last_nodes = np.zeros(0, dtype=np.uint64)
+        self.last_roots = np.zeros(0, dtype=np.uint64)
+        self.interest: dict[int, np.ndarray] = {}  # subscriber -> sorted owned nodes
+        self.pending_reply: dict[int, list[np.ndarray]] = {}  # new registrations
+
+    def set_pool(self, pool: list) -> None:
+        self.pool = pool
 
     def reset(self) -> None:
         self.buffers.clear()
         self.nodes = np.zeros(0, dtype=np.uint64)
         self.roots = np.zeros(0, dtype=np.uint64)
+        self.last_nodes = np.zeros(0, dtype=np.uint64)
+        self.last_roots = np.zeros(0, dtype=np.uint64)
+        self.interest = {}
+        self.pending_reply = {}
 
     def ingest(self, u: np.ndarray, v: np.ndarray) -> int:
         self.buffers.append(np.stack([u, v], axis=1).astype(np.uint64))
         return len(u)
 
-    def union_pairs(self, nodes: np.ndarray, roots: np.ndarray) -> int:
+    def union_pairs(self, nodes: np.ndarray, roots: np.ndarray, register_from: int | None = None) -> int:
         self.buffers.append(np.stack([nodes, roots], axis=1).astype(np.uint64))
+        if register_from is not None:
+            mine = nodes[owner_of(nodes, self.num_actors) == self.actor_id]
+            if len(mine):
+                self.pending_reply.setdefault(register_from, []).append(mine.astype(np.uint64))
+                self.interest[register_from] = _sorted_union(
+                    self.interest.get(register_from, np.zeros(0, np.uint64)), mine.astype(np.uint64)
+                )
         return len(nodes)
 
     def contract(self) -> int:
@@ -80,42 +110,81 @@ class UnionFindActor:
         self.nodes, self.roots = numpy_cc(pairs)
         return len(self.nodes)
 
-    def boundary_pairs(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-        """{owner_actor: (foreign_nodes, their_current_roots)}."""
-        self.contract()
+    def _current_roots_of(self, q: np.ndarray) -> np.ndarray:
+        """Root per requested node against the current forest (unknown -> self)."""
         if not len(self.nodes):
-            return {}
-        owners = owner_of(self.nodes, self.num_actors)
-        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for o in np.unique(owners):
-            if int(o) == self.actor_id:
-                continue
-            m = owners == o
-            out[int(o)] = (self.nodes[m], self.roots[m])
+            return q.astype(np.uint64)
+        pos = np.searchsorted(self.nodes, q)
+        pos_c = np.minimum(pos, len(self.nodes) - 1)
+        found = self.nodes[pos_c] == q
+        out = q.astype(np.uint64).copy()
+        out[found] = self.roots[pos_c[found]]
         return out
 
     def lookup(self, nodes: np.ndarray) -> np.ndarray:
         """Current root per requested node (unknown nodes map to themselves)."""
         self.contract()
-        if not len(self.nodes):
-            return nodes.astype(np.uint64)
-        q = nodes.astype(np.uint64)
-        pos = np.searchsorted(self.nodes, q)
-        pos_c = np.minimum(pos, len(self.nodes) - 1)
-        found = self.nodes[pos_c] == q
-        out = q.copy()
-        out[found] = self.roots[pos_c[found]]
-        return out
+        return self._current_roots_of(nodes.astype(np.uint64))
 
-    def owned_fingerprint(self) -> int:
-        self.contract()
+    def _delta(self) -> tuple[np.ndarray, np.ndarray]:
+        """(nodes, roots) whose root changed since the last exchange round
+        (new nodes count as changed)."""
         if not len(self.nodes):
-            return 0
-        mine = owner_of(self.nodes, self.num_actors) == self.actor_id
-        if not mine.any():
-            return 0
-        mix = splitmix64(splitmix64(self.nodes[mine]) ^ self.roots[mine])
-        return int(np.bitwise_xor.reduce(mix))
+            return self.nodes, self.roots
+        if not len(self.last_nodes):
+            return self.nodes, self.roots
+        pos = np.searchsorted(self.last_nodes, self.nodes)
+        pos_c = np.minimum(pos, len(self.last_nodes) - 1)
+        known = self.last_nodes[pos_c] == self.nodes
+        same = known & (self.last_roots[pos_c] == self.roots)
+        ch = ~same
+        return self.nodes[ch], self.roots[ch]
+
+    def exchange_round(self) -> tuple[int, list]:
+        """One delta round: contract, then send (a) changed foreign pairs to
+        their owners (with registration), (b) registration replies, and
+        (c) changed owned roots to registered subscribers — all directly
+        actor-to-actor.  Returns (pairs_sent, delivery_refs); the driver
+        awaits the refs as the round barrier and stops when every actor sent
+        zero pairs."""
+        assert self.pool is not None, "set_pool() must run before exchange rounds"
+        self.contract()
+        ch_nodes, ch_roots = self._delta()
+        self.last_nodes, self.last_roots = self.nodes.copy(), self.roots.copy()
+        refs: list = []
+        n_sent = 0
+        if len(ch_nodes):
+            owners = owner_of(ch_nodes, self.num_actors)
+            for o in np.unique(owners):
+                if int(o) == self.actor_id:
+                    continue
+                m = owners == o
+                refs.append(
+                    self.pool[int(o)].union_pairs.remote(
+                        ch_nodes[m], ch_roots[m], register_from=self.actor_id
+                    )
+                )
+                n_sent += int(m.sum())
+        # registration replies: current roots for newly-subscribed nodes
+        pending, self.pending_reply = self.pending_reply, {}
+        for sub, arrs in pending.items():
+            q = np.unique(np.concatenate(arrs))
+            refs.append(self.pool[sub].union_pairs.remote(q, self._current_roots_of(q)))
+            n_sent += len(q)
+        # changed owned roots -> subscribers tracking them
+        if len(ch_nodes) and self.interest:
+            mine = owner_of(ch_nodes, self.num_actors) == self.actor_id
+            if mine.any():
+                mn, mr = ch_nodes[mine], ch_roots[mine]
+                for sub, tracked in self.interest.items():
+                    pos = np.searchsorted(tracked, mn)
+                    pos_c = np.minimum(pos, len(tracked) - 1)
+                    hit = len(tracked) > 0
+                    sel = (tracked[pos_c] == mn) if hit else np.zeros(len(mn), bool)
+                    if sel.any():
+                        refs.append(self.pool[sub].union_pairs.remote(mn[sel], mr[sel]))
+                        n_sent += int(sel.sum())
+        return n_sent, refs
 
     def owned_assignments(self) -> pa.Table:
         """Arrow table (u, rep) for nodes this actor owns."""
@@ -129,6 +198,16 @@ class UnionFindActor:
                 "rep": pa.array(self.roots[mine], pa.uint64()),
             }
         )
+
+    def owned_dup_ids(self) -> np.ndarray:
+        """Sorted owned node ids that are duplicates (root != node) — the
+        merge stage's broadcast drop-set, built shard-side."""
+        self.contract()
+        if not len(self.nodes):
+            return np.zeros(0, dtype=np.uint64)
+        mine = owner_of(self.nodes, self.num_actors) == self.actor_id
+        dups = self.nodes[mine & (self.nodes != self.roots)]
+        return np.sort(dups)
 
 
 def _make_router(actors: list, num_actors: int):
@@ -187,38 +266,29 @@ def cluster_edges(
     return converge_and_collect(actors, max_rounds)
 
 
-def converge_and_collect(actors: list, max_rounds: int = 50):
-    """Boundary-exchange rounds to fixpoint, then collect the owned
-    assignments — used by both ``cluster_edges`` and the fused ingest path."""
-    prev_fp = None
+def converge(actors: list, max_rounds: int = 50, stats: dict | None = None) -> None:
+    """Run delta exchange rounds to the global fixpoint.  Per round, every
+    actor contracts and fires its delta messages peer-to-peer; the driver
+    only aggregates sent-pair counts and stops after a round where nothing
+    moved anywhere."""
+    ray.get([a.set_pool.remote(actors) for a in actors])
+    sent_per_round: list[int] = []
     for _ in range(max_rounds):
-        outs = ray.get([a.boundary_pairs.remote() for a in actors])
-        # push foreign knowledge to owners (all actors in parallel)
-        push_refs = []
-        pull_requests: list[list[tuple[int, np.ndarray]]] = [[] for _ in actors]
-        for src, d in enumerate(outs):
-            for owner, (nodes, roots) in d.items():
-                push_refs.append(actors[owner].union_pairs.remote(nodes, roots))
-                pull_requests[src].append((owner, nodes))
-        ray.get(push_refs)
-        # pull owner knowledge back: issue every lookup first, then every
-        # merge — two parallel waves instead of a serial per-pair loop
-        lookup_items = [
-            (src, nodes, actors[owner].lookup.remote(nodes))
-            for src, reqs in enumerate(pull_requests)
-            for owner, nodes in reqs
-        ]
-        roots_list = ray.get([ref for _, _, ref in lookup_items])
-        pull_refs = [
-            actors[src].union_pairs.remote(nodes, roots)
-            for (src, nodes, _), roots in zip(lookup_items, roots_list)
-        ]
-        ray.get(pull_refs)
-        fp = tuple(ray.get([a.owned_fingerprint.remote() for a in actors]))
-        if fp == prev_fp:
+        outs = ray.get([a.exchange_round.remote() for a in actors])
+        ray.get([r for _, refs in outs for r in refs])  # delivery barrier
+        total = sum(n for n, _ in outs)
+        sent_per_round.append(total)
+        if total == 0:
             break
-        prev_fp = fp
+    if stats is not None:
+        stats["rounds"] = len(sent_per_round)
+        stats["sent_per_round"] = sent_per_round
 
+
+def converge_and_collect(actors: list, max_rounds: int = 50, stats: dict | None = None):
+    """Converge, then collect the owned assignments as a Dataset — used by
+    both ``cluster_edges`` and the fused ingest path."""
+    converge(actors, max_rounds, stats)
     tables = [a.owned_assignments.remote() for a in actors]
     import ray.data as rd
 
