@@ -20,7 +20,7 @@ import ray
 from ..config import DedupeConfig
 from ..hashing import hash64_str_array, simhash64, splitmix64
 from ..stages.candidates import KIND_PHASH, candidate_edges
-from ..stages.util import ensure_schema, partition_groupby
+from ..stages.util import partition_groupby
 
 
 def embedding_matrix(b: pa.Table, vec_col: str) -> np.ndarray:
@@ -124,6 +124,8 @@ def ann_topk(ds, query_vectors: np.ndarray, k: int, vec_col: str = "embedding", 
         )
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        return empty
     out = []
     for qi, grp in cand.groupby("query_idx"):
         grp = grp.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
@@ -394,6 +396,16 @@ def simhash_candidates(ds, cfg: DedupeConfig, text_col: str, id_col: str):
 # ----------------------------------------- exact word-set Jaccard similarity
 
 
+def jaccard_prefix(h: np.ndarray, df: np.ndarray, threshold: float) -> np.ndarray:
+    """Prefix tokens under the global (df asc, hash asc) order: the first
+    |d| - ceil(t*|d|) + 1 tokens — any J>=t pair must share a token lying in
+    BOTH docs' prefixes (Bayardo all-pairs / Chaudhuri prefix-filter bound),
+    so only these enter the inverted index."""
+    order = np.lexsort((h, df))
+    L = len(h) - int(np.ceil(threshold * len(h))) + 1
+    return h[order[:L]]
+
+
 def word_jaccard_pairs(
     ds, threshold: float, text_col: str, id_col: str, max_df_entries: int = 5_000_000
 ):
@@ -487,10 +499,8 @@ def word_jaccard_pairs(
             if len(dft):
                 found = dft[pos_c] == h
                 df[found] = dfc[pos_c[found]]
-            # global order: (df asc, token asc) — rarest first
-            order = np.lexsort((h, df))
-            L = n - int(np.ceil(threshold * n)) + 1
-            prefix = h[order[:L]]
+            prefix = jaccard_prefix(h, df, threshold)
+            L = len(prefix)
             out_tok.append(prefix)
             out_id.append(np.full(L, int(ids[i]), np.int64))
             for _ in range(L):

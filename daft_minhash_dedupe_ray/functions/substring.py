@@ -9,19 +9,23 @@ Two modes:
   exact tool and the oracle for the partitioned path.
 
 * ``substring_dup_pairs(..., exact=False)`` — the scale path: each caption is
-  routed (with its text) to up to three partitions keyed by its FIRST, LAST
-  and MINIMUM word-5-gram shingle hash; within each partition a numpy
+  routed (with its text) to partitions keyed by its *winnowing anchors* —
+  the minimum shingle hash of every sliding window of ``window`` shingles
+  (Schleimer/Wilkerson/Aiken winnowing); within each partition a numpy
   prefix-doubling suffix array over the concatenated corpus answers
   "does caption A occur inside any other caption here?" exactly.
 
-  Partitioning assumption (documented per the build brief): a contained
-  caption A ⊆ B shares *all* its shingles with B, so A's first/last/min
-  shingle each occur in B — but B is routed by B's *own* first/last/min.
-  The pass therefore guarantees detection of prefix truncations (first
-  shingles equal), suffix truncations (last shingles equal), and pairs
-  whose container's minimum shingle lies inside the contained span; interior
-  substrings at other offsets can be missed.  Those three classes cover the
-  dominant dedup cases (truncated/extended captions).
+  Partitioning guarantee (the winnowing locality property): anchor selection
+  depends only on the window's content, and a contained caption A ⊆ B
+  contributes the *same* shingle windows to B, so every anchor of A is also
+  an anchor of B — A and B co-locate in every one of A's anchor partitions,
+  for containments at ANY offset (not just prefix/suffix truncations),
+  whenever A has at least ``window`` shingles.  Captions shorter than
+  ``window`` shingles route by all their shingles instead (equal-text pairs
+  still collapse; containment of a sub-window-size caption inside an
+  unrelated container is the one documented recall gap — those are
+  few-token captions better served by the MinHash pass).  Expected fan-out
+  is ~2·m/window anchor copies for an m-shingle caption.
 
 Detected pairs are ordinary ``(u, v)`` edges — union them into the MinHash
 edge stream ahead of clustering (``MinHashDedupePipeline.assignments``).
@@ -154,9 +158,12 @@ def _partition_substring_pairs(batch: pa.Table) -> pa.Table:
     )
 
 
-def substring_dup_pairs(ds, cfg: DedupeConfig, exact: bool = False):
+def substring_dup_pairs(ds, cfg: DedupeConfig, exact: bool = False, window: int = 8):
     """Dataset -> (u, v) pairs where one normalized caption occurs inside the
-    other (see module docstring for the two modes)."""
+    other (see module docstring for the two modes).  ``window`` is the
+    winnowing window (in shingles) of the partitioned mode's anchor routing:
+    smaller windows raise fan-out and recall floor, larger windows cut
+    shuffle volume."""
     flags = cfg.normalize
 
     if exact:
@@ -205,7 +212,13 @@ def substring_dup_pairs(ds, cfg: DedupeConfig, exact: bool = False):
             if hi <= lo or not t:
                 continue
             sh = flat[lo:hi]
-            for key in {int(sh[0]), int(sh[-1]), int(sh.min())}:
+            if len(sh) >= window:
+                # winnowing anchors: min shingle hash per sliding window
+                roll = np.lib.stride_tricks.sliding_window_view(sh, window)
+                keys = set(roll.min(axis=1).tolist())
+            else:
+                keys = set(sh.tolist())
+            for key in keys:
                 out_nodes.append(int(nodes[i]))
                 out_keys.append(key)
                 out_texts.append(t)

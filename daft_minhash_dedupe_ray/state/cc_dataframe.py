@@ -167,6 +167,39 @@ def edge_fingerprint(edges) -> tuple[int, int]:
     return int(parts["n"].sum()), x
 
 
+def pair_sets_equal(a, b, cfg: DedupeConfig, cols: tuple[str, str] = ("u", "v")) -> bool:
+    """EXACT distributed set equality of two pair Datasets — the anti-join
+    confirmation behind the fingerprint pre-check (SURVEY §2.E3; reference
+    ``friction/connected_components.py:88-93`` counts anti-join rows, and
+    ``workload/minhash_dedupe.py:379-385`` compares driver-side sets).  Both
+    sides are hash-partitioned on the pair, each partition compares its
+    co-located deduped shards, and the mismatch counts are summed — no pair
+    set ever lands on the driver."""
+    from ..stages.util import raw_cogroup_exchange
+
+    c0, c1 = cols
+    schema = pa.schema([("neq", pa.int64())])
+
+    def arr(t: pa.Table | None, ca: str, cb: str) -> np.ndarray:
+        if t is None or len(t) == 0:
+            return np.zeros((0, 2), np.uint64)
+        x = t[ca].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = t[cb].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return np.unique(np.stack([x, y], axis=1), axis=0)
+
+    def cmp(left: pa.Table | None, right: pa.Table | None) -> pa.Table:
+        la = arr(left, c0, c1)
+        rb = arr(right, c0, c1)
+        eq = la.shape == rb.shape and np.array_equal(la, rb)
+        return pa.table({"neq": pa.array([0 if eq else 1], pa.int64())})
+
+    out = raw_cogroup_exchange(
+        a, b, [c0, c1], [c0, c1], cmp, schema,
+        cfg.num_partitions or DEFAULT_PARTITIONS,
+    )
+    return int(out.sum("neq")) == 0
+
+
 def connected_components_dataframe(edges, cfg: DedupeConfig):
     """Edge Dataset (u, v), already distinct -> assignments Dataset (u, rep)
     with rep = global component min.  Driver loop per reference E4
@@ -180,6 +213,7 @@ def connected_components_dataframe(edges, cfg: DedupeConfig):
         return b  # empty assignments
 
     prev_fp = None
+    prev_b = None
     for _ in range(cfg.max_cc_iterations):
         if algorithm == "two_phase":
             inner_prev = None
@@ -194,9 +228,15 @@ def connected_components_dataframe(edges, cfg: DedupeConfig):
             b = _dedup_uv(large_star(b, cfg), cfg).materialize()
             b = _dedup_uv(small_star(b, cfg), cfg).materialize()
         fp = edge_fingerprint(canonicalize(b))
-        if fp == prev_fp:
+        # fast fingerprint pre-check, then EXACT anti-join set equality of
+        # consecutive rounds' edge sets (E3): a 2^-64 xor collision can never
+        # terminate the loop early
+        if fp == prev_fp and prev_b is not None and pair_sets_equal(
+            _dedup_uv(canonicalize(prev_b), cfg), _dedup_uv(canonicalize(b), cfg), cfg
+        ):
             break
         prev_fp = fp
+        prev_b = b
 
     assignments = construct_assignments(b, cfg)
     return global_min_label_propagation(b, assignments, cfg)
@@ -312,6 +352,7 @@ def global_min_label_propagation(edges, assignments, cfg: DedupeConfig):
     edge_msgs = sym.map_batches(edges_as_msgs, batch_format="pyarrow").materialize()
 
     prev_fp = None
+    prev_labels = None
     for _ in range(cfg.max_cc_iterations):
         msgs = edge_msgs.union(labels.map_batches(labels_as_msgs, batch_format="pyarrow"))
         forwarded = partition_groupby(msgs, ["node"], forward, ASSIGN_SCHEMA, num_partitions=P)
@@ -323,7 +364,11 @@ def global_min_label_propagation(edges, assignments, cfg: DedupeConfig):
                 lambda b: pa.table({"u": b["u"], "v": b["rep"]}), batch_format="pyarrow"
             )
         )
-        if fp == prev_fp:
+        # fingerprint pre-check + exact set-equality confirmation (E3)
+        if fp == prev_fp and prev_labels is not None and pair_sets_equal(
+            prev_labels, labels, cfg, cols=("u", "rep")
+        ):
             break
         prev_fp = fp
+        prev_labels = labels
     return labels
