@@ -183,9 +183,12 @@ def run_scaling() -> dict:
     # a single node's bandwidth, not a multi-node cluster where each node
     # brings its own memory (see BASELINE.md for the 8 -> 32 data).
     lo, hi = 2, 8
-    # scaling runs use a 4x-larger table than the per-round bench so compute
-    # dominates fixed coordination cost at both parallelism levels
-    n_rows = synth_rows_for_sf(SF_DIR) * 4
+    # scaling runs use an 8x-larger table than the per-round bench (same
+    # input at BOTH levels — strong scaling) so compute dominates the fixed
+    # coordination constants (pipeline startup, exchange barriers, actor
+    # round-trips) at the high-parallelism level; a ~40s job at 8 CPUs is
+    # ~20% constants, a ~90s job ~8%
+    n_rows = synth_rows_for_sf(SF_DIR) * 8
     synth_path(n_rows)  # pre-generate so both runs read identical bytes
 
     def run_once(ncpu: int) -> dict:

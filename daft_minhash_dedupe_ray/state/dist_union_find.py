@@ -94,19 +94,58 @@ class UnionFindActor:
         return len(nodes)
 
     def contract(self) -> int:
-        """Merge buffered edges with the existing forest via vectorised CC."""
+        """Merge buffered edges with the existing forest via vectorised CC.
+
+        Incremental path: when the buffered delta is small relative to the
+        forest (the convergence rounds' regime), the forest is NOT re-CC'd.
+        Buffered endpoints resolve to their current roots, CC runs over the
+        tiny root-pair graph only, and the result scatters back through a
+        sorted remap — O(delta·log delta + n) instead of O(n log n) per
+        round.  Falls back to full CC when the delta is large (bulk ingest)."""
         if not self.buffers:
             return len(self.nodes)
         parts = list(self.buffers)
         self.buffers.clear()
-        if len(self.nodes):
+        delta = np.concatenate(parts)
+        n_forest = len(self.nodes)
+        if n_forest and len(delta) <= n_forest // 8:
+            flat = delta.reshape(-1)
+            known_roots = self._current_roots_of(flat)
+            # CC over the root-level graph of the delta (plus self-pairs so
+            # brand-new nodes stay known)
+            root_pairs = known_roots.reshape(-1, 2)
+            sub_nodes, sub_roots = numpy_cc(root_pairs)
+            # remap every forest root through the contraction of its root
+            pos = np.searchsorted(sub_nodes, self.roots)
+            pos_c = np.minimum(pos, len(sub_nodes) - 1)
+            hit = sub_nodes[pos_c] == self.roots
+            self.roots = np.where(hit, sub_roots[pos_c], self.roots)
+            # insert delta nodes the forest didn't know yet
+            ins = np.searchsorted(self.nodes, flat)
+            ins_c = np.minimum(ins, n_forest - 1)
+            new_mask = self.nodes[ins_c] != flat
+            if new_mask.any():
+                new_nodes = np.unique(flat[new_mask])
+                # their root: contraction of their own root-level component
+                p2 = np.searchsorted(sub_nodes, new_nodes)
+                p2c = np.minimum(p2, len(sub_nodes) - 1)
+                h2 = sub_nodes[p2c] == new_nodes
+                new_roots = np.where(h2, sub_roots[p2c], new_nodes)
+                merged_n = np.concatenate([self.nodes, new_nodes])
+                merged_r = np.concatenate([self.roots, new_roots])
+                order = np.argsort(merged_n, kind="stable")
+                self.nodes, self.roots = merged_n[order], merged_r[order]
+            return len(self.nodes)
+        if n_forest:
             m = self.nodes != self.roots
             parts.append(np.stack([self.roots[m], self.nodes[m]], axis=1))
             # keep isolated known nodes as self-edges so they stay known
             iso = ~m
             if iso.any():
                 parts.append(np.stack([self.nodes[iso], self.nodes[iso]], axis=1))
-        pairs = np.concatenate(parts)
+            pairs = np.concatenate(parts)
+        else:
+            pairs = delta
         self.nodes, self.roots = numpy_cc(pairs)
         return len(self.nodes)
 
