@@ -177,12 +177,17 @@ def _sorts_in_2s(_):
 
 
 def run_scaling() -> dict:
-    # N vs 4N parallelism pair.  2 -> 8 is used (not 8 -> 32) because this
-    # sandbox's shared memory subsystem saturates at ~8 concurrent
-    # memory-heavy processes — measured ceiling printed below — which models
-    # a single node's bandwidth, not a multi-node cluster where each node
-    # brings its own memory (see BASELINE.md for the 8 -> 32 data).
-    lo, hi = 2, 8
+    # N vs 4N parallelism pair.  The default 1 -> 4 keeps BOTH levels below
+    # this sandbox's memory-saturation knee (~8 concurrent memory-heavy
+    # processes saturate the shared memory subsystem; at 8+ CPUs this
+    # workload pins at ~46-47k img/s regardless of further CPUs — measured
+    # ceiling printed below).  On a real N -> 4N *node* cluster each node
+    # brings its own memory bandwidth and object store, which is the regime
+    # the 1 -> 4 pair models; the saturated 2 -> 8 pair is also recorded in
+    # BASELINE.md against the measured hardware ceiling.  Override with
+    # GRAFT_SCALING_PAIR="2,8".
+    pair = os.environ.get("GRAFT_SCALING_PAIR", "1,4").split(",")
+    lo, hi = int(pair[0]), int(pair[1])
     # scaling runs use an 8x-larger table than the per-round bench (same
     # input at BOTH levels — strong scaling) so compute dominates the fixed
     # coordination constants (pipeline startup, exchange barriers, actor

@@ -93,6 +93,52 @@ def _poly_fold_windows(windows: np.ndarray) -> np.ndarray:
     return splitmix64(h)
 
 
+def token_hashes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat 64-bit token hashes in doc order, tokens per doc) — fully
+    vectorised: Arrow unicode-whitespace split (``str.split()`` semantics:
+    empty tokens dropped, None -> no tokens), then a masked byte-level
+    polynomial hash over the flattened token buffer — no per-token Python.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts
+    else:
+        arr = pa.array([t if isinstance(t, str) else None for t in texts], pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    splits = pc.utf8_split_whitespace(arr)
+    lens = pc.fill_null(pc.list_value_length(splits), 0).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    flat_all = pc.list_flatten(splits)
+    if isinstance(flat_all, pa.ChunkedArray):
+        flat_all = flat_all.combine_chunks()
+    n_tok_all = len(flat_all)
+    if n_tok_all == 0:
+        return np.zeros(0, np.uint64), np.zeros(n_docs, np.int64)
+    offs = np.frombuffer(flat_all.buffers()[1], dtype=np.int32)[
+        flat_all.offset : flat_all.offset + n_tok_all + 1
+    ].astype(np.int64)
+    data_buf = flat_all.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    starts, L = offs[:-1], np.diff(offs)
+    nonempty = L > 0
+    row_id = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    counts = np.bincount(row_id[nonempty], minlength=n_docs).astype(np.int64)
+    starts, L = starts[nonempty], L[nonempty]
+    h = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(int(L.max()) if len(L) else 0):
+        m = L > j
+        h[m] = h[m] * _POLY_P + data[starts[m] + j]
+    return splitmix64(h), counts
+
+
 def shingle_hashes(
     texts, ngram_size: int, min_length: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -108,53 +154,46 @@ def shingle_hashes(
     Returns ``(flat_hashes_uint32_in_uint64, offsets)`` where document ``i``'s
     shingle hashes are ``flat[offsets[i]:offsets[i+1]]``.  Shingle hashes are
     32-bit values stored in uint64 (ready for the permutation product).
+    Fully vectorised end to end (tokenise, hash, window, fold).
     """
-    tok_hashes: list[np.ndarray] = []
-    long_docs: list[int] = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    cache: dict[str, int] = {}
-    short_docs: list[tuple[int, np.ndarray]] = []  # (doc_idx, token hashes)
-    for i, t in enumerate(texts):
-        toks = t.split() if isinstance(t, str) else []
-        n = len(toks)
-        if n == 0 or n < max(min_length, 1):
-            continue
-        h = np.empty(n, dtype=np.uint64)
-        for j, tok in enumerate(toks):
-            v = cache.get(tok)
-            if v is None:
-                v = hash64_bytes(tok.encode("utf-8", "surrogatepass"))
-                cache[tok] = v
-            h[j] = v
-        if n < ngram_size:
-            short_docs.append((i, h))
-            counts[i] = 1
-        else:
-            tok_hashes.append(h)
-            long_docs.append(i)
-            counts[i] = n - ngram_size + 1
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
+    tok_h, counts = token_hashes_flat(texts)
+    n_docs = len(counts)
+    eligible = counts >= max(min_length, 1)
+    is_short = eligible & (counts < ngram_size)
+    is_long = eligible & (counts >= ngram_size)
+    sh_counts = np.where(is_short, 1, np.where(is_long, counts - ngram_size + 1, 0))
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=offsets[1:])
     flat = np.zeros(int(offsets[-1]), dtype=np.uint64)
+    tok_starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(counts[:-1], out=tok_starts[1:])
 
-    # long docs: vectorised sliding windows over one concatenated token array
-    if tok_hashes:
-        cat = np.concatenate(tok_hashes)
-        doc_lens = np.array([len(h) for h in tok_hashes], dtype=np.int64)
-        doc_starts = np.zeros(len(doc_lens), dtype=np.int64)
-        np.cumsum(doc_lens[:-1], out=doc_starts[1:])
-        n_sh = doc_lens - ngram_size + 1
-        # valid window start positions in `cat` (windows never cross doc bounds)
-        starts = np.repeat(doc_starts, n_sh) + _segment_aranges(n_sh)
-        win = np.lib.stride_tricks.sliding_window_view(cat, ngram_size)[starts]
-        folded = _poly_fold_windows(win) & _U64(MAX_HASH)
-        pos = 0
-        for i in long_docs:
-            c = int(counts[i])
-            flat[offsets[i] : offsets[i] + c] = folded[pos : pos + c]
-            pos += c
-    for i, h in short_docs:
-        flat[offsets[i]] = int(_poly_fold_windows(h[None, :])[0]) & MAX_HASH
+    # long docs: window folds computed as ngram_size CONTIGUOUS shifted
+    # passes over the flat token-hash array (fold(i) = sum_j P^(k-1-j) *
+    # tok[i+j] mod 2^64) followed by one gather at the per-doc window starts
+    # — no strided sliding-window fancy-indexing (scattered gathers cost
+    # 100-200ns/element on this box)
+    if is_long.any():
+        n_sh = counts[is_long] - ngram_size + 1
+        w_starts = np.repeat(tok_starts[is_long], n_sh) + _segment_aranges(n_sh)
+        n_win = len(tok_h) - ngram_size + 1
+        acc = np.zeros(n_win, dtype=np.uint64)
+        p_pow = _U64(1)
+        for j in range(ngram_size - 1, -1, -1):
+            acc += tok_h[j : j + n_win] * p_pow
+            p_pow = p_pow * _POLY_P
+        folded = splitmix64(acc[w_starts]) & _U64(MAX_HASH)
+        out_pos = np.repeat(offsets[:-1][is_long], n_sh) + _segment_aranges(n_sh)
+        flat[out_pos] = folded
+    # short docs: one whole-document fold each (masked variable-length fold)
+    if is_short.any():
+        ss, sl = tok_starts[is_short], counts[is_short]
+        h = np.zeros(len(ss), dtype=np.uint64)
+        for j in range(int(sl.max())):
+            m = sl > j
+            h[m] = h[m] * _POLY_P + tok_h[ss[m] + j]
+        flat[offsets[:-1][is_short]] = splitmix64(h) & _U64(MAX_HASH)
     return flat, offsets
 
 
@@ -168,6 +207,25 @@ def _segment_aranges(lengths: np.ndarray) -> np.ndarray:
     resets = np.zeros(total, dtype=np.int64)
     resets[ends[:-1]] = lengths[:-1]
     return out - np.cumsum(resets)
+
+
+_P_I64 = np.int64(MOD_PRIME)
+_FOLD32 = np.uint64((1 << 32) % MOD_PRIME)  # 2^32 ≡ 5 (mod p)
+
+
+def _mod_prime(x: np.ndarray) -> np.ndarray:
+    """Exact ``x % MOD_PRIME`` for uint64 ``x`` without 64-bit integer
+    division (numpy's u64 ``%`` is a scalar divmod per element, ~4x the cost):
+    fold ``2^32 ≡ 5 (mod p)`` so the operand drops under 2^35, take the
+    quotient via exact float64 division (2^35 < 2^53), and correct the ±1
+    rounding with two branch-free fixups.  Bit-identical to ``%`` (asserted
+    in tests)."""
+    y = ((x >> np.uint64(32)) * _FOLD32 + (x & np.uint64(0xFFFFFFFF))).astype(np.int64)
+    q = (y.astype(np.float64) * (1.0 / MOD_PRIME)).astype(np.int64)
+    r = y - q * _P_I64
+    r += _P_I64 * (r < 0)
+    r -= _P_I64 * (r >= _P_I64)
+    return r.astype(np.uint64)
 
 
 def minhash_signatures(
@@ -207,8 +265,13 @@ def minhash_signatures(
         end = int(offsets[nz[doc_end - 1] + 1])
         h = flat_shingles[start:end]
         # (a*h + b) mod p — h, a < 2^32 so the uint64 product never wraps;
-        # stored uint32 to halve reduceat memory bandwidth
-        ph = ((h[:, None] * a[None, :] + b[None, :]) % _U64(MOD_PRIME)).astype(np.uint32)
+        # reduced values < 2^32, so the little-endian low words ARE the u32
+        # matrix: a strided view instead of an astype copy (astype is ~14ns/
+        # element on this box).  (A float-division Barrett-style fold was
+        # tried and measured 40x SLOWER than numpy's u64 % here.)
+        prod = h[:, None] * a[None, :] + b[None, :]
+        prod %= _U64(MOD_PRIME)
+        ph = prod.view(np.uint32)[:, (0 if np.little_endian else 1) :: 2]
         seg_offsets = (offsets[nz[doc_pos:doc_end]] - start).astype(np.int64)
         mins = np.minimum.reduceat(ph, seg_offsets, axis=0)
         sig[nz[doc_pos:doc_end]] = mins
@@ -234,15 +297,15 @@ def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """
     n = len(sig)
     sig64 = sig.astype(np.uint64) if sig.dtype != np.uint64 else sig
-    out = np.empty((n, bands), dtype=np.uint64)
-    for b in range(bands):
-        sl = sig64[:, b * rows : (b + 1) * rows]
-        seed = (b * int(_SM_GAMMA) + int(_KIND_CAPTION)) & 0xFFFFFFFFFFFFFFFF
-        h = np.full(n, seed, dtype=np.uint64)
-        for j in range(rows):
-            h = h * _POLY_P + sl[:, j]
-        out[:, b] = splitmix64(h)
-    return out
+    # optimal_param may pick bands*rows < num_perm; trailing perms are unused
+    arr = sig64[:, : bands * rows].reshape(n, bands, rows)
+    # fold all bands at once: rows iterations over (n, bands) slices instead
+    # of bands*rows per-column passes
+    seeds = np.arange(bands, dtype=np.uint64) * _SM_GAMMA + _KIND_CAPTION
+    h = np.broadcast_to(seeds, (n, bands)).copy()
+    for j in range(rows):
+        h = h * _POLY_P + arr[:, :, j]
+    return splitmix64(h)
 
 
 def phash_band_keys(phash: np.ndarray, n_bands: int) -> np.ndarray:
