@@ -188,6 +188,20 @@ def _cosine_pairs_lsh(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _embedding_dedupe(sf_dir: str):
+    """Embedding-cosine near-dup REMOVAL: exact pair graph -> union-find
+    components -> keep min-id per component.  SQL-checked via a recursive-CTE
+    transitive closure (the one clustering query DuckDB can replicate)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import embedding_dedupe
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_dedupe(ds, threshold=0.3, num_actors=4)
+    pdf = out.select_columns(["vec_id"]).to_pandas().sort_values("vec_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _substring_pairs(sf_dir: str):
     from daft_minhash_dedupe_ray.config import DedupeConfig, NormalizeFlags
     from daft_minhash_dedupe_ray.functions.substring import substring_dup_pairs
@@ -289,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
         "ann_topk": _ann_topk,  # SQL-checked
         "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # SQL-checked (banded LSH + verify)
+        "embedding_dedupe": _embedding_dedupe,  # SQL-checked (recursive-CTE CC oracle)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "minhash_dedupe_docs": _minhash_dedupe_docs,  # rows-only (oracle in tests/)
         "simhash_dedupe_docs": _simhash_dedupe_docs,  # rows-only
@@ -415,6 +430,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
             ORDER BY u, v
+        """,
+        "embedding_dedupe": """
+            WITH RECURSIVE edge AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edge
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u WHERE e.v <> r.u
+            ),
+            rep AS (
+                SELECT e.vec_id,
+                       least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS rep
+                FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+                GROUP BY e.vec_id
+            )
+            SELECT vec_id FROM rep WHERE rep = vec_id ORDER BY vec_id
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

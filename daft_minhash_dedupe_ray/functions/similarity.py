@@ -585,6 +585,45 @@ def word_jaccard_pairs(
     return partition_groupby(cand, ["u", "v"], dedup, out_schema)
 
 
+# ------------------------------------------------- embedding near-dup dedupe
+
+
+def embedding_dedupe(
+    ds,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_actors: int = 4,
+    force_lsh: bool = False,
+):
+    """Embedding-cosine near-duplicate REMOVAL (not just pair detection):
+    cosine pairs (exact blocked tiles, or banded LSH at scale) -> union-find
+    clustering over the pair graph -> keep the min-id row per component.
+
+    The full training-data dedupe composition over an embedding column —
+    same cluster/merge machinery as the MinHash flagship, different
+    similarity front-end.  Returns the surviving rows of ``ds``.
+    """
+    from ..config import DedupeConfig
+    from ..stages.merge import merge_keep
+    from ..state.dist_union_find import cluster_edges
+
+    pairs = cosine_dup_pairs(ds, threshold, vec_col, id_col, force_lsh=force_lsh)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(b["u"], pa.int64()).cast(pa.uint64()),
+                "v": pc.cast(b["v"], pa.int64()).cast(pa.uint64()),
+            }
+        )
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow")
+    assign = cluster_edges(edges, num_actors=num_actors)
+    cfg = DedupeConfig(index_col=id_col, content_col=id_col, phash_col=None)
+    return merge_keep(ds, assign, cfg)
+
+
 # ------------------------------------------------------------------ IVF ANN
 
 

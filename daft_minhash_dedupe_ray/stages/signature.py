@@ -67,8 +67,9 @@ class SignatureStage:
         cfg = self.cfg
         nodes = node_ids_for(batch, cfg)
         norm = normalize_array(batch[cfg.content_col], cfg.normalize)
-        texts = norm.to_pylist()
-        flat, offsets = shingle_hashes(texts, cfg.ngram_size, cfg.min_length)
+        # normalize_array returns an Arrow array; shingle_hashes consumes it
+        # zero-copy (no to_pylist round-trip)
+        flat, offsets = shingle_hashes(norm, cfg.ngram_size, cfg.min_length)
         sig, has_sig = minhash_signatures(flat, offsets, self.a, self.b)
         return nodes, sig, has_sig
 

@@ -143,6 +143,49 @@ def test_cosine_lsh_banded_matches_exact(ray_session):
     assert len(exact) >= 40
 
 
+def test_embedding_dedupe_matches_oracle(ray_session):
+    """Pairs -> union-find -> min-id survivor, vs a pure-python oracle."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import embedding_dedupe
+    from daft_minhash_dedupe_ray.state.union_find import UnionFind
+
+    rng = np.random.RandomState(11)
+    n, d = 400, 16
+    base = rng.randn(n, d)
+    for k in range(30):  # planted duplicate chains: k ~ k+200 ~ (some) k+201
+        base[k + 200] = base[k] + rng.randn(d) * 0.03
+        if k % 3 == 0:
+            base[k + 230] = base[k + 200] + rng.randn(d) * 0.03
+    base = base.astype(np.float32).astype(np.float64)  # what the table stores
+    en = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = en @ en.T
+    uf = UnionFind()
+    for i in range(n):
+        uf.find(i)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= 0.95:
+                uf.union(i, j)
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(uf.find(i), []).append(i)
+    expect = sorted(min(m) for m in comps.values())
+
+    flat = pa.array(base.astype(np.float32).ravel(), pa.float32())
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(flat, d),
+            }
+        )
+    )
+    out = embedding_dedupe(ds, threshold=0.95, num_actors=3)
+    got = sorted(out.select_columns(["vec_id"]).to_pandas()["vec_id"])
+    assert got == expect
+
+
 # --------------------------------------------------- delta union-find exchange
 
 
