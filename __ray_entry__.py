@@ -291,6 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "user_sessions": R.user_sessions,
         "distinct_users": R.distinct_users,
+        "events_running": R.events_running,  # SQL-checked (window aggregate)
+        "events_prior_spend": R.events_prior_spend,  # SQL-checked (as-of/range join)
+        "value_quantiles": R.value_quantiles,  # SQL-checked (exact distributed quantiles)
         # text ops (SQL-checked)
         "normalize_docs": _normalize_docs,
         "token_counts": _token_counts,
@@ -347,6 +350,32 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_running": """
+            SELECT event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS seq,
+                   round(sum(value) OVER w, 2) AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "events_prior_spend": """
+            SELECT e.event_id,
+                   count(o.o_orderkey) AS n_prior_orders,
+                   round(coalesce(sum(o.o_totalprice), 0), 2) AS prior_spend,
+                   epoch_us(max(o.o_orderdate)) AS asof_us
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
+            ORDER BY e.event_id
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "user_sessions": """
             SELECT user_id,

@@ -137,6 +137,8 @@ def run_bench() -> dict:
         ("q1_pricing_summary", R.q1_pricing_summary),
         ("events_hourly", R.events_hourly),
         ("top_customers", R.top_customers),
+        ("events_running", R.events_running),
+        ("events_prior_spend", R.events_prior_spend),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -213,16 +213,19 @@ def cosine_dup_pairs(
         )
 
     # ~sqrt-sized blocks keep the task count (B*(B+1)/2) and per-task flops
-    # balanced; each block is a few MB of normalized float64
+    # balanced; each block is a few MB of normalized float64.  The block
+    # split must be EXPLICIT (repartition): map_batches batch_size only
+    # chunks the UDF input — Ray coalesces task *outputs* up to the target
+    # block size, which would collapse the tiling into one giant task whose
+    # sims matrix is O(n^2) memory.
     block_rows = max(1024, int(np.sqrt(max(n_rows, 1)) * 8))
-    blocks = [
-        r
-        for r in (
-            ds.select_columns([id_col, vec_col])
-            .map_batches(norm_block, batch_format="pyarrow", batch_size=block_rows)
-            .to_arrow_refs()
-        )
-    ]
+    n_blocks = max(1, -(-n_rows // block_rows))
+    src = ds.select_columns([id_col, vec_col])
+    if n_blocks > 1:
+        src = src.repartition(n_blocks)
+    blocks = list(
+        src.map_batches(norm_block, batch_format="pyarrow", batch_size=None).to_arrow_refs()
+    )
     out_refs = []
     for i in range(len(blocks)):
         out_refs.append(_block_pair_sims.remote(blocks[i], None, threshold, id_col))

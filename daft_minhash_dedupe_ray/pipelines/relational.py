@@ -217,6 +217,208 @@ def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def events_running(sf_dir: str) -> pa.Table:
+    """Running-window aggregate (``SUM(value) OVER (PARTITION BY user
+    ORDER BY ts ROWS UNBOUNDED PRECEDING)``) — the windowed-aggregate
+    operator Ray Data lacks, expressed as a partition-granular keyed
+    exchange: every user's rows land in one partition, the kernel sorts by
+    (user, ts, event_id) and computes all users' cumulative sums in one
+    vectorised pass (no per-group UDF calls).  Partitioning assumption:
+    one user's history fits a partition — true for event logs, and the
+    partition count scales the per-shard volume at 100 TB."""
+    from ..stages.util import partition_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("seq", pa.int64()), ("running_value", pa.float64())]
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, val = u[order], eid[order], val[order]
+        # int64 run markers (bool cumsum is pathologically slow on this box)
+        new_user = np.empty(len(u), dtype=np.int64)
+        new_user[0] = 1
+        new_user[1:] = u[1:] != u[:-1]
+        run_id = np.cumsum(new_user) - 1
+        starts = np.flatnonzero(new_user)
+        seq = np.arange(len(u), dtype=np.int64) - starts[run_id] + 1
+        before = np.cumsum(val) - val  # sum strictly before each row
+        running = val + (before - before[starts][run_id])
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "running_value": pa.array(np.round(running, 2), pa.float64()),
+            }
+        )
+
+    out = partition_groupby(
+        ds.map_batches(to_us, batch_format="pyarrow"), ["user_id"], kernel, schema
+    )
+    pdf = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def events_prior_spend(sf_dir: str) -> pa.Table:
+    """As-of / range-join aggregate: for every event, the same customer's
+    order history *up to the event time* (count, total spend, latest order
+    date).  Distributed shape: cogroup exchange on (user_id = o_custkey);
+    within a partition the kernel rank-compresses order dates, builds a
+    composite (cust, date-rank) key sorted once, and answers every event
+    with two vectorised ``searchsorted`` probes + a prefix-sum — no per-row
+    loop, no pairwise join blow-up (the joined row count never exists)."""
+    from ..stages.util import raw_cogroup_exchange
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "date_us": pc.cast(b["o_orderdate"], pa.int64()),
+                "o_totalprice": b["o_totalprice"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("n_prior_orders", pa.int64()),
+            ("prior_spend", pa.float64()),
+            ("asof_us", pa.int64()),
+        ]
+    )
+
+    def kernel(left: pa.Table | None, right: pa.Table | None) -> pa.Table:
+        if left is None or len(left) == 0:
+            return schema.empty_table()
+        eid = left["event_id"].to_numpy(zero_copy_only=False)
+        ecust = left["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ets = left["ts_us"].to_numpy(zero_copy_only=False)
+        if right is None or len(right) == 0:
+            z = np.zeros(len(eid), dtype=np.int64)
+            return pa.table(
+                {
+                    "event_id": pa.array(eid, pa.int64()),
+                    "n_prior_orders": pa.array(z, pa.int64()),
+                    "prior_spend": pa.array(z.astype(np.float64), pa.float64()),
+                    "asof_us": pa.array(z, pa.int64(), mask=np.ones(len(eid), bool)),
+                }
+            )
+        ocust = right["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        odate = right["date_us"].to_numpy(zero_copy_only=False)
+        oprice = right["o_totalprice"].to_numpy(zero_copy_only=False)
+        # rank-compress dates so (cust, rank) packs into one int64 key
+        ud = np.sort(odate)
+        ud = ud[np.r_[True, ud[1:] != ud[:-1]]]
+        M = np.int64(len(ud) + 2)
+        okey = ocust * M + (np.searchsorted(ud, odate) + 1)
+        oorder = np.argsort(okey, kind="stable")
+        okey_s = okey[oorder]
+        date_s = odate[oorder]
+        price_cs = np.concatenate(([0.0], np.cumsum(oprice[oorder])))
+        # events: rank side='right' == number of distinct dates <= ts
+        ekey = ecust * M + np.searchsorted(ud, ets, side="right")
+        hi = np.searchsorted(okey_s, ekey, side="right")
+        lo = np.searchsorted(okey_s, ecust * M, side="right")
+        n_prior = (hi - lo).astype(np.int64)
+        spend = price_cs[hi] - price_cs[lo]
+        has = n_prior > 0
+        asof = date_s[np.maximum(hi, 1) - 1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "n_prior_orders": pa.array(n_prior, pa.int64()),
+                "prior_spend": pa.array(np.round(spend, 2), pa.float64()),
+                "asof_us": pa.array(asof, pa.int64(), mask=~has),
+            }
+        )
+
+    out = raw_cogroup_exchange(ev, od, ["user_id"], ["o_custkey"], kernel, schema, 64)
+    pdf = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles (p50 / p90 of value per event_type).
+    Exact percentiles need the whole group; the partition-granular exchange
+    co-locates each event_type's rows, and the kernel handles every type in
+    its partition (types are few; the per-type ``np.quantile`` call is not a
+    hot loop).  Linear interpolation matches SQL ``quantile_cont``."""
+    from ..stages.util import partition_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("p50", pa.float64()),
+            ("p90", pa.float64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        order = np.argsort(et, kind="stable")
+        et, val = et[order], val[order]
+        new = np.r_[True, et[1:] != et[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(et)]
+        types, p50s, p90s, ns = [], [], [], []
+        for s, e in zip(starts, ends):
+            seg = val[s:e]
+            q = np.quantile(seg, [0.5, 0.9], method="linear")
+            types.append(et[s])
+            p50s.append(q[0])
+            p90s.append(q[1])
+            ns.append(e - s)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "p50": pa.array(np.round(p50s, 6), pa.float64()),
+                "p90": pa.array(np.round(p90s, 6), pa.float64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    out = partition_groupby(ds, ["event_type"], kernel, schema)
+    pdf = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def distinct_users(sf_dir: str) -> pa.Table:
     """count(distinct user_id) per event_type — distinct via per-batch set
     partials, then groupby over (event_type, user_id) partials."""

@@ -48,11 +48,40 @@ def ensure_schema(ds, schema: pa.Schema):
     return ds.map_batches(functools.partial(_restore, schema=schema), batch_format="pyarrow")
 
 
+def _hash_key_col(col: pa.ChunkedArray) -> np.ndarray:
+    """Stable uint64 hash of one key column.  String/binary keys are
+    dictionary-encoded so only the per-block distinct values are hashed
+    (Python blake2b per unique, vectorised gather per row)."""
+    t = col.type
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        import pyarrow.compute as pc
+
+        from ..hashing import hash64_bytes, hash64_str
+
+        enc = pc.dictionary_encode(col.combine_chunks())
+        idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = enc.dictionary.to_pylist()
+        dh = np.empty(len(vals) + 1, dtype=np.uint64)
+        dh[0] = 0  # nulls
+        for i, v in enumerate(vals):
+            dh[i + 1] = hash64_bytes(v) if isinstance(v, bytes) else hash64_str(v)
+        return dh[idx + 1]
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object or np.issubdtype(arr.dtype, np.floating):
+        # nullable ints surface as object/float — null → 0
+        arr = np.nan_to_num(arr.astype(np.float64), nan=0.0)
+    return arr.astype(np.uint64)
+
+
 def _key_partition(b: pa.Table, key_cols: list[str], num_partitions: int) -> pa.Table:
     h = np.zeros(len(b), dtype=np.uint64)
     for c in key_cols:
-        col = b[c].to_numpy(zero_copy_only=False)
-        h = splitmix64(h ^ splitmix64(col.astype(np.uint64)))
+        h = splitmix64(h ^ splitmix64(_hash_key_col(b[c])))
     return b.append_column("__p__", pa.array(h % np.uint64(num_partitions), pa.uint64()))
 
 

@@ -1,0 +1,159 @@
+"""Unit oracles for the round-2 relational additions: running-window
+aggregate, as-of/range-join aggregate, exact distributed quantiles, and the
+string-key hash-partition path they introduced.
+
+Oracles are brute-force python/pandas on small fixtures (the SQL hash-match
+gate at sf0.01 is scripts/check_correctness.py); fixtures interleave the
+time dimension so the as-of predicate actually filters (in the testdata all
+orders predate all events, which would leave the <= branch untested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from daft_minhash_dedupe_ray.stages.util import partition_groupby
+
+
+def _events_table(n=400, n_users=7, seed=1):
+    rng = np.random.RandomState(seed)
+    ts = rng.randint(0, 1_000_000, n).astype(np.int64)
+    return pa.table(
+        {
+            "user_id": pa.array(rng.randint(0, n_users, n).astype(np.int64)),
+            "ts_us": pa.array(ts),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "value": pa.array(np.round(rng.rand(n) * 100, 2)),
+        }
+    )
+
+
+def test_events_running_matches_pandas(ray_session, tmp_path, monkeypatch):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    t = _events_table()
+    # write a mini events.parquet with the production schema
+    import pyarrow.parquet as pq
+
+    prod = pa.table(
+        {
+            "event_id": t["event_id"],
+            "ts": t["ts_us"].cast(pa.timestamp("us")),
+            "user_id": t["user_id"],
+            "event_type": pa.array(["x"] * len(t)),
+            "value": t["value"],
+        }
+    )
+    pq.write_table(prod, tmp_path / "events.parquet")
+    out = R.events_running(str(tmp_path)).to_pandas()
+
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+    df["seq"] = df.groupby("user_id").cumcount() + 1
+    df["running_value"] = df.groupby("user_id")["value"].cumsum().round(2)
+    want = df.sort_values("event_id")[["event_id", "seq", "running_value"]].reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_events_prior_spend_interleaved_dates(ray_session, tmp_path):
+    """Orders interleave with event times, so some orders are in the future
+    of some events — the as-of cut must exclude them."""
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    rng = np.random.RandomState(7)
+    n_ev, n_ord, n_users = 300, 500, 9
+    ev_ts = rng.randint(0, 1_000_000, n_ev).astype(np.int64)
+    ev_user = rng.randint(0, n_users, n_ev).astype(np.int64)
+    od_date = rng.randint(0, 1_000_000, n_ord).astype(np.int64)
+    od_cust = rng.randint(0, n_users + 2, n_ord).astype(np.int64)  # some custs eventless
+    od_price = np.round(rng.rand(n_ord) * 1000, 2)
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+                "ts": pa.array(ev_ts).cast(pa.timestamp("us")),
+                "user_id": pa.array(ev_user),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+                "o_custkey": pa.array(od_cust),
+                "o_orderdate": pa.array(od_date).cast(pa.timestamp("us")),
+                "o_totalprice": pa.array(od_price),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = R.events_prior_spend(str(tmp_path)).to_pandas()
+
+    for i in rng.choice(n_ev, 40, replace=False):
+        m = (od_cust == ev_user[i]) & (od_date <= ev_ts[i])
+        row = out[out.event_id == i].iloc[0]
+        assert row.n_prior_orders == int(m.sum())
+        assert abs(row.prior_spend - round(float(od_price[m].sum()), 2)) < 1e-6
+        if m.sum():
+            assert int(row.asof_us) == int(od_date[m].max())
+        else:
+            assert pd.isna(row.asof_us)
+
+
+def test_value_quantiles_matches_numpy(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    rng = np.random.RandomState(3)
+    n = 1000
+    types = np.array(["a", "b", "c"])[rng.randint(0, 3, n)]
+    vals = np.round(rng.rand(n) * 50, 3)
+    pq.write_table(
+        pa.table({"event_type": pa.array(types), "value": pa.array(vals)}),
+        tmp_path / "events.parquet",
+    )
+    out = R.value_quantiles(str(tmp_path)).to_pandas().set_index("event_type")
+    for t in "abc":
+        seg = vals[types == t]
+        assert abs(out.loc[t, "p50"] - round(float(np.quantile(seg, 0.5)), 6)) < 1e-9
+        assert abs(out.loc[t, "p90"] - round(float(np.quantile(seg, 0.9)), 6)) < 1e-9
+        assert out.loc[t, "n"] == len(seg)
+
+
+def test_partition_groupby_string_keys_colocate(ray_session):
+    """Same string key across different input blocks must land in one
+    partition (the kernel sees each key exactly once globally)."""
+    import ray.data as rd
+
+    keys = [f"k{i % 17}" for i in range(200)]
+    t1 = pa.table({"k": pa.array(keys[:100]), "x": pa.array(np.arange(100, dtype=np.int64))})
+    t2 = pa.table({"k": pa.array(keys[100:]), "x": pa.array(np.arange(100, 200, dtype=np.int64))})
+    ds = rd.from_arrow([t1, t2]).repartition(4)
+    schema = pa.schema([("k", pa.string()), ("n", pa.int64()), ("s", pa.int64())])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        df = b.to_pandas().groupby("k", as_index=False).agg(n=("x", "size"), s=("x", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+    out = partition_groupby(ds, ["k"], kernel, schema, num_partitions=8).to_pandas()
+    # one output row per key (keys never split across partitions)
+    assert len(out) == 17
+    want = pd.DataFrame({"k": keys, "x": np.arange(200)}).groupby("k", as_index=False).agg(
+        n=("x", "size"), s=("x", "sum")
+    )
+    merged = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        merged, want.sort_values("k").reset_index(drop=True), check_dtype=False
+    )
