@@ -91,6 +91,32 @@ def _normalize_docs(sf_dir: str):
     return _read_docs(sf_dir).map_batches(norm, batch_format="pyarrow")
 
 
+def _top_tokens(sf_dir: str):
+    from daft_minhash_dedupe_ray.functions.textops import top_tokens
+
+    return top_tokens(_read_docs(sf_dir), k=20)
+
+
+def _ivf_topk_exact(sf_dir: str):
+    """IVF ANN probed at ALL clusters — exact top-k by construction, so it
+    shares the ann_topk SQL oracle (the approximate nprobe<n_clusters
+    variant stays rows-only as ivf_topk)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import build_ivf_index, ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = ds.filter(expr="vec_id == 0").select_columns(["embedding"]).to_pandas()["embedding"][0]
+    with tempfile.TemporaryDirectory() as d:
+        build_ivf_index(ds, d, n_clusters=8)
+        out = ivf_topk(d, np.asarray([list(q)]), k=10, nprobe=8).to_pandas()
+    return pa.Table.from_pandas(
+        out[["vec_id"]].sort_values("vec_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _token_counts(sf_dir: str):
     import functools
 
@@ -294,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": R.events_running,  # SQL-checked (window aggregate)
         "events_prior_spend": R.events_prior_spend,  # SQL-checked (as-of/range join)
         "value_quantiles": R.value_quantiles,  # SQL-checked (exact distributed quantiles)
+        "top_orders_per_segment": R.top_orders_per_segment,  # SQL-checked (grouped top-k)
+        "top_tokens": _top_tokens,  # SQL-checked (corpus heavy hitters)
         # text ops (SQL-checked)
         "normalize_docs": _normalize_docs,
         "token_counts": _token_counts,
@@ -307,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,  # SQL-checked
         "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # SQL-checked (banded LSH + verify)
         "embedding_dedupe": _embedding_dedupe,  # SQL-checked (recursive-CTE CC oracle)
+        "ivf_topk_exact": _ivf_topk_exact,  # SQL-checked (full probe == exact)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "minhash_dedupe_docs": _minhash_dedupe_docs,  # rows-only (oracle in tests/)
         "simhash_dedupe_docs": _simhash_dedupe_docs,  # rows-only
@@ -376,6 +405,31 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p90,
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rnk
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+        """,
+        "top_tokens": r"""
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "ivf_topk_exact": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])) AS cos
+                FROM embeddings e, q
+                ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+            ) ORDER BY vec_id
         """,
         "user_sessions": """
             SELECT user_id,

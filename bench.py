@@ -52,6 +52,25 @@ def synth_rows_for_sf(sf_dir: str) -> int:
     return max(10_000, docs * 100)
 
 
+def host_membw_gbs(samples: int = 5) -> float:
+    """Quick single-core streaming-bandwidth probe (best-of-N ~0.1s runs).
+    Recorded in every bench JSON because this sandbox's host shows
+    boot-to-boot AND minute-to-minute interference (observed 1-26 GB/s on
+    the same add kernel); perf numbers are only comparable across rounds
+    modulo this figure."""
+    import numpy as np
+
+    n = 10_000_000
+    a = np.arange(n, dtype=np.uint64)
+    out = np.empty_like(a)
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.add(a, a, out=out)
+        best = min(best, time.perf_counter() - t0)
+    return round(n * 24 / best / 1e9, 2)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -70,6 +89,7 @@ def run_bench() -> dict:
     from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
 
     queries: dict[str, float] = {}
+    membw = host_membw_gbs()
     n_img = synth_rows_for_sf(SF_DIR)
     img_path = synth_path(n_img)
 
@@ -99,7 +119,7 @@ def run_bench() -> dict:
     # asserted in tests/test_pipeline_e2e.py).  Best-of-N because this
     # sandbox shows +/-40% run-to-run noise at fixed config (BASELINE.md);
     # the minimum estimates capability rather than co-tenant load.
-    n_samples = int(os.environ.get("GRAFT_HEADLINE_SAMPLES", "2"))
+    n_samples = int(os.environ.get("GRAFT_HEADLINE_SAMPLES", "3"))
     headline = float("inf")
     for _ in range(max(1, n_samples)):
         t0 = time.perf_counter()
@@ -123,6 +143,7 @@ def run_bench() -> dict:
             "rows_before": report.rows_before,
             "rows_after": report.rows_after,
             "n_components": report.n_components,
+            "host_membw_gbs": membw,
             "phase_walls": {k: round(v, 2) for k, v in (report.phase_walls or {}).items()},
         }
 
@@ -162,6 +183,7 @@ def run_bench() -> dict:
         "rows_before": report.rows_before,
         "rows_after": report.rows_after,
         "n_components": report.n_components,
+        "host_membw_gbs": membw,
     }
 
 
@@ -249,6 +271,8 @@ def run_scaling() -> dict:
         "images_per_sec_hi": tput_hi,
         "scaling_efficiency": round(eff, 3),
         "memory_bound_efficiency_ceiling": memory_bw_ceiling(),
+        "host_membw_gbs_lo_run": r_lo.get("host_membw_gbs"),
+        "host_membw_gbs_hi_run": r_hi.get("host_membw_gbs"),
         "n_images": r_hi["n_images"],
     }
 

@@ -117,6 +117,47 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(out, pa.string()))
 
 
+def top_tokens(ds, k: int = 20, text_col: str = "text", num_partitions: int = 64) -> pa.Table:
+    """Corpus-level heavy hitters: the k most frequent whitespace tokens.
+
+    Scale shape: per-batch Arrow split + group_by collapses each batch to
+    one row per (batch, token) BEFORE the shuffle; the string-keyed
+    partition exchange sums the partials; each partition then keeps only its
+    local top-k (exact — a token lives in exactly one partition), so the
+    driver merges ≤ k·P candidate rows regardless of vocabulary size."""
+    def partial(b: pa.Table) -> pa.Table:
+        splits = pc.split_pattern_regex(pc.utf8_trim_whitespace(b[text_col]), pattern=_WS_RE)
+        toks = pc.list_flatten(splits)
+        t = pa.table({"token": toks})
+        t = t.filter(pc.not_equal(t["token"], ""))  # blank rows split to [""]
+        g = t.group_by("token").aggregate([("token", "count")])
+        g = g.rename_columns(["token", "n"])
+        return pa.table({"token": g["token"], "n": pc.cast(g["n"], pa.int64())})
+
+    schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def reduce_topk(b: pa.Table) -> pa.Table:
+        g = b.group_by("token").aggregate([("n", "sum")]).rename_columns(["token", "n"])
+        n = g["n"].to_numpy(zero_copy_only=False)
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:k]
+        return pa.table(
+            {"token": pa.array(tok[order], pa.string()), "n": pa.array(n[order], pa.int64())}
+        )
+
+    from ..stages.util import partition_groupby
+
+    out = partition_groupby(
+        ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        reduce_topk,
+        schema,
+        num_partitions=num_partitions,
+    )
+    pdf = out.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit content fingerprint of the raw text (stable hash64) — the basis
     for exact dedup and for per-partition lineage metrics."""

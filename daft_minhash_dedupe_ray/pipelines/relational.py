@@ -369,6 +369,83 @@ def events_prior_spend(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k (top-k orders by price within each market segment):
+    broadcast dimension lookup (no shuffle join) -> per-batch local top-k
+    combiner -> partition-granular exchange where one vectorised kernel
+    ranks every segment in its partition.  The batch combiner means the
+    shuffle moves at most k rows per (batch, segment)."""
+    from ..stages.util import partition_groupby
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], cust["c_mktsegment"].to_numpy()[order]))
+
+    schema = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def _rank_topk(seg, okey, price):
+        order = np.lexsort((okey, -price, seg))
+        seg, okey, price = seg[order], okey[order], price[order]
+        new = np.empty(len(seg), dtype=np.int64)
+        if len(seg):
+            new[0] = 1
+            new[1:] = seg[1:] != seg[:-1]
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        rnk = np.arange(len(seg), dtype=np.int64) - starts[run] + 1
+        m = rnk <= k
+        return seg[m], okey[m], price[m], rnk[m]
+
+    def to_seg_topk(b: pa.Table) -> pa.Table:
+        keys_sorted, segs_sorted = ray.get(ref)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys_sorted, keys), len(keys_sorted) - 1)
+        found = keys_sorted[pos] == keys  # inner-join semantics
+        seg = segs_sorted[pos[found]]
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[found]
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)[found]
+        seg, okey, price, _ = _rank_topk(seg, okey, price)  # local top-k combiner
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "o_orderkey": pa.array(okey, pa.int64()),
+                "o_totalprice": pa.array(price, pa.float64()),
+            }
+        )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        seg, okey, price, rnk = _rank_topk(
+            b["c_mktsegment"].to_numpy(zero_copy_only=False),
+            b["o_orderkey"].to_numpy(zero_copy_only=False),
+            b["o_totalprice"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "o_orderkey": pa.array(okey, pa.int64()),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    mapped = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        to_seg_topk, batch_format="pyarrow"
+    )
+    out = partition_groupby(mapped, ["c_mktsegment"], kernel, schema)
+    pdf = out.to_pandas().sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def value_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles (p50 / p90 of value per event_type).
     Exact percentiles need the whole group; the partition-granular exchange

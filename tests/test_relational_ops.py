@@ -130,6 +130,73 @@ def test_value_quantiles_matches_numpy(ray_session, tmp_path):
         assert out.loc[t, "n"] == len(seg)
 
 
+def test_top_tokens_matches_bruteforce(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.textops import top_tokens
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(0, 12)).tolist()) for _ in range(300)
+    ] + ["", "   "]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(5)
+    out = top_tokens(ds, k=10).to_pandas()
+
+    cnt = collections.Counter(tok for t in texts for tok in t.split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(out["token"], out["n"]))
+    assert [(t, int(n)) for t, n in got] == want
+
+
+def test_top_orders_per_segment_boundary_ties(ray_session, tmp_path):
+    """Equal prices at the k boundary must resolve by orderkey exactly as
+    ROW_NUMBER does, including when the tied rows sit in different input
+    batches (exercises the local-top-k combiner's superset property)."""
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    n = 200
+    seg_names = np.array(["A", "B"])
+    cust = np.arange(20, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(cust),
+                "c_mktsegment": pa.array(seg_names[cust % 2]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    # every order in segment A has the SAME price -> pure orderkey tie-break
+    rng = np.random.RandomState(5)
+    ck = rng.randint(0, 20, n).astype(np.int64)
+    price = np.where(ck % 2 == 0, 100.0, np.round(rng.rand(n) * 100, 2))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_custkey": pa.array(ck),
+                "o_totalprice": pa.array(price),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = R.top_orders_per_segment(str(tmp_path), k=3).to_pandas()
+
+    df = pd.DataFrame(
+        {"seg": seg_names[ck % 2], "okey": np.arange(n), "price": price}
+    ).sort_values(["seg", "price", "okey"], ascending=[True, False, True])
+    want = df.groupby("seg").head(3)
+    for seg in ("A", "B"):
+        got_keys = out[out.c_mktsegment == seg].sort_values("rnk")["o_orderkey"].tolist()
+        want_keys = want[want.seg == seg]["okey"].tolist()
+        assert got_keys == want_keys, seg
+
+
 def test_partition_groupby_string_keys_colocate(ray_session):
     """Same string key across different input blocks must land in one
     partition (the kernel sees each key exactly once globally)."""
