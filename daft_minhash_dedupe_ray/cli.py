@@ -1,0 +1,127 @@
+"""Cluster job entry point — the ``ray job submit`` surface of the engine.
+
+On a real cluster (north_rule: fixed-size multi-node, N and 4N nodes)::
+
+    ray job submit --working-dir . -- python -m daft_minhash_dedupe_ray.cli \
+        --input s3://bucket/images.lance --output s3://bucket/deduped \
+        --num-perm 128 --bands 16 --rows 8 --checkpoint-dir s3://bucket/ckpt
+
+Locally the same command runs against ``ray.init(address="local")``.  The
+module never owns a Ray session that already exists: ``ray job submit``
+(and the round driver) initialise Ray before this runs, so ``ray.init`` is
+guarded.  Reference lifecycle being reproduced: the canonical ``__main__``
+run (workload/minhash_dedupe.py:676-771) — read → dedupe → partitioned
+save → one-line run report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="daft_minhash_dedupe_ray",
+        description="MinHash+pHash near-duplicate dedupe over image+caption tables",
+    )
+    p.add_argument("--input", required=True, help="input table (.lance dir or parquet file/dir)")
+    p.add_argument("--output", required=True, help="output dir (partitioned snappy parquet)")
+    p.add_argument("--index-col", default="image_id")
+    p.add_argument("--content-col", default="caption")
+    p.add_argument("--phash-col", default="phash", help="'' disables the image side")
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--ngram-size", type=int, default=5)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--rows", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--min-length", type=int, default=0)
+    p.add_argument("--substring-pass", action="store_true")
+    p.add_argument("--num-salts", type=int, default=1)
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--num-actors", type=int, default=8, help="union-find pool size (one shard per node is a good default)")
+    p.add_argument("--checkpoint-dir", default=None, help="enable per-stage checkpoint-resume under this dir")
+    p.add_argument("--modular", action="store_true", help="use the modular stage path instead of the fused throughput path")
+    p.add_argument("--limit", type=int, default=None, help="row limit at ingest (reference A1)")
+    p.add_argument("--chunk-size", type=int, default=200_000, help="target rows per output partition")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import DedupeConfig
+    from .pipelines.dedupe import MinHashDedupePipeline
+    from .sources.io import partitioned_save, read_table
+
+    cfg = DedupeConfig(
+        index_col=args.index_col,
+        content_col=args.content_col,
+        phash_col=args.phash_col or None,
+        num_perm=args.num_perm,
+        ngram_size=args.ngram_size,
+        threshold=args.threshold,
+        bands=args.bands,
+        rows=args.rows,
+        seed=args.seed,
+        min_length=args.min_length,
+        substring_pass=args.substring_pass,
+        num_salts=args.num_salts,
+        num_partitions=args.num_partitions,
+    )
+    cfg.resolved_bands_rows()  # fail fast on an invalid (bands, rows, num_perm)
+
+    t0 = time.perf_counter()
+    ds = read_table(args.input)
+    if args.limit:
+        ds = ds.limit(args.limit)
+
+    pipe = MinHashDedupePipeline(cfg)
+    if args.checkpoint_dir:
+        out, assign = pipe.run_with_checkpoints(ds, args.checkpoint_dir, num_actors=args.num_actors)
+        rows_before, rows_after = ds.count(), out.count()
+        report = {
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "pct_kept": round(100.0 * rows_after / max(1, rows_before), 2),
+        }
+    elif args.modular:
+        out, assign, rep = pipe.run_with_report(ds, num_actors=args.num_actors)
+        report = {
+            "rows_before": rep.rows_before,
+            "rows_after": rep.rows_after,
+            "n_components": rep.n_components,
+            "pct_kept": round(rep.pct_kept, 2),
+        }
+    else:
+        out, assign, rep = pipe.run_fused(ds, num_actors=args.num_actors, materialize_output=False)
+        report = {
+            "rows_before": rep.rows_before,
+            "rows_after": rep.rows_after,
+            "n_components": rep.n_components,
+            "pct_kept": round(rep.pct_kept, 2),
+            "phase_walls": {k: round(v, 2) for k, v in (rep.phase_walls or {}).items()},
+        }
+
+    manifest = partitioned_save(out, args.output, chunk_size=args.chunk_size)
+    report["output"] = args.output
+    report["output_partitions"] = manifest["target_partitions"]
+    report["wall_seconds"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,3 +80,35 @@ def test_checkpointed_pipeline_resume(ray_session, tmp_path):
     assert out2.count() == n1
     assert os.path.exists(os.path.join(root, "edges", "_SUCCESS"))
     assert os.path.exists(os.path.join(root, "assignments", "_SUCCESS"))
+
+
+def test_cli_job_entry(ray_session, tmp_path, capsys):
+    """The ray-job-submit surface: read -> dedupe -> partitioned save ->
+    one-line JSON report (reference __main__ lifecycle)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.cli import main
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(generate_table(400, seed=9, with_images=False), inp)
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input", inp, "--output", out_dir,
+            "--num-perm", "128", "--bands", "16", "--rows", "8",
+            "--num-actors", "2", "--chunk-size", "100",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_before"] == 400
+    assert 0 < report["rows_after"] <= 400
+    assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    assert os.path.exists(os.path.join(out_dir, "_MANIFEST.json"))
+    # saved rows match the report
+    import ray.data as rd
+
+    assert rd.read_parquet(out_dir).count() == report["rows_after"]
