@@ -7,10 +7,12 @@ num_cpus=int($RAY_GRAFT_CPUS or 32))`` and prints ONE JSON line::
     {"metric": "...", "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
 
-``--scaling``: runs the headline image-dedupe pipeline twice in fresh
-subprocesses (num_cpus=8 and 32) on the same input and reports both
-throughputs plus scaling efficiency (the sandbox stand-in for the
-north_rule's N vs 4N node criterion).
+``--scaling``: runs the headline image-dedupe pipeline at two parallelism
+levels (default num_cpus=1 and 4, override GRAFT_SCALING_PAIR) in fresh
+subprocesses on the same input and reports both throughputs, the scaling
+efficiency, and two no-Ray multiprocessing hardware ceilings (argsort and
+the actual signature kernel) measured at the same pair — the sandbox
+stand-in for the north_rule's N vs 4N node criterion.
 
 The headline workload is the flagship image+caption near-dup pipeline on a
 deterministic synthetic table (input_hint shape) sized ~20x the sf dir's
@@ -200,6 +202,26 @@ def _sorts_in_2s(_):
     return n
 
 
+def _sig_iters_in_8s(_):
+    """One process's throughput on the ACTUAL dominant kernel (signature =
+    shingle + 128-perm minhash + banding), for the workload-representative
+    hardware ceiling: the kernel is gather-heavy, so its multi-process
+    scaling ceiling can sit well below a sort/stream benchmark's."""
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+    from daft_minhash_dedupe_ray.stages.signature import SignatureStage
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(20_000, seed=7, with_images=False)
+    st = SignatureStage(NORTH_STAR_CONFIG)
+    st(t.slice(0, 2000))  # warm
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 8.0:
+        st(t)
+        n += 1
+    return n
+
+
 def run_scaling() -> dict:
     # N vs 4N parallelism pair.  The default 1 -> 4 keeps BOTH levels below
     # this sandbox's memory-saturation knee (~8 concurrent memory-heavy
@@ -244,17 +266,16 @@ def run_scaling() -> dict:
         runs = [run_once(ncpu) for _ in range(3)]
         return min(runs, key=lambda r: r["value"])
 
-    def memory_bw_ceiling() -> float:
-        """Hardware ceiling on scaling efficiency for memory-bound work on
-        this box, measured with plain multiprocessing numpy sorts (no Ray):
-        per-process slowdown under concurrency caps any pipeline's
-        efficiency well below 1.0 regardless of orchestration."""
+    def _mp_ceiling(fn) -> float:
+        """lo->hi scaling efficiency of a plain-multiprocessing kernel (no
+        Ray): per-process slowdown under concurrency caps any pipeline's
+        efficiency regardless of orchestration."""
         import multiprocessing as mp
 
         totals = {}
         for n in (lo, hi):
             with mp.Pool(n) as p:
-                totals[n] = sum(p.map(_sorts_in_2s, range(n)))
+                totals[n] = sum(p.map(fn, range(n)))
         return round((totals[hi] / totals[lo]) / (hi / lo), 3)
 
     r_lo, r_hi = run(lo), run(hi)
@@ -270,7 +291,8 @@ def run_scaling() -> dict:
         "images_per_sec_lo": tput_lo,
         "images_per_sec_hi": tput_hi,
         "scaling_efficiency": round(eff, 3),
-        "memory_bound_efficiency_ceiling": memory_bw_ceiling(),
+        "memory_bound_efficiency_ceiling": _mp_ceiling(_sorts_in_2s),
+        "kernel_efficiency_ceiling": _mp_ceiling(_sig_iters_in_8s),
         "host_membw_gbs_lo_run": r_lo.get("host_membw_gbs"),
         "host_membw_gbs_hi_run": r_hi.get("host_membw_gbs"),
         "n_images": r_hi["n_images"],
