@@ -233,7 +233,11 @@ def minhash_signatures(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_shingles: int = 2048,  # keeps the (chunk x num_perm) uint32 matrix in L2 — ~7x faster than 128k
+    chunk_shingles: int = 1024,  # keeps the (chunk x num_perm) u64 temporaries L2-resident
+    # even with neighbours on the socket: measured 1p 12 vs 9 iters/6s against
+    # chunk=2048 AND 1->4-process efficiency 0.96-1.08 vs 0.94 (the shared-L3
+    # footprint is what a single-process sweep can't see — 2048 was tuned
+    # single-process in round 1)
 ) -> tuple[np.ndarray, np.ndarray]:
     """MinHash signatures from flattened shingle hashes.
 
