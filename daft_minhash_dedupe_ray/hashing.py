@@ -180,9 +180,10 @@ def shingle_hashes(
         n_win = len(tok_h) - ngram_size + 1
         acc = np.zeros(n_win, dtype=np.uint64)
         p_pow = _U64(1)
-        for j in range(ngram_size - 1, -1, -1):
-            acc += tok_h[j : j + n_win] * p_pow
-            p_pow = p_pow * _POLY_P
+        with np.errstate(over="ignore"):  # u64 wraparound is the hash semantics
+            for j in range(ngram_size - 1, -1, -1):
+                acc += tok_h[j : j + n_win] * p_pow
+                p_pow = p_pow * _POLY_P
         folded = splitmix64(acc[w_starts]) & _U64(MAX_HASH)
         out_pos = np.repeat(offsets[:-1][is_long], n_sh) + _segment_aranges(n_sh)
         flat[out_pos] = folded
@@ -207,25 +208,6 @@ def _segment_aranges(lengths: np.ndarray) -> np.ndarray:
     resets = np.zeros(total, dtype=np.int64)
     resets[ends[:-1]] = lengths[:-1]
     return out - np.cumsum(resets)
-
-
-_P_I64 = np.int64(MOD_PRIME)
-_FOLD32 = np.uint64((1 << 32) % MOD_PRIME)  # 2^32 ≡ 5 (mod p)
-
-
-def _mod_prime(x: np.ndarray) -> np.ndarray:
-    """Exact ``x % MOD_PRIME`` for uint64 ``x`` without 64-bit integer
-    division (numpy's u64 ``%`` is a scalar divmod per element, ~4x the cost):
-    fold ``2^32 ≡ 5 (mod p)`` so the operand drops under 2^35, take the
-    quotient via exact float64 division (2^35 < 2^53), and correct the ±1
-    rounding with two branch-free fixups.  Bit-identical to ``%`` (asserted
-    in tests)."""
-    y = ((x >> np.uint64(32)) * _FOLD32 + (x & np.uint64(0xFFFFFFFF))).astype(np.int64)
-    q = (y.astype(np.float64) * (1.0 / MOD_PRIME)).astype(np.int64)
-    r = y - q * _P_I64
-    r += _P_I64 * (r < 0)
-    r -= _P_I64 * (r >= _P_I64)
-    return r.astype(np.uint64)
 
 
 def minhash_signatures(
