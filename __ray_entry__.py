@@ -297,6 +297,29 @@ def _image_stats_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _audio_stats_synth(sf_dir: str):
+    """Audio plumbing: WAV/PCM16 decode + feature extraction (duration, rms,
+    zcr, spectral centroid) over the binary payload column — rows-only
+    (features are hash/FFT-based, not SQL-expressible)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.audio import (
+        AudioFeatureStage,
+        synth_audio_table,
+    )
+
+    t = synth_audio_table(300, seed=42)
+    ds = rd.from_arrow(t).map_batches(
+        AudioFeatureStage, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+    pdf = (
+        ds.select_columns(["audio_id", "decode_ok", "duration_s", "rms"])
+        .to_pandas()
+        .sort_values("audio_id")
+    )
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from daft_minhash_dedupe_ray.functions.similarity import word_jaccard_pairs
 
@@ -322,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": R.value_quantiles,  # SQL-checked (exact distributed quantiles)
         "top_orders_per_segment": R.top_orders_per_segment,  # SQL-checked (grouped top-k)
         "top_tokens": _top_tokens,  # SQL-checked (corpus heavy hitters)
+        "customers_without_orders": R.customers_without_orders,  # SQL-checked (anti-join)
+        "revenue_by_nation": R.revenue_by_nation,  # SQL-checked (3-way join)
         # text ops (SQL-checked)
         "normalize_docs": _normalize_docs,
         "token_counts": _token_counts,
@@ -344,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image+caption flagship + multimodal plumbing (rows-only)
         "image_dedupe_synth": _image_dedupe_synth,
         "image_stats_synth": _image_stats_synth,
+        "audio_stats_synth": _audio_stats_synth,
     }
 
 
@@ -363,6 +389,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
         """,
         "top_customers": """
             SELECT o_custkey, round(sum(o_totalprice), 2) AS total

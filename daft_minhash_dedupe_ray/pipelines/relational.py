@@ -496,6 +496,111 @@ def value_quantiles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def customers_without_orders(sf_dir: str, min_price: float = 400_000.0) -> pa.Table:
+    """Distributed anti-join (customers with no order above ``min_price``),
+    counted per market segment.  Scale shape: the probe side is row-filtered
+    at the parquet read (predicate pushdown — filtered rows never leave
+    storage) and reduced to distinct custkeys by a per-batch combiner
+    *before* the shuffle, then both sides meet in a cogroup exchange
+    (reference semantics: NOT EXISTS / anti-join; cf.
+    `friction/connected_components.py:88-93` anti-join counts) — the
+    drop-set is never collected on the driver, so the anti-join works when
+    the probe side has billions of keys."""
+    import pyarrow.dataset as pads
+
+    from ..stages.util import DEFAULT_PARTITIONS, raw_cogroup_exchange
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > min_price,
+    ).map_batches(
+        # distinct partial per batch: the exchange moves keys, not rows
+        lambda b: pa.table({"o_custkey": b["o_custkey"]}).group_by("o_custkey").aggregate([]),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema([("c_mktsegment", pa.string()), ("n", pa.int64())])
+
+    def kernel(left: pa.Table | None, right: pa.Table | None) -> pa.Table:
+        if left is None or len(left) == 0:
+            return schema.empty_table()
+        keys = left["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if right is None or len(right) == 0:
+            mask = np.ones(len(keys), dtype=bool)
+        else:
+            probe = np.unique(
+                right["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            pos = np.minimum(np.searchsorted(probe, keys), len(probe) - 1)
+            mask = probe[pos] != keys
+        seg = left["c_mktsegment"].to_numpy(zero_copy_only=False)[mask]
+        u, c = np.unique(seg, return_counts=True)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(u.astype(object), pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = raw_cogroup_exchange(
+        cust, orders, ["c_custkey"], ["o_custkey"], kernel, schema, DEFAULT_PARTITIONS
+    )
+    agg = (
+        out.groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n_customers"))
+        .to_pandas()
+    )
+    agg["n_customers"] = agg["n_customers"].astype("int64")
+    agg = agg.sort_values("c_mktsegment").reset_index(drop=True)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Three-way join (orders ⋈ customer ⋈ nation): the two dimension hops
+    are composed driver-side into one custkey→nation-name lookup (both
+    dimensions are small), broadcast once via ``ray.put``, and applied as a
+    vectorised searchsorted inside ``map_batches`` — the fact table streams,
+    nothing shuffles except one partial row per (nation, batch)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nk)
+    nk_sorted, names_sorted = nk[norder], nat["n_name"].to_numpy()[norder]
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    corder = np.argsort(ck)
+    # compose customer -> nation name (every c_nationkey resolves in nation)
+    npos = np.minimum(np.searchsorted(nk_sorted, cn[corder]), len(nk_sorted) - 1)
+    ref = ray.put((ck[corder], names_sorted[npos]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys_sorted, names = ray.get(ref)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys_sorted, keys), len(keys_sorted) - 1)
+        found = keys_sorted[pos] == keys  # inner-join semantics
+        t = pa.table(
+            {
+                "n_name": pa.array(names[pos[found]].astype(object), pa.string()),
+                "tp": b["o_totalprice"].filter(pa.array(found)),
+            }
+        )
+        g = t.group_by("n_name").aggregate([("tp", "sum"), ("tp", "count")])
+        return g.rename_columns(["n_name", "revenue", "n_orders"])
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = out.sort_values("n_name").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def distinct_users(sf_dir: str) -> pa.Table:
     """count(distinct user_id) per event_type — distinct via per-batch set
     partials, then groupby over (event_type, user_id) partials."""

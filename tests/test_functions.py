@@ -240,3 +240,104 @@ def test_ivf_topk_recall(ray_session, tmp_path):
     assert len(approx & exact) >= 6  # decent recall at nprobe=4/8
     full = set(ivf_topk(idx, q, 10, nprobe=8).to_pandas()["vec_id"])
     assert full == exact  # probing every cluster is exact
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    from daft_minhash_dedupe_ray.functions.audio import wav_decode, wav_encode
+
+    s = (np.sin(np.arange(800) / 10.0) * 20000).astype(np.int16)
+    data = wav_encode(s, 8000)
+    out, sr = wav_decode(data)
+    assert sr == 8000 and np.array_equal(out, s)
+    # decoder must walk past extra chunks before data (real WAVs have LIST etc.)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = data[:12] + extra + data[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    out2, _ = wav_decode(patched)
+    assert np.array_equal(out2, s)
+    # stereo downmix
+    inter = np.empty(400, dtype=np.int16)
+    inter[0::2], inter[1::2] = 1000, 3000
+    stereo = wav_encode(inter, 8000)
+    # patch channels=2, byte_rate/block_align accordingly
+    stereo = stereo[:22] + struct.pack("<H", 2) + stereo[24:]
+    mono, _ = wav_decode(stereo)
+    assert np.all(mono == 2000)
+
+
+def test_audio_feature_stage_matches_direct(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.audio import (
+        AudioFeatureStage,
+        synth_audio_table,
+        wav_decode,
+    )
+
+    t = synth_audio_table(120, seed=5)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(AudioFeatureStage, concurrency=2, batch_size=32, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("audio_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 120
+    # unsupported/null rows survive with decode_ok False
+    bad = out[~out["decode_ok"]]
+    assert len(bad) > 0 and (bad["rms"] == 0).all()
+    # spot-check features against a direct computation
+    row = out[out["decode_ok"]].iloc[3]
+    blob = t["bytes"][int(row["audio_id"])].as_py()
+    s, sr = wav_decode(blob)
+    x = s.astype(np.float64) / 32768.0
+    assert row["duration_s"] == round(len(x) / sr, 6)
+    assert abs(row["rms"] - np.sqrt(np.mean(x * x))) < 1e-5
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+    assert abs(row["spectral_centroid_hz"] - (freqs * mag).sum() / mag.sum()) < 1e-2
+    # synth clips are sine-dominated: centroid should sit near the tone
+    ok = out[out["decode_ok"]]
+    assert (ok["spectral_centroid_hz"] > 50).all()
+
+
+def test_audio_resample_stage(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.audio import (
+        AudioResampleStage,
+        synth_audio_table,
+        wav_decode,
+    )
+
+    t = synth_audio_table(60, seed=9, sample_rate=8000)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            lambda b: AudioResampleStage(4000)(b), batch_size=16, batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("audio_id")
+        .reset_index(drop=True)
+    )
+    src = t.to_pandas()
+    for i in range(len(out)):
+        if src["fmt"][i] != "wav" or src["bytes"][i] is None:
+            assert out["bytes"][i] == src["bytes"][i]  # untouched pass-through
+            continue
+        s0, _ = wav_decode(src["bytes"][i])
+        s1, sr1 = wav_decode(out["bytes"][i])
+        assert sr1 == 4000
+        assert abs(len(s1) - len(s0) / 2) <= 1
+    assert (out["sample_rate"] == 4000).all()
+
+
+def test_audio_unsupported_fmt_stub():
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_ray.functions.audio import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"xx", "mp3")

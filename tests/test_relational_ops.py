@@ -224,3 +224,87 @@ def test_partition_groupby_string_keys_colocate(ray_session):
     pd.testing.assert_frame_equal(
         merged, want.sort_values("k").reset_index(drop=True), check_dtype=False
     )
+
+
+def _write_tpch_mini(tmp_path, seed=11):
+    """customer/nation/orders mini fixture with FK gaps in both directions:
+    some customers have no orders (anti-join hits) and some order custkeys
+    are absent from customer (inner-join drops)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n_cust, n_nat, n_ord = 120, 5, 400
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(1, n_cust + 1, dtype=np.int64)),
+            "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+            "c_nationkey": pa.array(rng.randint(0, n_nat, n_cust).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rng.rand(n_cust) * 1000, 2)),
+            "c_mktsegment": pa.array(segs[rng.randint(0, 5, n_cust)]),
+        }
+    )
+    nat = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(n_nat)]),
+            "n_regionkey": pa.array(np.zeros(n_nat, dtype=np.int32)),
+        }
+    )
+    # order custkeys in [1, n_cust+20]: keys > n_cust miss customer
+    ok = rng.randint(1, n_cust + 21, n_ord).astype(np.int64)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n_ord + 1, dtype=np.int64)),
+            "o_custkey": pa.array(ok),
+            "o_orderstatus": pa.array(["O"] * n_ord),
+            "o_totalprice": pa.array(np.round(rng.rand(n_ord) * 500, 2)),
+            "o_orderdate": pa.array(
+                rng.randint(0, 10**9, n_ord).astype(np.int64), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * n_ord),
+        }
+    )
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(nat, tmp_path / "nation.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    return cust.to_pandas(), nat.to_pandas(), orders.to_pandas()
+
+
+def test_customers_without_orders_anti_join(ray_session, tmp_path):
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    cust, _, orders = _write_tpch_mini(tmp_path)
+    out = R.customers_without_orders(str(tmp_path), min_price=250.0).to_pandas()
+
+    have = set(orders.loc[orders["o_totalprice"] > 250.0, "o_custkey"])
+    miss = cust[~cust["c_custkey"].isin(have)]
+    assert len(miss) > 0  # fixture actually exercises the anti side
+    want = (
+        miss.groupby("c_mktsegment", as_index=False)
+        .size()
+        .rename(columns={"size": "n_customers"})
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_revenue_by_nation_three_way_join(ray_session, tmp_path):
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    cust, nat, orders = _write_tpch_mini(tmp_path)
+    out = R.revenue_by_nation(str(tmp_path)).to_pandas()
+
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    assert len(j) < len(orders)  # inner join actually drops FK-less orders
+    want = (
+        j.groupby("n_name", as_index=False)
+        .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    want["revenue"] = want["revenue"].round(2)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
