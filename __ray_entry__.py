@@ -320,6 +320,33 @@ def _audio_stats_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _audio_dedupe_synth(sf_dir: str):
+    """Audio near-dup dedupe: spectral-fingerprint Hamming banding into the
+    shared candidate/cluster/merge machinery (the audio analogue of the
+    image flagship) — rows-only; planted-pair recall is asserted in
+    tests/test_functions.py."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.audio import (
+        audio_dedupe_candidates,
+        synth_audio_table_with_dups,
+    )
+    from daft_minhash_dedupe_ray.stages.merge import merge_keep
+    from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
+
+    t, _ = synth_audio_table_with_dups(300, seed=42, dup_rate=0.3)
+    cfg = DedupeConfig(
+        index_col="audio_id", content_col="bytes", phash_col=None, phash_max_hamming=3
+    )
+    ds = rd.from_arrow(t)
+    edges = audio_dedupe_candidates(ds, cfg)
+    assign = cluster_edges(edges, num_actors=2)
+    out = merge_keep(ds, assign, cfg)
+    pdf = out.select_columns(["audio_id"]).to_pandas().sort_values("audio_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from daft_minhash_dedupe_ray.functions.similarity import word_jaccard_pairs
 
@@ -370,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedupe_synth": _image_dedupe_synth,
         "image_stats_synth": _image_stats_synth,
         "audio_stats_synth": _audio_stats_synth,
+        "audio_dedupe_synth": _audio_dedupe_synth,
     }
 
 

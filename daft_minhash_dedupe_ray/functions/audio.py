@@ -175,6 +175,82 @@ class AudioResampleStage:
         return batch
 
 
+def audio_fingerprint64(samples: np.ndarray, sr: int, fmin: float = 50.0) -> np.uint64:
+    """64-bit spectral fingerprint (Haitsma-Kalker shape: sign of adjacent
+    log-band energy differences over 65 geometrically spaced bands).  The
+    sign-of-difference bits are exactly invariant to amplitude scaling and
+    robust to light noise / resampling — the audio analogue of the image
+    pHash, feeding the same Hamming-banded candidate machinery."""
+    if len(samples) < 4:
+        return np.uint64(0)
+    x = samples.astype(np.float64)
+    power = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+    n_bands = 65
+    edges = fmin * (sr / 2.0 / fmin) ** (np.arange(n_bands + 1) / n_bands)
+    idx = np.searchsorted(freqs, edges)
+    cs = np.concatenate(([0.0], np.cumsum(power)))
+    e = cs[np.minimum(idx[1:], len(power))] - cs[np.minimum(idx[:-1], len(power))]
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    return np.uint64((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def audio_dedupe_candidates(
+    ds,
+    cfg,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "audio_id",
+):
+    """Audio near-dup candidate edges: spectral fingerprint per clip, banded
+    into Hamming buckets and verified — reusing the pHash sub-band + verify
+    machinery exactly like SimHash does for text
+    (``functions/similarity.simhash_candidates``).  Rows that fail decode
+    emit nothing (an undecodable clip cannot be a duplicate)."""
+    from ..hashing import phash_band_keys
+    from ..stages.candidates import KIND_PHASH, candidate_edges
+
+    empty = pa.schema(
+        [
+            ("node_id", pa.uint64()),
+            ("band_key", pa.uint64()),
+            ("kind", pa.uint8()),
+            ("payload", pa.uint64()),
+        ]
+    )
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        blobs = b[bytes_col].to_pylist()
+        fmts = b[fmt_col].to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        nodes, fps = [], []
+        for i, (d, f) in enumerate(zip(blobs, fmts)):
+            if f not in _SUPPORTED or d is None:
+                continue
+            s, sr = decode_audio(d, f)
+            if len(s) < 4:
+                continue
+            nodes.append(ids[i])
+            fps.append(audio_fingerprint64(s, sr))
+        if not nodes:
+            return empty.empty_table()
+        nodes_a = np.array(nodes, np.uint64)
+        fps_a = np.array(fps, np.uint64)
+        nb = cfg.phash_bands
+        keys = phash_band_keys(fps_a.view(np.int64), nb)
+        return pa.table(
+            {
+                "node_id": pa.array(np.repeat(nodes_a, nb), pa.uint64()),
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                "kind": pa.array(np.full(len(nodes_a) * nb, KIND_PHASH, np.uint8), pa.uint8()),
+                "payload": pa.array(np.repeat(fps_a, nb), pa.uint64()),
+            }
+        )
+
+    cand = ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return candidate_edges(cand, cfg)
+
+
 def synth_audio_table(n: int, seed: int = 42, sample_rate: int = 8_000) -> pa.Table:
     """Deterministic synthetic audio fixture: short sine+noise clips with
     varied frequency/length, a few rows in an unsupported format and a null
@@ -208,3 +284,36 @@ def synth_audio_table(n: int, seed: int = 42, sample_rate: int = 8_000) -> pa.Ta
             "sample_rate": pa.array(rates, pa.int32()),
         }
     )
+
+
+def synth_audio_table_with_dups(
+    n: int, seed: int = 42, dup_rate: float = 0.3, sample_rate: int = 8_000
+) -> tuple[pa.Table, list[tuple[int, int]]]:
+    """Base synthetic clips plus planted near-duplicates (amplitude-scaled
+    with light additive noise — the transformations the spectral fingerprint
+    is designed to survive).  Returns (table, ground-truth (base, dup) id
+    pairs) for recall tests."""
+    base = synth_audio_table(n, seed=seed, sample_rate=sample_rate)
+    rng = np.random.RandomState(seed + 1)
+    blobs = base["bytes"].to_pylist()
+    fmts = base["fmt"].to_pylist()
+    ok_ids = [i for i in range(n) if fmts[i] == "wav" and blobs[i] is not None]
+    n_dup = int(n * dup_rate)
+    dup_blobs, pairs = [], []
+    for j in range(n_dup):
+        src = int(ok_ids[rng.randint(len(ok_ids))])
+        s, sr = wav_decode(blobs[src])
+        gain = 0.5 + rng.rand() * 0.9
+        x = s.astype(np.float64) * gain
+        x = x + rng.randn(len(x)) * 0.001 * max(1.0, np.abs(x).max())
+        dup_blobs.append(wav_encode(np.clip(np.round(x), -32768, 32767), sr))
+        pairs.append((src, n + j))
+    dup = pa.table(
+        {
+            "audio_id": pa.array(np.arange(n, n + n_dup, dtype=np.int64)),
+            "bytes": pa.array(dup_blobs, pa.binary()),
+            "fmt": pa.array(["wav"] * n_dup, pa.string()),
+            "sample_rate": pa.array([sample_rate] * n_dup, pa.int32()),
+        }
+    )
+    return pa.concat_tables([base, dup]), pairs

@@ -341,3 +341,50 @@ def test_audio_unsupported_fmt_stub():
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"xx", "mp3")
+
+
+def test_audio_fingerprint_invariance_and_dedupe_recall(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.audio import (
+        audio_dedupe_candidates,
+        audio_fingerprint64,
+        synth_audio_table_with_dups,
+        wav_decode,
+    )
+    from daft_minhash_dedupe_ray.hashing import hamming_distance64
+    from daft_minhash_dedupe_ray.stages.merge import merge_keep
+    from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
+
+    # exact amplitude invariance (float scaling leaves every band-sign bit)
+    rng = np.random.RandomState(0)
+    s = (np.sin(np.arange(4000) / 7.0) * 15000 + rng.randn(4000) * 300).astype(np.int16)
+    assert audio_fingerprint64(s, 8000) == audio_fingerprint64(s * 0.37, 8000)
+
+    t, pairs = synth_audio_table_with_dups(150, seed=3, dup_rate=0.4)
+    # planted dup fingerprints stay within the Hamming verify budget
+    blobs = t["bytes"].to_pylist()
+    for a, b in pairs[:10]:
+        fa = audio_fingerprint64(*wav_decode(blobs[a]))
+        fb = audio_fingerprint64(*wav_decode(blobs[b]))
+        d = hamming_distance64(np.array([fa], np.uint64), np.array([fb], np.uint64))[0]
+        assert d <= 3
+
+    cfg = DedupeConfig(
+        index_col="audio_id", content_col="bytes", phash_col=None, phash_max_hamming=3
+    )
+    ds = rd.from_arrow(t)
+    edges = audio_dedupe_candidates(ds, cfg)
+    assign = cluster_edges(edges, num_actors=2)
+    adf = assign.to_pandas()
+    rep = dict(zip(adf["u"].astype(np.uint64), adf["rep"].astype(np.uint64)))
+    same = sum(
+        rep.get(np.uint64(a), np.uint64(a)) == rep.get(np.uint64(b), np.uint64(b))
+        for a, b in pairs
+    )
+    assert same / len(pairs) >= 0.95  # planted-pair recall
+    out = merge_keep(ds, assign, cfg)
+    n_out = out.count()
+    assert n_out < len(t)  # duplicates actually removed
+    assert n_out >= len(t) - len(pairs) - 5  # and not over-merged wildly
