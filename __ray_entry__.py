@@ -172,6 +172,77 @@ def _fingerprints(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint", "doc_fingerprint"])
 
 
+def _redact_pii_docs(sf_dir: str):
+    """PII scrubbing (emails / IPv4s / phone numbers), verified against
+    DuckDB's RE2 regexp_replace on deterministically synthesised PII text
+    (the raw corpus contains none, so the suffix is derived from doc_id on
+    BOTH sides — the transform under test is the redaction)."""
+    import pyarrow.compute as pc
+
+    from daft_minhash_dedupe_ray.functions.textops import PIIRedactor
+
+    def synth(b: pa.Table) -> pa.Table:
+        did = b["doc_id"]
+        n = len(b)
+        suffix = pc.binary_join_element_wise(
+            pa.array([" contact user"] * n),
+            pc.cast(did, pa.string()),
+            pa.array(["@example.com call +1 555 01"] * n),
+            pc.cast(pc.add(did, 10), pa.string()),
+            pa.array([" ip 10.0."] * n),
+            pc.cast(pc.bit_wise_and(did, 255), pa.string()),
+            pa.array([".7 done"] * n),
+            pa.array([""] * n),
+        )
+        text = pc.binary_join_element_wise(b["text"], suffix, pa.array([""] * n))
+        return pa.table({"doc_id": did, "text": text})
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    out = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        PIIRedactor(), batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "clean_text", "n_redactions"])
+
+
+def _remove_boilerplate_docs(sf_dir: str):
+    """Corpus-frequency boilerplate pruning (C4-style 'drop text repeated
+    across >= X% of documents', token-granular for this newline-free
+    payload) — SQL-checked."""
+    from daft_minhash_dedupe_ray.functions.textops import remove_boilerplate_tokens
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return remove_boilerplate_tokens(ds, max_df_frac=0.79)
+
+
+def _contaminated_docs(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing >= 2 distinct word
+    3-grams with the benchmark subset (doc_id % 97 == 0) — SQL-checked."""
+    import pyarrow.compute as pc
+
+    from daft_minhash_dedupe_ray.functions.textops import contamination_flags
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _mask(b: pa.Table, bench: bool) -> pa.Table:
+        m = pc.equal(pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 97), 97)), 0)
+        return b.filter(m if bench else pc.invert(m))
+
+    import functools
+
+    bench = ds.map_batches(functools.partial(_mask, bench=True), batch_format="pyarrow")
+    corpus = ds.map_batches(functools.partial(_mask, bench=False), batch_format="pyarrow")
+    return contamination_flags(corpus, bench, ngram_size=3, min_overlap=2)
+
+
+def _distinct_tokens_per_lang(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT token) at corpus scale (per-batch dedup
+    combiner -> token-keyed exchange -> per-partition distinct counts sum
+    exactly) — SQL-checked.  The HLL sketch variant is rows-only."""
+    from daft_minhash_dedupe_ray.functions.textops import distinct_tokens_per_group
+
+    return distinct_tokens_per_group(_read_docs(sf_dir), group_col="lang")
+
+
 def _ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -379,6 +450,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _token_counts,
         "distinct_token_counts": _distinct_token_counts,
         "quality_scores": _quality_scores,
+        "redact_pii_docs": _redact_pii_docs,  # SQL-checked (RE2 parity with DuckDB)
+        "remove_boilerplate_docs": _remove_boilerplate_docs,  # SQL-checked (corpus df)
+        "contaminated_docs": _contaminated_docs,  # SQL-checked (n-gram overlap)
+        "distinct_tokens_per_lang": _distinct_tokens_per_lang,  # SQL-checked
         # dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
@@ -544,6 +619,71 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
                    len(regexp_extract_all(text, '[A-Z]')) AS n_upper
             FROM documents
+        """,
+        "redact_pii_docs": r"""
+            WITH synth AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com call +1 555 01'
+                            || (doc_id + 10) || ' ip 10.0.' || (doc_id & 255) || '.7 done'
+                           AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d[\d ]{5,}\d', '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(regexp_replace(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                      + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                            '\+\d[\d ]{5,}\d')) AS BIGINT) AS n_redactions
+            FROM synth
+        """,
+        "remove_boilerplate_docs": r"""
+            WITH df AS (
+                SELECT tok, COUNT(DISTINCT doc_id) c
+                FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY tok),
+            boiler AS (
+                SELECT coalesce(list(tok ORDER BY tok), []) AS l FROM df
+                WHERE c >= CAST(ceil(0.79 * (SELECT count(*) FROM documents)) AS BIGINT))
+            SELECT doc_id,
+                   array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '' AND NOT list_contains(l, x)), ' ') AS clean_text
+            FROM documents, boiler
+        """,
+        "contaminated_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, tok, ord FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+                    FROM documents)
+                WHERE tok <> ''),
+            grams AS (
+                SELECT doc_id,
+                       concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS g,
+                       lead(tok,2) OVER w AS l2
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE l2 IS NOT NULL),
+            bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+            ov AS (SELECT dg.doc_id, count(*) AS n_overlap FROM dg JOIN bg USING (g)
+                   WHERE dg.doc_id % 97 <> 0 GROUP BY dg.doc_id)
+            SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+                   coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+            FROM documents d LEFT JOIN ov USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
+        "distinct_tokens_per_lang": r"""
+            SELECT lang, COUNT(DISTINCT tok) AS n_distinct
+            FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY lang ORDER BY lang
         """,
         "exact_dedup_docs": """
             SELECT doc_id, n_chars FROM documents

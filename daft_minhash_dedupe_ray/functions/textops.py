@@ -165,6 +165,308 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
 
 
+# ---------------------------------------------------------------------------
+# corpus-cleaning operators (boilerplate pruning, PII redaction,
+# benchmark-contamination flagging, grouped distinct counts)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) pairs — RE2 syntax so Arrow's replace_substring_regex
+# and DuckDB's regexp_replace(..., 'g') apply them identically.  Order
+# matters (emails contain dots that would otherwise look like IPs).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d ]{5,}\d", "<PHONE>"),
+]
+
+
+class PIIRedactor:
+    """Vectorised PII scrubbing: sequential RE2 global replaces over the text
+    column (emails, IPv4s, international phone numbers), plus a redaction
+    count per row.  Callable class so running it as an actor pool keeps any
+    future pattern-compilation cost in ``__init__``; with Arrow kernels the
+    patterns are passed as strings, so the stateless path is equally fine."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "clean_text") -> None:
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col]
+        n_red = pa.nulls(len(batch), pa.int64())
+        total = np.zeros(len(batch), dtype=np.int64)
+        for pat, repl in PII_PATTERNS:
+            total += pc.count_substring_regex(s, pattern=pat).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+        n_red = pa.array(total, pa.int64())
+        batch = batch.append_column(self.out_col, s)
+        return batch.append_column("n_redactions", n_red)
+
+
+def _split_nonempty(texts: pa.ChunkedArray):
+    """(list-of-token array, flat nonempty tokens, row_id per nonempty token).
+
+    Matches ``hashing.token_hashes_flat`` exactly: Arrow unicode whitespace
+    split (str.split semantics) with empty tokens dropped, so the flat token
+    hashes from that helper align 1:1 with the strings returned here."""
+    splits = pc.utf8_split_whitespace(texts)
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(splits), 0).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    flat = pc.list_flatten(splits)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_id = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    nonempty = np.asarray(
+        pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False), dtype=bool
+    )
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        row_id = row_id[nonempty]
+    return flat, row_id
+
+
+def remove_boilerplate_tokens(
+    ds,
+    max_df_frac: float = 0.79,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+):
+    """Corpus-level boilerplate pruning (the C4/RefinedWeb 'remove lines that
+    repeat across the corpus' step, at token granularity for this newline-free
+    payload): drop every token whose document frequency is >= ceil(max_df_frac
+    * n_docs), rebuilding each document from its surviving tokens.
+
+    Scale shape (two streaming passes, nothing corpus-sized on the driver):
+
+      1. document frequency: per-batch (token, doc) dedup collapses each
+         batch to one row per distinct (doc, token) BEFORE counting, then a
+         token-keyed partition exchange sums partial dfs; each partition
+         emits only its over-threshold tokens, so the driver collects the
+         boilerplate VOCABULARY (tiny by construction), never the corpus.
+      2. filter: the boilerplate token-hash set is broadcast once
+         (``ray.put``); each batch drops members with a vectorised
+         searchsorted and reassembles documents with Arrow ``binary_join``.
+
+    Returns a Dataset of (id_col, clean_text).
+    """
+    import ray
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    from ..hashing import token_hashes_flat
+    from ..stages.util import partition_groupby
+
+    n_docs = ds.count()
+    import math
+
+    thresh = int(math.ceil(max_df_frac * n_docs))
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        toks, row_id = _split_nonempty(b[text_col].combine_chunks())
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        t = pa.table({"token": toks, "row": pa.array(row_id)})
+        # distinct (doc, token) inside the batch — a doc never spans batches
+        g = t.group_by(["token", "row"]).aggregate([]).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return pa.table(
+            {"token": g["token"], "df": pc.cast(g["token_count"], pa.int64())}
+        )
+
+    boiler_schema = pa.schema([("token", pa.string())])
+
+    def _df_reduce(b: pa.Table) -> pa.Table:
+        g = b.group_by("token").aggregate([("df", "sum")])
+        keep = pc.greater_equal(g["df_sum"], thresh)
+        return pa.table({"token": g.filter(keep)["token"]})
+
+    boiler = partition_groupby(
+        ds.select_columns([text_col]).map_batches(_df_partial, batch_format="pyarrow"),
+        ["token"],
+        _df_reduce,
+        boiler_schema,
+        num_partitions=num_partitions,
+    )
+    boiler_tokens = [r["token"] for r in boiler.take_all()]  # vocabulary-sized: tiny
+    # hash with the SAME scheme as the filter pass (token_hashes_flat's
+    # byte-poly hash); a token is whitespace-free so text == token
+    bh, _ = token_hashes_flat(pa.array(boiler_tokens, pa.string()))
+    boiler_ref = ray.put(np.sort(bh))
+
+    def _filter(b: pa.Table) -> pa.Table:
+        boiler_sorted = ray.get(boiler_ref)
+        texts = b[text_col].combine_chunks()
+        toks, row_id = _split_nonempty(texts)
+        tok_h, _counts = token_hashes_flat(texts)
+        if len(boiler_sorted) and len(tok_h):
+            pos = np.searchsorted(boiler_sorted, tok_h)
+            pos[pos == len(boiler_sorted)] = 0
+            keep = boiler_sorted[pos] != tok_h
+        else:
+            keep = np.ones(len(tok_h), dtype=bool)
+        kept = toks.filter(pa.array(keep)) if not keep.all() else toks
+        new_lens = np.bincount(row_id[keep], minlength=len(b)).astype(np.int64)
+        offsets = np.zeros(len(b) + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+        clean = pc.binary_join(lists, " ")
+        return pa.table({id_col: b[id_col], "clean_text": clean})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
+def word_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full-64-bit word n-gram hashes (no whole-doc fallback for short docs —
+    docs with < n tokens yield zero grams, matching the SQL lead-window
+    construction).  Returns (flat_hashes, offsets); fully vectorised via the
+    contiguous shifted-pass fold (see ``hashing.shingle_hashes``)."""
+    from ..hashing import _POLY_P, _segment_aranges, token_hashes_flat
+
+    tok_h, counts = token_hashes_flat(texts)
+    n_docs = len(counts)
+    n_grams = np.maximum(counts - n + 1, 0)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_grams, out=offsets[1:])
+    if offsets[-1] == 0 or len(tok_h) < n:
+        return np.zeros(0, np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+    tok_starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(counts[:-1], out=tok_starts[1:])
+    n_win = len(tok_h) - n + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    p_pow = np.uint64(1)
+    with np.errstate(over="ignore"):  # u64 wraparound is the hash semantics
+        for j in range(n - 1, -1, -1):
+            acc += tok_h[j : j + n_win] * p_pow
+            p_pow = p_pow * _POLY_P
+    has = n_grams > 0
+    w_starts = np.repeat(tok_starts[has], n_grams[has]) + _segment_aranges(n_grams[has])
+    return splitmix64(acc[w_starts]), offsets
+
+
+def contamination_flags(
+    ds,
+    bench_ds,
+    ngram_size: int = 5,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark-contamination detection: flag corpus documents sharing >=
+    ``min_overlap`` distinct word ``ngram_size``-grams with a (small)
+    benchmark set — the standard eval-decontamination step for training data.
+
+    Scale shape: the benchmark's distinct gram hashes are collected once
+    (benchmarks are small by definition) and broadcast via ``ray.put``; the
+    corpus pass is a single ``map_batches`` doing a vectorised searchsorted
+    membership test plus a per-row distinct count (sort + segment).  The
+    corpus is never shuffled.  Returns a Dataset of
+    (id_col, n_overlap, contaminated).
+    """
+    import ray
+
+    def _gram_partial(b: pa.Table) -> pa.Table:
+        flat, _off = word_ngram_hashes(b[text_col].combine_chunks(), ngram_size)
+        return pa.table({"g": pa.array(np.unique(flat), pa.uint64())})
+
+    # collect benchmark grams (small side) — one pass, driver holds only grams
+    grams = []
+    for t in (
+        bench_ds.select_columns([text_col])
+        .map_batches(_gram_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        grams.append(t["g"].to_numpy(zero_copy_only=False))
+    bench_sorted = np.unique(np.concatenate(grams)) if grams else np.zeros(0, np.uint64)
+    bench_ref = ray.put(bench_sorted)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        flat, off = word_ngram_hashes(b[text_col].combine_chunks(), ngram_size)
+        n = len(b)
+        counts = np.zeros(n, dtype=np.int64)
+        if len(flat) and len(bench):
+            row_id = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+            pos = np.searchsorted(bench, flat)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == flat
+            rh, gh = row_id[hit], flat[hit]
+            order = np.lexsort((gh, rh))
+            rs, gs = rh[order], gh[order]
+            first = (
+                np.r_[True, (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])]
+                if len(rs)
+                else np.zeros(0, bool)
+            )
+            counts = np.bincount(rs[first], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_overlap": pa.array(counts, pa.int64()),
+                "contaminated": pa.array(counts >= min_overlap),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _flag, batch_format="pyarrow"
+    )
+
+
+def distinct_tokens_per_group(
+    ds, group_col: str = "lang", text_col: str = "text", num_partitions: int = 64
+) -> pa.Table:
+    """Exact COUNT(DISTINCT token) per group, at corpus scale: per-batch
+    (group, token-hash) dedup collapses each batch before the shuffle, the
+    token-keyed exchange dedups globally, and per-partition distinct counts
+    sum to the exact answer (a token lives in exactly one partition).
+    Token hashing is 64-bit (collision odds ~2^-64 per pair)."""
+    from ..hashing import token_hashes_flat
+    from ..stages.util import partition_groupby
+
+    def _partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].combine_chunks()
+        tok_h, counts = token_hashes_flat(texts)
+        gidx = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        t = pa.table(
+            {
+                "grp": pc.take(b[group_col].combine_chunks(), pa.array(gidx)),
+                "th": pa.array(tok_h, pa.uint64()),
+            }
+        )
+        return t.group_by(["grp", "th"]).aggregate([])
+
+    schema = pa.schema([("grp", pa.string()), ("n_distinct", pa.int64())])
+
+    def _reduce(b: pa.Table) -> pa.Table:
+        d = b.group_by(["grp", "th"]).aggregate([])
+        g = d.group_by("grp").aggregate([("th", "count")])
+        return pa.table({"grp": g["grp"], "n_distinct": pc.cast(g["th_count"], pa.int64())})
+
+    out = partition_groupby(
+        ds.select_columns([group_col, text_col]).map_batches(
+            _partial, batch_format="pyarrow"
+        ),
+        ["th"],
+        _reduce,
+        schema,
+        num_partitions=num_partitions,
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    g = t.group_by("grp").aggregate([("n_distinct", "sum")])
+    g = g.rename_columns([group_col, "n_distinct"])
+    idx = pc.sort_indices(g, sort_keys=[(group_col, "ascending")])
+    return g.take(idx)
+
+
 def rolling_fingerprint_batch(
     batch: pa.Table, text_col: str = "text", window: int = 16
 ) -> pa.Table:

@@ -1,0 +1,132 @@
+"""Corpus-cleaning operator tests: PII redaction, boilerplate pruning,
+benchmark-contamination flagging, grouped distinct counts (exact + oracle)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray.functions.textops import (
+    PIIRedactor,
+    contamination_flags,
+    distinct_tokens_per_group,
+    remove_boilerplate_tokens,
+    word_ngram_hashes,
+)
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+def test_pii_redactor_goldens(ray_session):
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "write to alice.smith+x@mail.example.org today",
+                    "server at 192.168.001.5 rebooted",
+                    "call +44 20 7946 0958 now",
+                    "a@b.co then 10.0.0.1 then +1 555 0100",
+                    "nothing to see here",
+                    "",
+                ]
+            )
+        }
+    )
+    out = PIIRedactor()(t)
+    assert out["clean_text"].to_pylist() == [
+        "write to <EMAIL> today",
+        "server at <IP> rebooted",
+        "call <PHONE> now",
+        "<EMAIL> then <IP> then <PHONE>",
+        "nothing to see here",
+        "",
+    ]
+    assert out["n_redactions"].to_pylist() == [1, 1, 1, 3, 0, 0]
+
+
+def test_remove_boilerplate_tokens(ray_session):
+    # "spam" appears in 4/5 docs (df 0.8 >= threshold); every other token is rare
+    rows = [
+        "spam alpha beta",
+        "spam gamma",
+        "spam delta epsilon",
+        "spam zeta",
+        "eta theta",
+    ]
+    out = (
+        remove_boilerplate_tokens(_docs_ds(rows), max_df_frac=0.8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["clean_text"].tolist() == [
+        "alpha beta",
+        "gamma",
+        "delta epsilon",
+        "zeta",
+        "eta theta",
+    ]
+
+
+def test_remove_boilerplate_none_removed(ray_session):
+    rows = ["a b", "c d", "e f"]
+    out = (
+        remove_boilerplate_tokens(_docs_ds(rows), max_df_frac=0.9)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["clean_text"].tolist() == rows
+
+
+def test_word_ngram_hashes_short_docs_yield_none():
+    flat, off = word_ngram_hashes(pa.array(["one two", "a b c d", ""]), 3)
+    # doc0: 2 tokens < 3 -> 0 grams; doc1: 2 grams; doc2: 0
+    assert list(np.diff(off)) == [0, 2, 0]
+    assert len(flat) == 2
+    # identical token windows hash identically across docs
+    f2, _ = word_ngram_hashes(pa.array(["x a b c y"]), 3)
+    assert flat[0] in f2
+
+
+def test_contamination_flags_planted(ray_session):
+    bench = _docs_ds(["the quick brown fox jumps over the lazy dog"])
+    corpus_rows = [
+        "quick brown fox seen downtown",  # shares 'quick brown fox'
+        "the lazy dog sleeps; over the lazy dog again",  # shares 2 grams
+        "completely unrelated text with no shared windows",
+    ]
+    out = (
+        contamination_flags(_docs_ds(corpus_rows), bench, ngram_size=3, min_overlap=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_overlap"].tolist() == [1, 2, 0]
+    assert out["contaminated"].tolist() == [False, True, False]
+
+
+def test_distinct_tokens_per_group_vs_python(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    langs = rng.choice(["aa", "bb", "cc"], size=200).tolist()
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 15))) for _ in range(200)]
+    ds = rd.from_arrow(
+        pa.table({"lang": pa.array(langs), "text": pa.array(texts)})
+    )
+    out = distinct_tokens_per_group(ds, group_col="lang")
+    expect = {}
+    for lang, text in zip(langs, texts):
+        expect.setdefault(lang, set()).update(text.split())
+    got = dict(zip(out["lang"].to_pylist(), out["n_distinct"].to_pylist()))
+    assert got == {k: len(v) for k, v in expect.items()}
