@@ -243,6 +243,15 @@ def _distinct_tokens_per_lang(sf_dir: str):
     return distinct_tokens_per_group(_read_docs(sf_dir), group_col="lang")
 
 
+def _approx_distinct_tokens_per_lang(sf_dir: str):
+    """HyperLogLog grouped distinct (rows-only: approximate by design; the
+    exact variant distinct_tokens_per_lang is SQL-checked and serves as this
+    sketch's oracle in tests/test_sketch.py)."""
+    from daft_minhash_dedupe_ray.functions.sketch import approx_distinct_per_group
+
+    return approx_distinct_per_group(_read_docs(sf_dir), group_col="lang")
+
+
 def _ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -454,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate_docs": _remove_boilerplate_docs,  # SQL-checked (corpus df)
         "contaminated_docs": _contaminated_docs,  # SQL-checked (n-gram overlap)
         "distinct_tokens_per_lang": _distinct_tokens_per_lang,  # SQL-checked
+        "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
         # dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
