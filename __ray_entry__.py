@@ -377,6 +377,19 @@ def _image_stats_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _cdc_dedupe_synth(sf_dir: str):
+    """Content-defined-chunking storage dedupe over the synthetic image
+    payloads (gear-hash CDC, chunk-hash keyed exchange) — rows-only; the
+    exact chunking/ratio oracles live in tests/test_cdc.py."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.cdc import cdc_dedupe_stats
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(300, seed=42, with_images=True)
+    return cdc_dedupe_stats(rd.from_arrow(t), bytes_col="bytes", id_col="image_id")
+
+
 def _audio_stats_synth(sf_dir: str):
     """Audio plumbing: WAV/PCM16 decode + feature extraction (duration, rms,
     zcr, spectral centroid) over the binary payload column — rows-only
@@ -481,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image+caption flagship + multimodal plumbing (rows-only)
         "image_dedupe_synth": _image_dedupe_synth,
         "image_stats_synth": _image_stats_synth,
+        "cdc_dedupe_synth": _cdc_dedupe_synth,
         "audio_stats_synth": _audio_stats_synth,
         "audio_dedupe_synth": _audio_dedupe_synth,
     }
