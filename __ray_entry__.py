@@ -377,6 +377,34 @@ def _image_stats_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _image_dedupe_dhash_synth(sf_dir: str):
+    """Pixel-side near-dup removal from the decoded payloads alone (dHash
+    gradient fingerprint -> Hamming banding -> cluster -> merge) — rows-only;
+    planted-pair recall is asserted in tests/test_image_fp.py."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.multimodal import image_fingerprint_candidates
+    from daft_minhash_dedupe_ray.stages.merge import merge_keep
+    from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(300, seed=42, with_images=True)
+    cfg = DedupeConfig(
+        index_col="image_id",
+        content_col="bytes",
+        phash_col=None,
+        phash_max_hamming=6,
+        phash_bands=8,
+    )
+    ds = rd.from_arrow(t)
+    edges = image_fingerprint_candidates(ds, cfg, fingerprint="dhash")
+    assign = cluster_edges(edges, num_actors=2)
+    out = merge_keep(ds, assign, cfg)
+    pdf = out.select_columns(["image_id"]).to_pandas().sort_values("image_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _cdc_dedupe_synth(sf_dir: str):
     """Content-defined-chunking storage dedupe over the synthetic image
     payloads (gear-hash CDC, chunk-hash keyed exchange) — rows-only; the
@@ -494,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image+caption flagship + multimodal plumbing (rows-only)
         "image_dedupe_synth": _image_dedupe_synth,
         "image_stats_synth": _image_stats_synth,
+        "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,
         "cdc_dedupe_synth": _cdc_dedupe_synth,
         "audio_stats_synth": _audio_stats_synth,
         "audio_dedupe_synth": _audio_dedupe_synth,

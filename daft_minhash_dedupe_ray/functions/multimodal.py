@@ -130,6 +130,136 @@ class PHashStage:
         return batch
 
 
+def _gray_block_resize(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Grayscale + block-mean resample to (out_h, out_w) — shared front-end
+    of the cheap perceptual hashes (dHash/aHash)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = np.linspace(0, h, out_h + 1).astype(int)
+    xi = np.linspace(0, w, out_w + 1).astype(int)
+    # 2-pass block means via prefix sums (vectorised, no per-cell loops)
+    cs = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=cs[1:, 1:])
+    ys, ye = yi[:-1], np.maximum(yi[1:], yi[:-1] + 1)
+    xs, xe = xi[:-1], np.maximum(xi[1:], xi[:-1] + 1)
+    ye = np.minimum(ye, h)
+    xe = np.minimum(xe, w)
+    area = (ye - ys)[:, None] * (xe - xs)[None, :]
+    out = (
+        cs[np.ix_(ye, xe)] - cs[np.ix_(ys, xe)] - cs[np.ix_(ye, xs)] + cs[np.ix_(ys, xs)]
+    ) / np.maximum(area, 1)
+    return out
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: 9x8 block means, bit = left pixel brighter
+    than its right neighbour (row-gradient signs — robust to global
+    brightness/contrast shifts, cheaper than the DCT pHash)."""
+    small = _gray_block_resize(pixels, 8, 9)
+    bits = (small[:, :-1] > small[:, 1:]).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8x8 block means, bit = above the global mean."""
+    small = _gray_block_resize(pixels, 8, 8)
+    bits = (small > small.mean()).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class FingerprintStage:
+    """Actor-pool stage: compute any subset of {phash, dhash, ahash} from the
+    payload column in one decode pass per row (decode once, hash many)."""
+
+    def __init__(
+        self,
+        kinds: tuple[str, ...] = ("phash", "dhash", "ahash"),
+        bytes_col: str = "bytes",
+        fmt_col: str = "fmt",
+    ) -> None:
+        self.kinds = kinds
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+        self.fns = {"phash": phash64, "dhash": dhash64, "ahash": ahash64}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        cols = {k: np.zeros(len(blobs), np.int64) for k in self.kinds}
+        for i, (d, f) in enumerate(zip(blobs, fmts)):
+            if f not in _SUPPORTED or d is None:
+                continue
+            px = decode_image(d, f)
+            for k in self.kinds:
+                v = self.fns[k](px)
+                cols[k][i] = v - (1 << 64) if v >= 1 << 63 else v
+        for k in self.kinds:
+            arr = pa.array(cols[k], pa.int64())
+            if k in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(k), k, arr)
+            else:
+                batch = batch.append_column(k, arr)
+        return batch
+
+
+def image_fingerprint_candidates(
+    ds,
+    cfg,
+    fingerprint: str = "dhash",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+):
+    """Image near-dup candidate edges from a cheap perceptual hash
+    (dhash/ahash), banded into Hamming buckets and verified — the image-side
+    analogue of ``similarity.simhash_candidates`` / audio's spectral
+    fingerprint, feeding the same candidate/cluster/merge machinery.
+    Undecodable rows emit nothing."""
+    from ..hashing import hash64_str_array, phash_band_keys
+    from ..stages.candidates import KIND_PHASH, candidate_edges
+
+    fp_fn = {"dhash": dhash64, "ahash": ahash64, "phash": phash64}[fingerprint]
+    empty = pa.schema(
+        [
+            ("node_id", pa.uint64()),
+            ("band_key", pa.uint64()),
+            ("kind", pa.uint8()),
+            ("payload", pa.uint64()),
+        ]
+    )
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        blobs = b[bytes_col].to_pylist()
+        fmts = b[fmt_col].to_pylist()
+        ids_col = b[id_col]
+        if pa.types.is_string(ids_col.type) or pa.types.is_large_string(ids_col.type):
+            ids = hash64_str_array(ids_col.to_pylist())
+        else:
+            ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        nodes, fps = [], []
+        for i, (d, f) in enumerate(zip(blobs, fmts)):
+            if f not in _SUPPORTED or d is None:
+                continue
+            nodes.append(ids[i])
+            fps.append(fp_fn(decode_image(d, f)))
+        if not nodes:
+            return empty.empty_table()
+        nodes_a = np.array(nodes, np.uint64)
+        fps_a = np.array(fps, np.uint64)
+        nb = cfg.phash_bands
+        keys = phash_band_keys(fps_a.view(np.int64), nb)
+        return pa.table(
+            {
+                "node_id": pa.array(np.repeat(nodes_a, nb), pa.uint64()),
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                "kind": pa.array(np.full(len(nodes_a) * nb, KIND_PHASH, np.uint8), pa.uint8()),
+                "payload": pa.array(np.repeat(fps_a, nb), pa.uint64()),
+            }
+        )
+
+    cand = ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return candidate_edges(cand, cfg)
+
+
 def frame_sample_stub(batch: pa.Table, every_n: int = 30) -> pa.Table:
     """Video frame sampling: stubbed — video codecs are unavailable here.
     The signature documents the intended actor-pool stage shape."""
