@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": R.value_quantiles,  # SQL-checked (exact distributed quantiles)
         "top_orders_per_segment": R.top_orders_per_segment,  # SQL-checked (grouped top-k)
         "top_tokens": _top_tokens,  # SQL-checked (corpus heavy hitters)
+        "sample_per_source": R.sample_per_source,  # SQL-checked (quota sampling)
         "customers_without_orders": R.customers_without_orders,  # SQL-checked (anti-join)
         "revenue_by_nation": R.revenue_by_nation,  # SQL-checked (3-way join)
         # text ops (SQL-checked)
@@ -615,6 +616,13 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rnk
                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             ) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+        """,
+        "sample_per_source": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10 ORDER BY source, doc_id
         """,
         "top_tokens": r"""
             SELECT token, count(*) AS n FROM (

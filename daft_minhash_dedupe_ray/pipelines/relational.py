@@ -623,3 +623,57 @@ def distinct_users(sf_dir: str) -> pa.Table:
     )
     out["n_users"] = out["n_users"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sample_per_source(sf_dir: str, quota: int = 10) -> pa.Table:
+    """Per-group quota sampling over the documents table (corpus balancing:
+    cap each source at ``quota`` docs, deterministically — the smallest
+    doc_ids win, i.e. ROW_NUMBER() <= quota ordered by doc_id).
+
+    Scale shape: per-batch local quota combiner (at most ``quota`` rows per
+    (batch, source) move) -> source-keyed partition exchange -> one
+    vectorised multi-group kernel per partition.  Identical machinery to
+    grouped top-k, pointed at corpus curation."""
+    from ..stages.util import partition_groupby
+
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id"])
+    schema = pa.schema([("source", pa.string()), ("doc_id", pa.int64())])
+
+    def _quota(src, did):
+        order = np.lexsort((did, src))
+        src, did = src[order], did[order]
+        new = np.empty(len(src), dtype=np.int64)
+        if len(src):
+            new[0] = 1
+            new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        rnk = np.arange(len(src), dtype=np.int64) - starts[run]
+        m = rnk < quota
+        return src[m], did[m]
+
+    def combiner(b: pa.Table) -> pa.Table:
+        src, did = _quota(
+            b["source"].to_numpy(zero_copy_only=False),
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table(
+            {"source": pa.array(src, pa.string()), "doc_id": pa.array(did, pa.int64())}
+        )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        src, did = _quota(
+            b["source"].to_numpy(zero_copy_only=False),
+            b["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"source": pa.array(src, pa.string()), "doc_id": pa.array(did, pa.int64())}
+        )
+
+    out = partition_groupby(
+        ds.map_batches(combiner, batch_format="pyarrow"), ["source"], kernel, schema
+    )
+    pdf = out.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
