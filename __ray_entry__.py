@@ -243,6 +243,20 @@ def _distinct_tokens_per_lang(sf_dir: str):
     return distinct_tokens_per_group(_read_docs(sf_dir), group_col="lang")
 
 
+def _repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-2-gram fraction,
+    top-token share) — SQL-checked; fractions are integer ppm so float
+    round-half modes can't diverge between numpy and DuckDB."""
+    import functools
+
+    from daft_minhash_dedupe_ray.functions.textops import repetition_scores_batch
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(repetition_scores_batch), batch_format="pyarrow"
+    )
+
+
 def _approx_distinct_tokens_per_lang(sf_dir: str):
     """HyperLogLog grouped distinct (rows-only: approximate by design; the
     exact variant distinct_tokens_per_lang is SQL-checked and serves as this
@@ -502,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_token_counts": _distinct_token_counts,
         "quality_scores": _quality_scores,
         "redact_pii_docs": _redact_pii_docs,  # SQL-checked (RE2 parity with DuckDB)
+        "repetition_scores": _repetition_scores,  # SQL-checked (Gopher repetition)
         "remove_boilerplate_docs": _remove_boilerplate_docs,  # SQL-checked (corpus df)
         "contaminated_docs": _contaminated_docs,  # SQL-checked (n-gram overlap)
         "distinct_tokens_per_lang": _distinct_tokens_per_lang,  # SQL-checked
@@ -703,6 +718,39 @@ def oracle_sql() -> dict[str, str]:
                             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                             '\+\d[\d ]{5,}\d')) AS BIGINT) AS n_redactions
             FROM synth
+        """,
+        "repetition_scores": r"""
+            WITH toks AS (
+                SELECT doc_id, tok, ord FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+                    FROM documents)
+                WHERE tok <> ''),
+            grams AS (
+                SELECT doc_id, concat_ws(' ', tok, lead(tok,1) OVER w) AS g,
+                       lead(tok,1) OVER w AS l1
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+            g2 AS (SELECT doc_id, g, count(*) AS c FROM grams WHERE l1 IS NOT NULL
+                   GROUP BY doc_id, g),
+            rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams
+                    FROM g2 GROUP BY doc_id),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+            tt AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS s
+                   FROM tc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.n_grams, 0) AS n_grams,
+                   coalesce(r.n_dup_grams, 0) AS n_dup_grams,
+                   CAST(floor(coalesce(r.n_dup_grams, 0) * 1e6
+                              / greatest(coalesce(r.n_grams, 0), 1)) AS BIGINT)
+                       AS dup_gram_ppm,
+                   CAST(floor(coalesce(tt.mx, 0) * 1e6
+                              / greatest(coalesce(tt.s, 0), 1)) AS BIGINT)
+                       AS top_token_ppm
+            FROM documents d
+            LEFT JOIN rep r USING (doc_id)
+            LEFT JOIN tt USING (doc_id)
         """,
         "remove_boilerplate_docs": r"""
             WITH df AS (

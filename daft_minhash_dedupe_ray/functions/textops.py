@@ -467,6 +467,63 @@ def distinct_tokens_per_group(
     return g.take(idx)
 
 
+def repetition_scores_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Gopher/MassiveText-style repetition quality signals per document:
+
+      * ``n_grams`` / ``n_dup_grams`` — word-2-gram total and the count
+        belonging to a 2-gram that repeats within the doc;
+      * ``dup_gram_ppm`` — that fraction in parts-per-million (integer, so
+        the value is bit-identical to the SQL oracle: float round-half
+        modes differ between numpy and DuckDB);
+      * ``top_token_ppm`` — most-frequent-token share of all tokens, ppm.
+
+    Fully vectorised: per-row duplicate counting is one lexsort + run-length
+    pass over the batch's flattened gram/token hashes."""
+    from ..hashing import token_hashes_flat
+
+    texts = batch[text_col].combine_chunks()
+    n = len(batch)
+
+    def _run_stats(flat: np.ndarray, off: np.ndarray):
+        """per-row (total, members-of-runs>1, max run length) via one sort."""
+        total = np.diff(off).astype(np.int64)
+        dup = np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        if len(flat):
+            row_id = np.repeat(np.arange(n, dtype=np.int64), total)
+            order = np.lexsort((flat, row_id))
+            rs, fs = row_id[order], flat[order]
+            new = np.r_[True, (rs[1:] != rs[:-1]) | (fs[1:] != fs[:-1])]
+            starts = np.flatnonzero(new)
+            runs = np.diff(np.r_[starts, len(rs)])
+            run_rows = rs[starts]
+            dup = np.bincount(run_rows, weights=runs * (runs > 1), minlength=n).astype(np.int64)
+            # max run per row: runs are already grouped by row, so one reduceat
+            # (maximum.at is ~10x slower than reduceat on this box)
+            row_first = np.flatnonzero(np.r_[True, run_rows[1:] != run_rows[:-1]])
+            mx[run_rows[row_first]] = np.maximum.reduceat(runs, row_first)
+        return total, dup, mx
+
+    g_flat, g_off = word_ngram_hashes(texts, 2)
+    n_grams, n_dup, _ = _run_stats(g_flat, g_off)
+    t_flat, t_counts = token_hashes_flat(texts)
+    t_off = np.zeros(n + 1, np.int64)
+    np.cumsum(t_counts, out=t_off[1:])
+    n_toks, _, t_mx = _run_stats(t_flat, t_off)
+
+    dup_ppm = np.floor(n_dup * 1e6 / np.maximum(n_grams, 1)).astype(np.int64)
+    top_ppm = np.floor(t_mx * 1e6 / np.maximum(n_toks, 1)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_dup_grams": pa.array(n_dup, pa.int64()),
+            "dup_gram_ppm": pa.array(dup_ppm, pa.int64()),
+            "top_token_ppm": pa.array(top_ppm, pa.int64()),
+        }
+    )
+
+
 def rolling_fingerprint_batch(
     batch: pa.Table, text_col: str = "text", window: int = 16
 ) -> pa.Table:

@@ -130,3 +130,27 @@ def test_distinct_tokens_per_group_vs_python(ray_session):
         expect.setdefault(lang, set()).update(text.split())
     got = dict(zip(out["lang"].to_pylist(), out["n_distinct"].to_pylist()))
     assert got == {k: len(v) for k, v in expect.items()}
+
+
+def test_repetition_scores_planted():
+    from daft_minhash_dedupe_ray.functions.textops import repetition_scores_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "spam spam spam spam spam",  # all 2-grams identical, one token
+                    "a b c d e",  # no repetition
+                    "x y x y x y",  # "x y"/"y x" repeat
+                    "",  # empty
+                ]
+            ),
+        }
+    )
+    out = repetition_scores_batch(t)
+    assert out["n_grams"].to_pylist() == [4, 4, 5, 0]
+    assert out["n_dup_grams"].to_pylist() == [4, 0, 5, 0]
+    assert out["dup_gram_ppm"].to_pylist() == [1000000, 0, 1000000, 0]
+    # top token: spam 5/5; each 1/5; x 3/6; none
+    assert out["top_token_ppm"].to_pylist() == [1000000, 200000, 500000, 0]
