@@ -257,6 +257,53 @@ def _repetition_scores(sf_dir: str):
     )
 
 
+def _incremental_dedupe_docs(sf_dir: str):
+    """Streaming-ingest dedupe: even doc_ids form the already-ingested
+    corpus snapshot, odd doc_ids the new wave; new docs already present in
+    the corpus (or duplicated within the wave — min id wins) are dropped.
+    SQL-checked (NOT EXISTS anti-join + group-min)."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from daft_minhash_dedupe_ray.functions.similarity import incremental_exact_dedupe
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _mask(b: pa.Table, odd: int) -> pa.Table:
+        return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), odd))
+
+    corpus = ds.map_batches(functools.partial(_mask, odd=0), batch_format="pyarrow")
+    new = ds.map_batches(functools.partial(_mask, odd=1), batch_format="pyarrow")
+    out = incremental_exact_dedupe(new, corpus, text_col="text", id_col="doc_id")
+    pdf = out.select_columns(["doc_id"]).to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _embed_ann_topk(sf_dir: str):
+    """Composition showcase: deterministic feature-hashed text embeddings
+    (actor-pool inference stage) -> brute-force cosine top-k against doc 0.
+    Rows-only (the embedding is hash-based, not SQL-expressible); embedding
+    semantics are oracle-tested in tests/test_corpus_ops.py."""
+    import numpy as np
+
+    from daft_minhash_dedupe_ray.functions.embed import embed_documents
+    from daft_minhash_dedupe_ray.functions.similarity import ann_topk
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    emb = embed_documents(ds, dim=128, concurrency=2)
+    q = None
+    for b in emb.iter_batches(batch_format="pyarrow"):
+        ids = b["doc_id"].to_pylist()
+        if 0 in ids:
+            q = np.asarray(b["embedding"].to_pylist()[ids.index(0)])
+            break
+    out = ann_topk(emb, np.asarray([q]), k=10, vec_col="embedding", id_col="doc_id").to_pandas()
+    return pa.Table.from_pandas(
+        out[["doc_id"]].sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _approx_distinct_tokens_per_lang(sf_dir: str):
     """HyperLogLog grouped distinct (rows-only: approximate by design; the
     exact variant distinct_tokens_per_lang is SQL-checked and serves as this
@@ -521,8 +568,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": _contaminated_docs,  # SQL-checked (n-gram overlap)
         "distinct_tokens_per_lang": _distinct_tokens_per_lang,  # SQL-checked
         "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
+        "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
         # dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
+        "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
@@ -797,6 +846,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ORDER BY doc_id
+        """,
+        "incremental_dedupe_docs": """
+            WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+                 newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+            SELECT doc_id FROM newb n
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+              AND doc_id = (SELECT min(doc_id) FROM newb m WHERE m.text = n.text)
             ORDER BY doc_id
         """,
         "substring_dup_pairs": """

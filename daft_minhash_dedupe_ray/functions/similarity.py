@@ -719,3 +719,60 @@ def ivf_topk(
         ).empty_table()
     sub = rd.read_parquet(files)
     return ann_topk(sub, query_vectors, k, vec_col=vec_col, id_col=id_col)
+
+
+def incremental_exact_dedupe(
+    new_ds, corpus_ds, text_col: str, id_col: str, num_partitions: int = 16
+):
+    """Streaming-ingest dedupe: drop rows of ``new_ds`` whose content already
+    exists in ``corpus_ds`` (the previously-ingested snapshot), and dedupe
+    within the new batch itself (min-id wins) — the incremental contract a
+    100TB pipeline needs so each ingest wave only pays for its own data.
+
+    Scale shape: the corpus side is reduced to DISTINCT content hashes
+    per batch BEFORE the shuffle (the corpus text never moves); both sides
+    co-locate via the content-hash keyed cogroup exchange; each partition
+    does a vectorised sorted-membership anti-join.  Nothing corpus-sized
+    ever reaches the driver."""
+    import pyarrow.compute as pc
+
+    from ..stages.util import raw_cogroup_exchange
+
+    def hash_new(b: pa.Table) -> pa.Table:
+        h = hash64_str_array(b[text_col].to_pylist())
+        t = b.append_column("__h__", pa.array(h, pa.uint64()))
+        idx = pc.sort_indices(t, sort_keys=[("__h__", "ascending"), (id_col, "ascending")])
+        t = t.take(idx)
+        hh = t["__h__"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, hh[1:] != hh[:-1]] if len(t) else np.zeros(0, bool)
+        return t.filter(pa.array(first))
+
+    def hash_corpus(b: pa.Table) -> pa.Table:
+        h = np.unique(hash64_str_array(b[text_col].to_pylist()))
+        return pa.table({"__h__": pa.array(h, pa.uint64())})
+
+    schema = pa.schema(list(zip(new_ds.schema().names, new_ds.schema().types)))
+
+    def fn(left: pa.Table | None, right: pa.Table | None) -> pa.Table:
+        if left is None or len(left) == 0:
+            return schema.empty_table()
+        idx = pc.sort_indices(left, sort_keys=[("__h__", "ascending"), (id_col, "ascending")])
+        left = left.take(idx)
+        hh = left["__h__"].to_numpy(zero_copy_only=False)
+        keep = np.r_[True, hh[1:] != hh[:-1]]
+        if right is not None and len(right):
+            seen = np.unique(right["__h__"].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(seen, hh)
+            pos[pos == len(seen)] = 0
+            keep &= seen[pos] != hh
+        return left.filter(pa.array(keep)).drop_columns(["__h__"])
+
+    return raw_cogroup_exchange(
+        new_ds.map_batches(hash_new, batch_format="pyarrow"),
+        corpus_ds.select_columns([text_col]).map_batches(hash_corpus, batch_format="pyarrow"),
+        ["__h__"],
+        ["__h__"],
+        fn,
+        schema,
+        num_partitions,
+    )

@@ -154,3 +154,37 @@ def test_repetition_scores_planted():
     assert out["dup_gram_ppm"].to_pylist() == [1000000, 0, 1000000, 0]
     # top token: spam 5/5; each 1/5; x 3/6; none
     assert out["top_token_ppm"].to_pylist() == [1000000, 200000, 500000, 0]
+
+
+def test_hashing_embedder_semantics(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.embed import HashingEmbedder, embed_documents
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",  # near-dup
+        "completely different sentence about databases and shuffles",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    out = HashingEmbedder(dim=64)(t)
+    import numpy as np
+
+    vecs = np.array(out["embedding"].to_pylist())
+    assert vecs.shape == (4, 64)
+    # unit norm (except the empty doc, which is all-zero)
+    norms = np.linalg.norm(vecs, axis=1)
+    assert np.allclose(norms[:3], 1.0, atol=1e-5)
+    assert norms[3] == 0.0
+    cos_nd = float(vecs[0] @ vecs[1])
+    cos_far = float(vecs[0] @ vecs[2])
+    assert cos_nd > 0.7 > cos_far, (cos_nd, cos_far)
+    # determinism across actor instances
+    out2 = HashingEmbedder(dim=64)(t)
+    assert out2["embedding"].to_pylist() == out["embedding"].to_pylist()
+    # actor-pool path produces the same embeddings
+    ds = embed_documents(rd.from_arrow(t), dim=64, concurrency=2)
+    got = {r["doc_id"]: r["embedding"] for r in ds.take_all()}
+    for i in range(4):
+        assert np.allclose(got[i], vecs[i], atol=1e-6)
