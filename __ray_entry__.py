@@ -280,6 +280,40 @@ def _incremental_dedupe_docs(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _incremental_dedupe_indexed_docs(sf_dir: str):
+    """Same wave-vs-snapshot semantics as incremental_dedupe_docs, but via
+    the persisted corpus hash index + per-partition Bloom sketches: the
+    corpus is hashed once into a hash-range-partitioned parquet index, and
+    the wave only opens index partitions its Bloom probes flag.  Exact
+    (Bloom is a pruning sketch only) -> same SQL oracle.  SQL-checked."""
+    import functools
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_corpus_index,
+        incremental_dedupe_indexed,
+    )
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _mask(b: pa.Table, odd: int) -> pa.Table:
+        return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), odd))
+
+    corpus = ds.map_batches(functools.partial(_mask, odd=0), batch_format="pyarrow")
+    new = ds.map_batches(functools.partial(_mask, odd=1), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="corpus_index_", dir="/tmp")
+    try:
+        build_corpus_index(corpus, idx, num_partitions=16)
+        out = incremental_dedupe_indexed(new, idx, text_col="text", id_col="doc_id")
+        pdf = out.select_columns(["doc_id"]).to_pandas().sort_values("doc_id")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _embed_ann_topk(sf_dir: str):
     """Composition showcase: deterministic feature-hashed text embeddings
     (actor-pool inference stage) -> brute-force cosine top-k against doc 0.
@@ -572,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
+        "incremental_dedupe_indexed_docs": _incremental_dedupe_indexed_docs,  # SQL-checked (Bloom-pruned hash index)
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
@@ -849,6 +884,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "incremental_dedupe_docs": """
+            WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+                 newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+            SELECT doc_id FROM newb n
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+              AND doc_id = (SELECT min(doc_id) FROM newb m WHERE m.text = n.text)
+            ORDER BY doc_id
+        """,
+        "incremental_dedupe_indexed_docs": """
             WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
                  newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
             SELECT doc_id FROM newb n

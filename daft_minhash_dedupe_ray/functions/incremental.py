@@ -1,0 +1,179 @@
+"""Persisted corpus hash index + Bloom-pruned incremental ingest dedupe.
+
+The 100 TB ingest contract: the already-ingested corpus is hashed ONCE into
+a hash-range-partitioned parquet index (amortised across every later ingest
+wave), each partition carrying a Bloom sketch of its hashes.  Deduping a new
+wave then costs only wave-sized work:
+
+  1. wave rows are content-hashed and exchanged by the SAME hash-range key
+     as the index (one wave-sized shuffle; the corpus never moves again);
+  2. each partition first resolves intra-wave duplicates (min-id wins),
+     then probes its partition's Bloom sketch map-side — rows the sketch
+     rejects are *exactly* new (no false negatives) and skip the index read
+     entirely;
+  3. only partitions with Bloom-positive rows open their ``hashes.parquet``
+     (further pruned by row-group statistics on the sorted hash column) and
+     confirm membership exactly via ``searchsorted`` — so a false positive
+     costs a pruned read, never a wrong answer.
+
+Result: exact semantics (identical to ``incremental_exact_dedupe``'s
+NOT-EXISTS anti-join, SQL-checked in CORRECTNESS), with corpus-side I/O
+proportional to the wave's hash-range footprint instead of the corpus size.
+
+Beyond-reference surface: the reference notebook
+(`workload/minhash_dedupe.py`) reprocesses its whole corpus per run and has
+no incremental/index contract.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..hashing import hash64_str_array
+from ..stages.util import partition_groupby_prekeyed
+
+_STATS_SCHEMA = pa.schema([("part", pa.int64()), ("n_hashes", pa.int64())])
+
+
+def _shift_for(num_partitions: int) -> int:
+    lg = num_partitions.bit_length() - 1
+    if 1 << lg != num_partitions:
+        raise ValueError("num_partitions must be a power of two (hash-range layout)")
+    return 64 - lg
+
+
+def _part_dir(path: str, part: int) -> str:
+    return f"{path}/part={part:05d}"
+
+
+def _hash_and_key(b: pa.Table, text_col: str, shift: int) -> pa.Table:
+    h = hash64_str_array(b[text_col].to_pylist())
+    t = b.append_column("__h__", pa.array(h, pa.uint64()))
+    return t.append_column("__p__", pa.array(h >> np.uint64(shift), pa.uint64()))
+
+
+def _corpus_hash_batch(b: pa.Table, text_col: str, shift: int) -> pa.Table:
+    """Map-side combiner: corpus text reduces to per-batch DISTINCT hashes
+    before the exchange — the corpus payload never moves."""
+    h = np.unique(hash64_str_array(b[text_col].to_pylist()))
+    return pa.table(
+        {
+            "__h__": pa.array(h, pa.uint64()),
+            "__p__": pa.array(h >> np.uint64(shift), pa.uint64()),
+        }
+    )
+
+
+def _build_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa.Table:
+    from ..state.bloom import BloomFilter
+
+    h = np.unique(tab["__h__"].to_numpy(zero_copy_only=False))
+    part = int(h[0] >> np.uint64(shift))
+    d = _part_dir(path, part)
+    os.makedirs(d, exist_ok=True)
+    # sorted hashes -> row-group statistics allow range pruning at read time
+    pq.write_table(
+        pa.table({"__h__": pa.array(h, pa.uint64())}),
+        f"{d}/hashes.parquet",
+        row_group_size=16384,
+    )
+    bloom = BloomFilter.sized(len(h), fp_rate)
+    bloom.add_hashes(h)
+    bloom.save(f"{d}/_bloom.npz")
+    return pa.table({"part": [part], "n_hashes": [len(h)]})
+
+
+def build_corpus_index(
+    corpus_ds,
+    path: str,
+    text_col: str = "text",
+    fp_rate: float = 1e-3,
+    num_partitions: int = 16,
+) -> dict:
+    """Hash-range-partition the corpus's distinct content hashes into a
+    persisted parquet index with per-partition Bloom sketches.  Returns the
+    index metadata (also written to ``_META.json`` + ``_SUCCESS``)."""
+    shift = _shift_for(num_partitions)
+    os.makedirs(path, exist_ok=True)
+    keyed = corpus_ds.select_columns([text_col]).map_batches(
+        functools.partial(_corpus_hash_batch, text_col=text_col, shift=shift),
+        batch_format="pyarrow",
+    )
+    stats = partition_groupby_prekeyed(
+        keyed,
+        functools.partial(_build_partition, path=path, shift=shift, fp_rate=fp_rate),
+        _STATS_SCHEMA,
+        num_partitions,
+    ).take_all()
+    meta = {
+        "num_partitions": num_partitions,
+        "fp_rate": fp_rate,
+        "text_col": text_col,
+        "parts": {str(r["part"]): r["n_hashes"] for r in stats},
+    }
+    with open(f"{path}/_META.json", "w") as f:
+        json.dump(meta, f)
+    open(f"{path}/_SUCCESS", "w").close()
+    return meta
+
+
+def _dedupe_partition(tab: pa.Table, index_path: str, shift: int, id_col: str) -> pa.Table:
+    from ..state.bloom import BloomFilter
+
+    # intra-wave min-id-wins: sort by (hash, id), keep first per hash
+    idx = pc.sort_indices(tab, sort_keys=[("__h__", "ascending"), (id_col, "ascending")])
+    tab = tab.take(idx)
+    hh = tab["__h__"].to_numpy(zero_copy_only=False)
+    keep = np.r_[True, hh[1:] != hh[:-1]]
+    part = int(hh[0] >> np.uint64(shift))
+    d = _part_dir(index_path, part)
+    if os.path.exists(f"{d}/_bloom.npz"):
+        cand = hh[keep]
+        maybe = BloomFilter.load(f"{d}/_bloom.npz").contains(cand)
+        if maybe.any():
+            pos = cand[maybe]
+            lo = pa.scalar(int(pos.min()), pa.uint64())
+            hi = pa.scalar(int(pos.max()), pa.uint64())
+            seen = pq.read_table(
+                f"{d}/hashes.parquet",
+                filters=(pc.field("__h__") >= lo) & (pc.field("__h__") <= hi),
+            )["__h__"].to_numpy(zero_copy_only=False)
+            confirmed = np.zeros(len(cand), bool)
+            if len(seen):
+                at = np.searchsorted(seen, pos)
+                at[at == len(seen)] = 0
+                confirmed[maybe] = seen[at] == pos
+            keep[keep] = ~confirmed
+    return tab.filter(pa.array(keep)).drop_columns(["__h__"])
+
+
+def incremental_dedupe_indexed(new_ds, index_path: str, text_col: str, id_col: str):
+    """Dedupe an ingest wave against a :func:`build_corpus_index` snapshot
+    (exact; Bloom sketches only prune index reads).  Returns the surviving
+    rows of ``new_ds`` with the wave's own duplicates resolved min-id-wins."""
+    if not os.path.exists(f"{index_path}/_SUCCESS"):
+        raise FileNotFoundError(f"no completed corpus index at {index_path}")
+    with open(f"{index_path}/_META.json") as f:
+        meta = json.load(f)
+    num_partitions = int(meta["num_partitions"])
+    shift = _shift_for(num_partitions)
+    schema = pa.schema(list(zip(new_ds.schema().names, new_ds.schema().types)))
+    keyed = new_ds.map_batches(
+        functools.partial(_hash_and_key, text_col=text_col, shift=shift),
+        batch_format="pyarrow",
+    )
+    return partition_groupby_prekeyed(
+        keyed,
+        functools.partial(
+            _dedupe_partition, index_path=index_path, shift=shift, id_col=id_col
+        ),
+        schema,
+        num_partitions,
+    )

@@ -1,0 +1,138 @@
+"""Incremental ingest dedupe: Bloom sketch semantics, persisted corpus hash
+index build/probe, and exact parity between the indexed path, the cogroup
+anti-join path, and a pure-python oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray.state.bloom import BloomFilter
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    rng = np.random.RandomState(7)
+    members = rng.randint(0, 2**63, 20_000).astype(np.uint64)
+    bf = BloomFilter.sized(len(members), fp_rate=1e-3)
+    bf.add_hashes(members)
+    # no false negatives, ever
+    assert bf.contains(members).all()
+    probes = rng.randint(0, 2**63, 50_000).astype(np.uint64)
+    fresh = probes[~np.isin(probes, members)]
+    fp = bf.contains(fresh).mean()
+    assert fp < 5e-3, fp  # target 1e-3, generous margin
+    # empty probe / empty add are no-ops
+    assert bf.contains(np.zeros(0, np.uint64)).shape == (0,)
+    bf.add_hashes(np.zeros(0, np.uint64))
+
+
+def test_bloom_merge_and_roundtrip(tmp_path):
+    a = BloomFilter.sized(1000, 1e-3, seed=3)
+    b = BloomFilter.sized(1000, 1e-3, seed=3)
+    ha = np.arange(100, dtype=np.uint64) * np.uint64(2654435761)
+    hb = np.arange(100, 200, dtype=np.uint64) * np.uint64(2654435761)
+    a.add_hashes(ha)
+    b.add_hashes(hb)
+    a.merge(b)
+    assert a.contains(ha).all() and a.contains(hb).all()
+    p = str(tmp_path / "bf.npz")
+    a.save(p)
+    back = BloomFilter.load(p)
+    assert np.array_equal(back.words, a.words)
+    assert back.contains(hb).all()
+    with pytest.raises(ValueError):
+        a.merge(BloomFilter.sized(1000, 1e-3, seed=4))
+
+
+def _wave_oracle(corpus_texts, new_rows):
+    """Pure-python NOT-EXISTS + min-id-wins oracle."""
+    seen = set(corpus_texts)
+    best = {}
+    for i, t in new_rows:
+        if t not in seen and (t not in best or i < best[t]):
+            best[t] = i
+    return sorted(best.values())
+
+
+def test_indexed_incremental_dedupe_matches_oracle(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_corpus_index,
+        incremental_dedupe_indexed,
+    )
+    from daft_minhash_dedupe_ray.functions.similarity import incremental_exact_dedupe
+
+    rng = np.random.RandomState(11)
+    vocab = [f"doc body number {i}" for i in range(400)]
+    corpus_texts = [vocab[i] for i in rng.randint(0, 400, 600)]
+    new_rows = [(int(i), vocab[j]) for i, j in enumerate(rng.randint(0, 400, 500))]
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10_000, 10_000 + len(corpus_texts)), pa.int64()),
+                "text": pa.array(corpus_texts),
+            }
+        )
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in new_rows], pa.int64()),
+                "text": pa.array([t for _, t in new_rows]),
+            }
+        )
+    )
+    idx = str(tmp_path / "corpus_index")
+    meta = build_corpus_index(corpus, idx, num_partitions=8)
+    assert sum(meta["parts"].values()) == len(set(corpus_texts))
+    got = sorted(
+        incremental_dedupe_indexed(new, idx, text_col="text", id_col="doc_id")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    want = _wave_oracle(corpus_texts, new_rows)
+    assert got == want
+    # parity with the shuffle-the-corpus exact path
+    alt = sorted(
+        incremental_exact_dedupe(new, corpus, text_col="text", id_col="doc_id")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert alt == want
+
+
+def test_indexed_dedupe_edge_cases(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_corpus_index,
+        incremental_dedupe_indexed,
+    )
+
+    corpus = rd.from_arrow(pa.table({"doc_id": [1], "text": ["A"]}))
+    idx = str(tmp_path / "ix")
+    build_corpus_index(corpus, idx, num_partitions=4)
+    # all-duplicate wave -> nothing survives
+    wave = rd.from_arrow(pa.table({"doc_id": pa.array([5, 6], pa.int64()), "text": ["A", "A"]}))
+    assert incremental_dedupe_indexed(wave, idx, "text", "doc_id").count() == 0
+    # empty wave
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert incremental_dedupe_indexed(empty, idx, "text", "doc_id").count() == 0
+    # wave hitting hash ranges with no corpus partition dir at all
+    wave2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(50), pa.int64()),
+                "text": pa.array([f"unseen {i}" for i in range(50)]),
+            }
+        )
+    )
+    assert incremental_dedupe_indexed(wave2, idx, "text", "doc_id").count() == 50
+    # missing index dir raises
+    with pytest.raises(FileNotFoundError):
+        incremental_dedupe_indexed(wave, str(tmp_path / "nope"), "text", "doc_id")
+    # power-of-two enforcement
+    with pytest.raises(ValueError):
+        build_corpus_index(corpus, str(tmp_path / "ix9"), num_partitions=9)
