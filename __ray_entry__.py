@@ -314,6 +314,33 @@ def _incremental_dedupe_indexed_docs(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _quality_filter_docs(sf_dir: str):
+    """Percentile-gated quality filter: exact global p25 of token counts via
+    histogram partials (no sort/shuffle), then a broadcast-scalar filter.
+    SQL-checked (quantile_cont subquery)."""
+    from daft_minhash_dedupe_ray.functions.textops import quality_quantile_filter
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    out = quality_quantile_filter(ds, q=0.25).select_columns(["doc_id"]).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def _semantic_dedupe_docs(sf_dir: str):
+    """SemDeDup-style semantic dedupe over raw text: hash-embedder actor
+    pool -> cosine pair graph -> union-find -> min-id survivors.  Rows-only
+    (hash embedder not SQL-expressible); planted-cluster oracle in
+    tests/test_corpus_ops.py."""
+    from daft_minhash_dedupe_ray.functions.embed import semantic_dedupe
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    out = semantic_dedupe(ds, threshold=0.9, dim=128).select_columns(["doc_id"]).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _embed_ann_topk(sf_dir: str):
     """Composition showcase: deterministic feature-hashed text embeddings
     (actor-pool inference stage) -> brute-force cosine top-k against doc 0.
@@ -603,6 +630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_per_lang": _distinct_tokens_per_lang,  # SQL-checked
         "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
         "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
+        "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
+        "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
         # dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
@@ -779,6 +808,16 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
                    len(regexp_extract_all(text, '[A-Z]')) AS n_upper
             FROM documents
+        """,
+        "quality_filter_docs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                FROM documents)
+            SELECT doc_id FROM tok
+            WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM tok)
+            ORDER BY doc_id
         """,
         "redact_pii_docs": r"""
             WITH synth AS (

@@ -82,3 +82,27 @@ def embed_documents(ds, dim: int = 128, text_col: str = "text", concurrency: int
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+def semantic_dedupe(
+    ds,
+    threshold: float = 0.9,
+    dim: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+    force_lsh: bool = False,
+):
+    """SemDeDup-style semantic near-duplicate removal over raw text: embed
+    (actor-pool inference) -> cosine dup pairs (blocked exact, or banded LSH
+    at scale) -> union-find clustering -> keep min-id per cluster.  The
+    drop-in composition of this engine's embedding front-end with the same
+    cluster/merge machinery as the MinHash flagship.  Returns surviving rows
+    (original columns, embedding dropped)."""
+    from .similarity import embedding_dedupe
+
+    emb = embed_documents(ds, dim=dim, text_col=text_col, concurrency=concurrency)
+    out = embedding_dedupe(
+        emb, threshold, vec_col="embedding", id_col=id_col, force_lsh=force_lsh
+    )
+    return out.drop_columns(["embedding"])

@@ -543,3 +543,55 @@ def rolling_fingerprint_batch(
         roll = np.lib.stride_tricks.sliding_window_view(seg, w)
         out[i] = roll.min(axis=1).min()
     return batch.append_column("doc_fingerprint", pa.array(out, pa.uint64()))
+
+
+def corpus_token_count_quantile(ds, q: float, text_col: str = "text") -> float:
+    """EXACT global q-quantile of per-doc whitespace token counts, computed
+    without a sort or shuffle: token counts are small integers, so each batch
+    reduces to a bincount histogram partial (hundreds of bytes), the driver
+    sums the tiny partials, and the quantile is read off the exact CDF with
+    SQL ``quantile_cont`` linear interpolation.  One streaming pass over the
+    corpus, O(max_tokens) driver state — the scale-correct way to get an
+    exact percentile of a discrete statistic at 100 TB."""
+    hist_schema = pa.schema([("n_tokens", pa.int64()), ("cnt", pa.int64())])
+
+    def hist_batch(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b.select([text_col]), text_col)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(n)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"n_tokens": pa.array(nz, pa.int64()), "cnt": pa.array(cnt[nz], pa.int64())}
+        )
+
+    parts = ds.map_batches(hist_batch, batch_format="pyarrow").take_all()
+    if not parts:
+        return 0.0
+    hi = max(int(r["n_tokens"]) for r in parts)
+    hist = np.zeros(hi + 1, np.int64)
+    for r in parts:
+        hist[int(r["n_tokens"])] += int(r["cnt"])
+    total = int(hist.sum())
+    if total == 0:
+        return 0.0
+    # quantile_cont: value at fractional rank (n-1)*q of the sorted sequence
+    rank = (total - 1) * q
+    lo_i, hi_i = int(np.floor(rank)), int(np.ceil(rank))
+    cdf = np.cumsum(hist)
+    lo_v = int(np.searchsorted(cdf, lo_i + 1))
+    hi_v = int(np.searchsorted(cdf, hi_i + 1))
+    return float(lo_v + (rank - lo_i) * (hi_v - lo_v))
+
+
+def quality_quantile_filter(ds, q: float = 0.25, text_col: str = "text"):
+    """Percentile-gated quality filter: drop docs whose token count falls
+    below the exact corpus q-quantile.  Pass 1 computes the global threshold
+    from histogram partials (see :func:`corpus_token_count_quantile`);
+    pass 2 is a stateless broadcast-scalar filter — no shuffle anywhere."""
+    thresh = corpus_token_count_quantile(ds, q, text_col)
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b, text_col)
+        return b.filter(pc.greater_equal(t["n_tokens"], pa.scalar(thresh, pa.float64())))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -188,3 +188,45 @@ def test_hashing_embedder_semantics(ray_session):
     got = {r["doc_id"]: r["embedding"] for r in ds.take_all()}
     for i in range(4):
         assert np.allclose(got[i], vecs[i], atol=1e-6)
+
+
+def test_corpus_token_count_quantile_exact(ray_session):
+    import numpy as np
+
+    from daft_minhash_dedupe_ray.functions.textops import (
+        corpus_token_count_quantile,
+        quality_quantile_filter,
+    )
+
+    rng = np.random.RandomState(3)
+    counts = rng.randint(0, 40, 500)
+    texts = ["tok " * c if c else "" for c in counts]
+    ds = _docs_ds(texts)
+    for q in (0.1, 0.25, 0.5, 0.9):
+        got = corpus_token_count_quantile(ds, q)
+        want = float(np.quantile(counts, q, method="linear"))
+        assert abs(got - want) < 1e-9, (q, got, want)
+    thresh = np.quantile(counts, 0.25, method="linear")
+    kept = quality_quantile_filter(ds, 0.25).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(int(i) for i in np.flatnonzero(counts >= thresh))
+    # empty corpus
+    empty = _docs_ds([])
+    assert corpus_token_count_quantile(empty, 0.5) == 0.0
+
+
+def test_semantic_dedupe_planted_clusters(ray_session):
+    from daft_minhash_dedupe_ray.functions.embed import semantic_dedupe
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base_b = "distributed shuffles move every block across the network during wide operations"
+    texts = [
+        base_a,
+        base_a + " indeed",          # near-para of a -> clustered with 0
+        base_b,
+        base_b.replace("every", "each"),  # near-para of b -> clustered with 2
+        "completely unrelated short text about cooking pasta with garlic butter sauce",
+    ]
+    ds = _docs_ds(texts)
+    out = semantic_dedupe(ds, threshold=0.8, dim=256).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 2, 4]
+    assert "embedding" not in out.columns
