@@ -527,6 +527,28 @@ def _image_dedupe_dhash_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _video_dedupe_synth(sf_dir: str):
+    """Temporal video near-dup removal over the synthetic rawv fixture
+    (frame dHash shingles -> MinHash banding -> cluster -> merge) —
+    rows-only; planted trim+noise recall >=0.95 asserted in
+    tests/test_video.py."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.video import (
+        synth_video_table_with_dups,
+        video_dedupe,
+    )
+
+    t, _pairs = synth_video_table_with_dups(120, seed=21, dup_rate=0.3)
+    cfg = DedupeConfig(
+        index_col="video_id", content_col="bytes", phash_col=None, threshold=0.2
+    )
+    out = video_dedupe(rd.from_arrow(t), cfg, every_n=1, num_actors=2)
+    pdf = out.select_columns(["video_id"]).to_pandas().sort_values("video_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _cdc_dedupe_synth(sf_dir: str):
     """Content-defined-chunking storage dedupe over the synthetic image
     payloads (gear-hash CDC, chunk-hash keyed exchange) — rows-only; the
@@ -653,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats_synth": _image_stats_synth,
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,
         "cdc_dedupe_synth": _cdc_dedupe_synth,
+        "video_dedupe_synth": _video_dedupe_synth,
         "audio_stats_synth": _audio_stats_synth,
         "audio_dedupe_synth": _audio_dedupe_synth,
     }

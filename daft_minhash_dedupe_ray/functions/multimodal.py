@@ -260,9 +260,6 @@ def image_fingerprint_candidates(
     return candidate_edges(cand, cfg)
 
 
-def frame_sample_stub(batch: pa.Table, every_n: int = 30) -> pa.Table:
-    """Video frame sampling: stubbed — video codecs are unavailable here.
-    The signature documents the intended actor-pool stage shape."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/av, not present in this environment"
-    )
+# Video frame sampling / temporal dedupe live in functions/video.py
+# (FrameSampleStage + video_dedupe over the built-in `rawv` container;
+# compressed codecs remain honestly stubbed in video.decode_video).
