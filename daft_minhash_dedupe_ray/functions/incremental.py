@@ -53,10 +53,19 @@ def _part_dir(path: str, part: int) -> str:
     return f"{path}/part={part:05d}"
 
 
-def _hash_and_key(b: pa.Table, text_col: str, shift: int) -> pa.Table:
+def _hash_and_key(b: pa.Table, text_col: str, id_col: str, shift: int) -> pa.Table:
+    """Wave-side combiner: content-hash + partition key, and intra-batch
+    first-wins dedupe (sort by (hash, id), keep first) so a dup-heavy wave
+    sheds most of its duplicate rows before the exchange."""
     h = hash64_str_array(b[text_col].to_pylist())
     t = b.append_column("__h__", pa.array(h, pa.uint64()))
-    return t.append_column("__p__", pa.array(h >> np.uint64(shift), pa.uint64()))
+    idx = pc.sort_indices(t, sort_keys=[("__h__", "ascending"), (id_col, "ascending")])
+    t = t.take(idx)
+    hh = t["__h__"].to_numpy(zero_copy_only=False)
+    first = np.r_[True, hh[1:] != hh[:-1]] if len(t) else np.zeros(0, bool)
+    t = t.filter(pa.array(first))
+    hh = hh[first]
+    return t.append_column("__p__", pa.array(hh >> np.uint64(shift), pa.uint64()))
 
 
 def _corpus_hash_batch(b: pa.Table, text_col: str, shift: int) -> pa.Table:
@@ -166,7 +175,7 @@ def incremental_dedupe_indexed(new_ds, index_path: str, text_col: str, id_col: s
     shift = _shift_for(num_partitions)
     schema = pa.schema(list(zip(new_ds.schema().names, new_ds.schema().types)))
     keyed = new_ds.map_batches(
-        functools.partial(_hash_and_key, text_col=text_col, shift=shift),
+        functools.partial(_hash_and_key, text_col=text_col, id_col=id_col, shift=shift),
         batch_format="pyarrow",
     )
     return partition_groupby_prekeyed(
