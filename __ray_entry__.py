@@ -314,6 +314,20 @@ def _incremental_dedupe_indexed_docs(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _split_docs(sf_dir: str):
+    """Leakage-safe deterministic train/val/test split (content-hash keyed:
+    identical texts always share a split).  Rows-only (the split hash is not
+    SQL-expressible); co-location/determinism invariants are oracle-tested
+    in tests/test_corpus_ops.py."""
+    from daft_minhash_dedupe_ray.functions.textops import assign_splits
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    out = assign_splits(ds).select_columns(["doc_id", "split"]).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _quality_filter_docs(sf_dir: str):
     """Percentile-gated quality filter: exact global p25 of token counts via
     histogram partials (no sort/shuffle), then a broadcast-scalar filter.
@@ -653,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
         "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
         "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
+        "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
         # dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked

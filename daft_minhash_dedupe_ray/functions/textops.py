@@ -595,3 +595,47 @@ def quality_quantile_filter(ds, q: float = 0.25, text_col: str = "text"):
         return b.filter(pc.greater_equal(t["n_tokens"], pa.scalar(thresh, pa.float64())))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def assign_splits(
+    ds,
+    fractions: dict[str, float] | None = None,
+    by: str = "text",
+    seed: int = 0x5917,
+):
+    """Leakage-safe deterministic train/val/test split: the split key is a
+    hash of the CONTENT column (not the row id), so byte-identical documents
+    always land in the same split — an exact duplicate can never leak from
+    train into eval.  Pure map stage (no shuffle, no state); fractions are
+    hit in expectation with binomial concentration (exact at 100 TB for any
+    practical tolerance).
+
+    Returns ``ds`` with an added ``split`` string column.  For near-dup
+    leakage control, dedupe first (the engine's dedupe family) or split by a
+    cluster representative column instead of raw text."""
+    import functools
+
+    from ..hashing import hash64_str_array, splitmix64
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(fractions)
+    tot = sum(fractions.values())
+    if not 0.999 <= tot <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {tot}")
+    bounds = np.cumsum([fractions[n] for n in names])
+    # map [0, 2^64) hash space onto the cumulative fraction boundaries
+    edges = (bounds * float(2**64)).astype(np.float64)
+
+    def tag(b: pa.Table, names, edges, seed) -> pa.Table:
+        h = splitmix64(hash64_str_array(b[by].to_pylist()) ^ np.uint64(seed))
+        idx = np.searchsorted(edges, h.astype(np.float64), side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), pa.array(names, pa.string())
+        )
+        return b.append_column("split", pc.cast(lab, pa.string()))
+
+    return ds.map_batches(
+        functools.partial(tag, names=names, edges=edges, seed=seed),
+        batch_format="pyarrow",
+    )

@@ -230,3 +230,26 @@ def test_semantic_dedupe_planted_clusters(ray_session):
     out = semantic_dedupe(ds, threshold=0.8, dim=256).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [0, 2, 4]
     assert "embedding" not in out.columns
+
+
+def test_assign_splits_leakage_safe(ray_session):
+    import numpy as np
+    import pytest
+
+    from daft_minhash_dedupe_ray.functions.textops import assign_splits
+
+    texts = [f"document body {i % 300}" for i in range(3000)]  # exact dups across rows
+    ds = _docs_ds(texts)
+    out = assign_splits(ds, {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    # duplicates co-locate: one split per distinct text
+    per_text = out.groupby(out.doc_id % 300)["split"].nunique()
+    assert (per_text == 1).all()
+    # fractions approximately honoured over the 300 distinct contents
+    counts = out.groupby("split")["doc_id"].count() / len(out)
+    assert abs(counts.get("train", 0) - 0.8) < 0.08
+    assert abs(counts.get("val", 0) - 0.1) < 0.06
+    # deterministic across invocations
+    out2 = assign_splits(ds, {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert (out.sort_values("doc_id")["split"].values == out2.sort_values("doc_id")["split"].values).all()
+    with pytest.raises(ValueError):
+        assign_splits(ds, {"train": 0.5, "val": 0.1})
