@@ -328,6 +328,16 @@ def _split_docs(sf_dir: str):
     )
 
 
+def _remove_dup_spans_docs(sf_dir: str):
+    """ExactSubstr-style duplicated-span removal: every cross-doc duplicated
+    span of >=30 chars is cut from all but the smallest-doc_id occurrence.
+    SQL-checked (gram directory + coverage mask reproduced in DuckDB)."""
+    from daft_minhash_dedupe_ray.functions.span_dedupe import remove_dup_spans
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return remove_dup_spans(ds, min_len=30)
+
+
 def _quality_filter_docs(sf_dir: str):
     """Percentile-gated quality filter: exact global p25 of token counts via
     histogram partials (no sort/shuffle), then a broadcast-scalar filter.
@@ -667,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
         "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
         "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
+        "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
         "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
         # dedup / similarity family
@@ -856,6 +867,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM tok
             WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM tok)
             ORDER BY doc_id
+        """,
+        "remove_dup_spans_docs": """
+            WITH pos AS (
+                SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i, substr(text, i, 30) AS gram
+                FROM pos WHERE i <= length(text) - 29
+            ),
+            dir AS (
+                SELECT gram, min(doc_id) AS m FROM g
+                GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+            ),
+            cuts AS (
+                SELECT g.doc_id, g.i FROM g
+                JOIN dir ON g.gram = dir.gram WHERE g.doc_id > dir.m
+            ),
+            cov AS (
+                SELECT p.doc_id, p.i, substr(p.text, p.i, 1) AS ch,
+                       count(c.i) > 0 AS covered
+                FROM pos p LEFT JOIN cuts c
+                  ON c.doc_id = p.doc_id AND p.i >= c.i AND p.i < c.i + 30
+                GROUP BY p.doc_id, p.i, ch
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT covered),
+                            '') AS text_clean,
+                   count(*) FILTER (WHERE covered) AS n_removed
+            FROM cov GROUP BY doc_id ORDER BY doc_id
         """,
         "redact_pii_docs": r"""
             WITH synth AS (

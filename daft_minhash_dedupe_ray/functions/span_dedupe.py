@@ -1,0 +1,292 @@
+"""Exact duplicated-span removal (ExactSubstr-style dedupe).
+
+Removes every character span of length >= ``min_len`` that also occurs in a
+*different* document with a smaller ``doc_id`` — the span-level companion to
+the document-level near-dup passes (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better": duplicated training spans are cut so one
+canonical occurrence survives).  The reference repo stops at pair detection
+(suffix-array pass, see ``functions/substring.py`` and reference
+``workload/minhash_dedupe.py`` banding ancestry); this operator goes one step
+further and rewrites the corpus.
+
+Semantics (deterministic, cross-document only):
+
+* a position ``p`` in doc ``d`` is *covered* iff the ``min_len``-gram starting
+  anywhere in ``[p - min_len + 1, p]`` of ``d`` also occurs in some doc
+  ``d' < d`` (within-doc repeats are untouched);
+* ``text_clean`` is the concatenation of uncovered characters (overlapping
+  duplicated grams merge into one maximal cut span); the doc with the minimal
+  id keeps its copy intact.
+
+Ray-Data shape (scale contract):
+
+1. **Directory build** — one pass over the corpus: per batch, rolling
+   polynomial hashes of all ``min_len``-grams (Horner over UTF-32 codepoints,
+   ``min_len`` contiguous shifted passes — no per-row Python), reduced
+   *inside the batch* to ``(gram, min_doc, multi)`` partials via
+   sort+``reduceat`` so the exchange moves one row per distinct gram per
+   batch, then a hash-partitioned exchange (``stages/util.partition_groupby``)
+   reduces to the global directory ``(gram, min_doc)`` of grams seen in >= 2
+   distinct docs.  Directory size ~ duplicated-content volume, << corpus.
+2. **Cut + splice** — broadcast the sorted directory once (``ray.put``), then
+   a single stateless ``map_batches`` pass re-hashes each batch, probes via
+   ``np.searchsorted``, builds the coverage mask with a bincount difference
+   array, and splices survivors — no second shuffle, nothing corpus-sized on
+   the driver.
+3. ``broadcast=False`` fallback for directories too large for the object
+   store: positions are routed through a cogroup exchange against the
+   directory (``raw_cogroup_exchange``) and the resulting cut lists cogroup
+   back onto the docs by ``doc_id`` — two extra exchanges, bounded memory.
+
+Gram identity is a 64-bit splitmix-finalised polynomial hash: two *different*
+grams collide with probability ~2^-64 per comparison (the same approximation
+the MinHash/CDC passes already rely on).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..hashing import _POLY_P, _segment_aranges, splitmix64
+from ..stages.util import partition_groupby, raw_cogroup_exchange
+
+DIR_SCHEMA = pa.schema([("gram", pa.uint64()), ("min_doc", pa.int64())])
+OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text_clean", pa.string()), ("n_removed", pa.int64())]
+)
+
+
+def _texts_flat(texts) -> tuple[list, np.ndarray, np.ndarray]:
+    """(python strings, flat uint32 codepoints, int64 offsets) for a string
+    column.  UTF-32-LE round-trip keeps *character* (not byte) indexing so the
+    semantics match SQL ``substr``; the encode is a single C call."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = [t if isinstance(t, str) else "" for t in texts.to_pylist()]
+    joined = "".join(lst)
+    flat = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    lens = np.fromiter((len(s) for s in lst), dtype=np.int64, count=len(lst))
+    offsets = np.zeros(len(lst) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return lst, flat, offsets
+
+
+def _gram_hashes(flat: np.ndarray, offsets: np.ndarray, min_len: int):
+    """Rolling hash of every in-row ``min_len``-gram.
+
+    Returns ``(hashes, row_idx, pos)`` — one entry per valid window (windows
+    never cross row boundaries).  Horner over the whole flat array in
+    ``min_len`` vectorised passes; cross-row garbage windows are simply never
+    selected."""
+    n = len(flat)
+    lens = np.diff(offsets)
+    w = np.maximum(lens - min_len + 1, 0)
+    m = n - min_len + 1
+    if m <= 0 or int(w.sum()) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z, z
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(min_len):
+        acc *= _POLY_P
+        acc += flat[j : j + m]
+    h = splitmix64(acc)
+    pos = _segment_aranges(w)
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), w)
+    starts_global = np.repeat(offsets[:-1], w) + pos
+    return h[starts_global], row_idx, pos
+
+
+def _gram_partials(batch: pa.Table, min_len: int, id_col: str, text_col: str) -> pa.Table:
+    """Batch-local combiner: one ``(gram, min_doc, multi)`` row per distinct
+    gram in the batch (multi = seen in >= 2 distinct docs *within* the batch,
+    detected as min-doc != max-doc per sorted segment)."""
+    _, flat, offsets = _texts_flat(batch[text_col])
+    h, row_idx, _ = _gram_hashes(flat, offsets, min_len)
+    doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[row_idx]
+    if len(h) == 0:
+        return DIR_SCHEMA.empty_table().append_column("multi", pa.array([], pa.bool_()))
+    order = np.argsort(h, kind="stable")
+    hs, ds = h[order], doc[order]
+    seg = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+    gmin = np.minimum.reduceat(ds, seg)
+    gmax = np.maximum.reduceat(ds, seg)
+    return pa.table(
+        {
+            "gram": pa.array(hs[seg], pa.uint64()),
+            "min_doc": pa.array(gmin, pa.int64()),
+            "multi": pa.array(gmin != gmax, pa.bool_()),
+        }
+    )
+
+
+def _dir_reduce(tab: pa.Table) -> pa.Table:
+    """Partition-granular reduce of the partials -> (gram, min_doc) for grams
+    occurring in >= 2 distinct docs.  Two partials for one gram always come
+    from different batches; distinct min_docs there imply distinct docs."""
+    if tab is None or len(tab) == 0:
+        return DIR_SCHEMA.empty_table()
+    h = tab["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    md = tab["min_doc"].to_numpy(zero_copy_only=False)
+    mu = tab["multi"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs, ds, ms = h[order], md[order], mu[order]
+    seg = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+    gmin = np.minimum.reduceat(ds, seg)
+    gmax = np.maximum.reduceat(ds, seg)
+    multi = (np.maximum.reduceat(ms, seg) > 0) | (gmin != gmax)
+    return pa.table(
+        {"gram": pa.array(hs[seg][multi], pa.uint64()), "min_doc": pa.array(gmin[multi], pa.int64())}
+    )
+
+
+def build_gram_directory(ds, min_len: int, id_col: str, text_col: str, num_partitions: int):
+    """Stage 1: the duplicated-gram directory as a Dataset of DIR_SCHEMA."""
+    import functools
+
+    partials = ds.map_batches(
+        functools.partial(_gram_partials, min_len=min_len, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    return partition_groupby(partials, ["gram"], _dir_reduce, DIR_SCHEMA, num_partitions)
+
+
+def _splice(batch: pa.Table, cut_row: np.ndarray, cut_pos: np.ndarray, min_len: int,
+            id_col: str, text_col: str) -> pa.Table:
+    """Apply cuts (row index, char pos) to a batch: merge overlapping
+    ``[pos, pos+min_len)`` intervals per row via a bincount difference array,
+    drop covered codepoints, rebuild strings."""
+    lst, flat, offsets = _texts_flat(batch[text_col])
+    n = int(offsets[-1])
+    doc = batch[id_col].cast(pa.int64())
+    if len(cut_row) == 0 or n == 0:
+        return pa.table(
+            {
+                "doc_id": doc,
+                "text_clean": pa.array(lst, pa.string()),
+                "n_removed": pa.array(np.zeros(len(lst), np.int64)),
+            }
+        )
+    starts = offsets[cut_row] + cut_pos
+    ends = starts + min_len  # windows never cross row ends
+    delta = np.bincount(starts, minlength=n + 1)[: n + 1].astype(np.int64)
+    delta -= np.bincount(ends, minlength=n + 1)[: n + 1]
+    covered = np.cumsum(delta[:n]) > 0
+    csum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(covered.astype(np.int64), out=csum[1:])
+    removed = csum[offsets[1:]] - csum[offsets[:-1]]
+    kept = flat[~covered].astype("<u4")
+    kept_all = kept.tobytes().decode("utf-32-le")
+    keep_off = np.zeros(len(lst) + 1, dtype=np.int64)
+    np.cumsum(np.diff(offsets) - removed, out=keep_off[1:])
+    out = [kept_all[keep_off[i] : keep_off[i + 1]] for i in range(len(lst))]
+    return pa.table(
+        {
+            "doc_id": doc,
+            "text_clean": pa.array(out, pa.string()),
+            "n_removed": pa.array(removed),
+        }
+    )
+
+
+def remove_dup_spans(
+    ds,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+    broadcast: bool = True,
+):
+    """Cut every cross-doc duplicated span of >= ``min_len`` chars, keeping
+    the occurrence in the smallest ``doc_id``.  Returns OUT_SCHEMA rows."""
+    import functools
+
+    dir_ds = build_gram_directory(ds, min_len, id_col, text_col, num_partitions)
+
+    if broadcast:
+        parts = [t for t in ray.get(dir_ds.to_arrow_refs()) if t is not None and len(t)]
+        if parts:
+            dtab = pa.concat_tables(parts)
+            g = dtab["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            md = dtab["min_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(g, kind="stable")
+            g, md = g[order], md[order]
+        else:
+            g, md = np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        dir_ref = ray.put((g, md))
+
+        def cut_batch(batch: pa.Table) -> pa.Table:
+            grams, mins = ray.get(dir_ref)
+            h, row_idx, pos = _gram_hashes(*_texts_flat(batch[text_col])[1:], min_len)
+            doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(h) and len(grams):
+                idx = np.searchsorted(grams, h)
+                idx_c = np.minimum(idx, len(grams) - 1)
+                hit = (grams[idx_c] == h) & (doc[row_idx] > mins[idx_c])
+                row_idx, pos = row_idx[hit], pos[hit]
+            else:
+                row_idx = pos = np.zeros(0, np.int64)
+            return _splice(batch, row_idx, pos, min_len, id_col, text_col)
+
+        return ds.map_batches(cut_batch, batch_format="pyarrow")
+
+    # Cogroup fallback: positions x directory -> cuts; cuts x docs -> splice.
+    def positions(batch: pa.Table) -> pa.Table:
+        h, row_idx, pos = _gram_hashes(*_texts_flat(batch[text_col])[1:], min_len)
+        doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(h, pa.uint64()),
+                "doc_id": pa.array(doc[row_idx], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    pos_ds = ds.map_batches(positions, batch_format="pyarrow")
+    CUT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def match_cuts(left: pa.Table | None, right: pa.Table | None) -> pa.Table | None:
+        if left is None or right is None or len(left) == 0 or len(right) == 0:
+            return None
+        g = right["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        md = right["min_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, md = g[order], md[order]
+        h = left["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = left["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(g, h), len(g) - 1)
+        hit = (g[idx] == h) & (doc > md[idx])
+        return pa.table(
+            {"doc_id": left["doc_id"].filter(pa.array(hit)), "pos": left["pos"].filter(pa.array(hit))}
+        )
+
+    cuts = raw_cogroup_exchange(
+        pos_ds, dir_ds, ["gram"], ["gram"], match_cuts, CUT_SCHEMA, num_partitions
+    )
+
+    def splice_group(docs: pa.Table | None, cut: pa.Table | None) -> pa.Table | None:
+        if docs is None or len(docs) == 0:
+            return None
+        if cut is None or len(cut) == 0:
+            z = np.zeros(0, np.int64)
+            return _splice(docs, z, z, min_len, id_col, text_col)
+        doc_ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        docs = docs.take(pa.array(order))
+        sorted_ids = doc_ids[order]
+        cd = cut["doc_id"].to_numpy(zero_copy_only=False)
+        row = np.searchsorted(sorted_ids, cd)
+        ok = sorted_ids[np.minimum(row, len(sorted_ids) - 1)] == cd
+        return _splice(
+            docs,
+            row[ok],
+            cut["pos"].to_numpy(zero_copy_only=False)[ok],
+            min_len,
+            id_col,
+            text_col,
+        )
+
+    return raw_cogroup_exchange(
+        ds, cuts, [id_col], ["doc_id"], splice_group, OUT_SCHEMA, num_partitions
+    )
