@@ -328,6 +328,20 @@ def _split_docs(sf_dir: str):
     )
 
 
+def _pack_sequences_docs(sf_dir: str):
+    """Concat-and-chunk sequence packing into 256-token training sequences.
+    Rows-only (partition-local greedy layout is not SQL-expressible); token
+    conservation / fullness invariants are oracle-tested in
+    tests/test_packing.py."""
+    from daft_minhash_dedupe_ray.functions.packing import pack_sequences
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    out = pack_sequences(ds, max_tokens=256).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_id", "tok_start"]).reset_index(drop=True), preserve_index=False
+    )
+
+
 def _remove_dup_spans_docs(sf_dir: str):
     """ExactSubstr-style duplicated-span removal: every cross-doc duplicated
     span of >=30 chars is cut from all but the smallest-doc_id occurrence.
@@ -678,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
         "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
         "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
+        "pack_sequences_docs": _pack_sequences_docs,  # rows-only (invariant oracle in tests/)
         "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
         # dedup / similarity family

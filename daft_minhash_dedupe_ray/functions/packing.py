@@ -1,0 +1,102 @@
+"""Sequence packing: concat-and-chunk documents into fixed-token training
+sequences (the standard LM pretraining layout — tokens concatenated in order,
+cut into ``max_tokens`` blocks, documents allowed to span block boundaries).
+
+The reference engine has no packing stage; this is part of the
+training-data surface this repo adds on top of the reference's operator set
+(document-level analogue of its explode/projection stages,
+``workload/minhash_dedupe.py`` prep ancestry).
+
+Distributed shape: docs are hash-partitioned by id
+(``stages/util.partition_groupby``), each partition packs *its own* token
+stream independently (doc_id order within the partition), and sequence ids
+are 64-bit hashes of ``(partition min doc_id, local sequence index)`` so they
+are globally unique and deterministic for a fixed ``num_partitions``.  No
+stage is sequential in the corpus — the per-partition kernel is pure
+prefix-sum arithmetic:
+
+* ``cum[i]`` = exclusive cumsum of token counts in doc_id order;
+* doc ``i`` occupies token interval ``[cum[i], cum[i] + n[i])``;
+* sequence ``k`` owns ``[k * max_tokens, (k+1) * max_tokens)``;
+* the emitted rows are the interval overlaps — ``(seq_id, doc_id,
+  tok_start, tok_end)`` with ``tok_*`` offsets *within the doc* — computed
+  with ``//`` + ``repeat`` + segment aranges, no Python loop.
+
+Invariants (oracle-tested): every token of every doc appears in exactly one
+output row; every sequence holds exactly ``max_tokens`` tokens except the
+final sequence of each partition; zero-token docs still appear (empty
+range) so no document is silently dropped.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import _segment_aranges, splitmix64
+from ..stages.util import partition_groupby
+
+PACK_SCHEMA = pa.schema(
+    [
+        ("seq_id", pa.uint64()),
+        ("doc_id", pa.int64()),
+        ("tok_start", pa.int64()),
+        ("tok_end", pa.int64()),
+    ]
+)
+
+
+def _token_counts(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """``str.split()``-semantics token counts (empty tokens dropped — Arrow's
+    split emits an empty token for ""/whitespace rows)."""
+    from ..hashing import token_hashes_flat
+
+    return token_hashes_flat(texts)[1]
+
+
+def _pack_partition(tab: pa.Table, max_tokens: int, id_col: str, text_col: str) -> pa.Table:
+    if tab is None or len(tab) == 0:
+        return PACK_SCHEMA.empty_table()
+    doc = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(doc, kind="stable")
+    doc = doc[order]
+    n = _token_counts(tab[text_col])[order]
+    cum = np.zeros(len(n), dtype=np.int64)
+    np.cumsum(n[:-1], out=cum[1:]) if len(n) > 1 else None
+    first = cum // max_tokens
+    last = np.where(n > 0, (cum + n - 1) // max_tokens, first)
+    count = last - first + 1
+    k = np.repeat(first, count) + _segment_aranges(count)  # seq index per emitted row
+    row = np.repeat(np.arange(len(n), dtype=np.int64), count)
+    lo = np.maximum(k * max_tokens - cum[row], 0)
+    hi = np.minimum((k + 1) * max_tokens - cum[row], n[row])
+    hi = np.maximum(hi, lo)  # zero-token docs: empty [0, 0) range
+    base = splitmix64(np.array([doc.min()], dtype=np.uint64))[0]
+    seq_id = splitmix64(base ^ k.astype(np.uint64))
+    return pa.table(
+        {
+            "seq_id": pa.array(seq_id, pa.uint64()),
+            "doc_id": pa.array(doc[row], pa.int64()),
+            "tok_start": pa.array(lo, pa.int64()),
+            "tok_end": pa.array(hi, pa.int64()),
+        }
+    )
+
+
+def pack_sequences(
+    ds,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+):
+    """Assign every whitespace token of every doc to exactly one fixed-size
+    training sequence.  Returns PACK_SCHEMA rows (one per doc-sequence
+    overlap); a downstream gather keyed on ``seq_id`` materialises the actual
+    token blocks."""
+    fn = functools.partial(
+        _pack_partition, max_tokens=max_tokens, id_col=id_col, text_col=text_col
+    )
+    return partition_groupby(ds, [id_col], fn, PACK_SCHEMA, num_partitions)

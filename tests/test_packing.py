@@ -1,0 +1,61 @@
+"""Sequence-packing invariants (functions/packing.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from daft_minhash_dedupe_ray.functions.packing import pack_sequences
+
+
+def _mk(ray_session, texts, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    return rd.from_arrow(t).repartition(3)
+
+
+def _toks(s):
+    return len(s.split())
+
+
+def test_every_token_packed_exactly_once(ray_session):
+    rng = np.random.default_rng(7)
+    texts = [" ".join(f"w{i}" for i in range(rng.integers(0, 40))) for _ in range(200)]
+    out = pack_sequences(_mk(ray_session, texts), max_tokens=64, num_partitions=4).to_pandas()
+    # per doc: emitted ranges tile [0, n_tokens) without gap or overlap
+    for did, grp in out.groupby("doc_id"):
+        n = _toks(texts[did])
+        grp = grp.sort_values("tok_start")
+        assert grp["tok_start"].iloc[0] == 0
+        assert grp["tok_end"].iloc[-1] == n or (n == 0 and grp["tok_end"].iloc[-1] == 0)
+        assert (grp["tok_start"].values[1:] == grp["tok_end"].values[:-1]).all()
+    assert out["doc_id"].nunique() == 200  # zero-token docs still present
+    total = sum(_toks(t) for t in texts)
+    assert int((out["tok_end"] - out["tok_start"]).sum()) == total
+
+
+def test_sequences_are_full_except_partition_tails(ray_session):
+    texts = [" ".join(["x"] * 10) for _ in range(300)]
+    P = 4
+    out = pack_sequences(_mk(ray_session, texts), max_tokens=128, num_partitions=P).to_pandas()
+    sizes = (out["tok_end"] - out["tok_start"]).groupby(out["seq_id"]).sum()
+    assert (sizes <= 128).all()
+    assert (sizes < 128).sum() <= P  # at most one ragged tail per partition
+    assert sizes.sum() == 3000
+
+
+def test_deterministic(ray_session):
+    texts = [f"doc {i} " + "tok " * (i % 17) for i in range(100)]
+    a = pack_sequences(_mk(ray_session, texts), max_tokens=32).to_pandas()
+    b = pack_sequences(_mk(ray_session, texts), max_tokens=32).to_pandas()
+    key = ["seq_id", "doc_id", "tok_start"]
+    assert a.sort_values(key).reset_index(drop=True).equals(b.sort_values(key).reset_index(drop=True))
+
+
+def test_long_doc_spans_sequences(ray_session):
+    texts = [" ".join(["a"] * 500)]  # one doc, 500 tokens, max 128
+    out = pack_sequences(_mk(ray_session, texts), max_tokens=128, num_partitions=2).to_pandas()
+    assert len(out) == 4  # 128+128+128+116
+    sizes = sorted((out["tok_end"] - out["tok_start"]).tolist(), reverse=True)
+    assert sizes == [128, 128, 128, 116]
+    assert out["seq_id"].nunique() == 4
