@@ -328,6 +328,23 @@ def _split_docs(sf_dir: str):
     )
 
 
+def _cluster_embeddings(sf_dir: str):
+    """K-means document clustering over the embeddings table (cosine,
+    seeded bounded-sample training, broadcast centroids).  Rows-only
+    (iterative k-means is not SQL-expressible); nearest-centroid assignment
+    is oracle-checked against numpy in tests/test_functions.py."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import kmeans_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = kmeans_assign(ds, n_clusters=8).to_pandas()
+    out["sim"] = out["sim"].round(6)
+    return pa.Table.from_pandas(
+        out.sort_values("vec_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _pack_sequences_docs(sf_dir: str):
     """Concat-and-chunk sequence packing into 256-token training sequences.
     Rows-only (partition-local greedy layout is not SQL-expressible); token
@@ -693,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
         "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
         "pack_sequences_docs": _pack_sequences_docs,  # rows-only (invariant oracle in tests/)
+        "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
         "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
         # dedup / similarity family

@@ -653,6 +653,43 @@ def train_centroids(
     return cent
 
 
+def kmeans_assign(
+    ds, n_clusters: int = 16, vec_col: str = "embedding", id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """Document clustering: assign every vector to its nearest trained
+    centroid by cosine similarity.  Centroids train on a bounded driver-side
+    sample (:func:`train_centroids`), broadcast once via ``ray.put``, and the
+    assignment is one matmul per batch — dataset-size-independent driver
+    state, no shuffle.  Returns ``(id_col, cluster, sim)`` rows."""
+    cent = train_centroids(ds, n_clusters, vec_col, seed)
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        n = len(b)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "cluster": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        en = _normalize_rows(embedding_matrix(b, vec_col))
+        sims = en @ c.T
+        cl = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+                "sim": pa.array(sims[np.arange(n), cl], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def build_ivf_index(
     ds, path: str, n_clusters: int = 16, vec_col: str = "embedding",
     id_col: str = "vec_id", seed: int = 42,

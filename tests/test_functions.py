@@ -388,3 +388,39 @@ def test_audio_fingerprint_invariance_and_dedupe_recall(ray_session):
     n_out = out.count()
     assert n_out < len(t)  # duplicates actually removed
     assert n_out >= len(t) - len(pairs) - 5  # and not over-merged wildly
+
+
+def test_kmeans_assign_matches_numpy_oracle(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.similarity import (
+        embedding_matrix,
+        kmeans_assign,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d, k = 400, 16, 5
+    vecs = rng.randn(n, d).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = (
+        kmeans_assign(ds, n_clusters=k, seed=7)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # oracle: retrain identically, assign with plain numpy
+    cent = train_centroids(rd.from_arrow(t), k, "embedding", seed=7)
+    en = embedding_matrix(t, "embedding")
+    en = en / np.maximum(np.linalg.norm(en, axis=1, keepdims=True), 1e-12)
+    sims = en @ cent.T
+    exp = np.argmax(sims, axis=1)
+    assert (out["cluster"].values == exp).all()
+    np.testing.assert_allclose(out["sim"].values, sims[np.arange(n), exp], rtol=1e-9)
+    assert out["cluster"].nunique() > 1  # genuinely partitions the space
