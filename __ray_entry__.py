@@ -328,6 +328,27 @@ def _split_docs(sf_dir: str):
     )
 
 
+def _shuffle_export_docs(sf_dir: str):
+    """Deterministic seeded global shuffle + sharded parquet export (epoch
+    layout).  Rows-only (placement hash not SQL-expressible); permutation /
+    determinism / balance invariants are oracle-tested in tests/test_io.py.
+    Returns the (doc_id, shard) placement map."""
+    import tempfile
+
+    from daft_minhash_dedupe_ray.sources.io import shuffle_export
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    with tempfile.TemporaryDirectory(prefix="shuffle_export_") as td:
+        shuffle_export(ds, td, n_shards=8, seed=13)
+        import pyarrow.parquet as pq
+
+        out = pq.ParquetDataset(td).read().select(["doc_id", "shard"]).to_pandas()
+    out["shard"] = out["shard"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _cluster_embeddings(sf_dir: str):
     """K-means document clustering over the embeddings table (cosine,
     seeded bounded-sample training, broadcast centroids).  Rows-only
@@ -711,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
         "pack_sequences_docs": _pack_sequences_docs,  # rows-only (invariant oracle in tests/)
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
+        "shuffle_export_docs": _shuffle_export_docs,  # rows-only (invariant oracle in tests/)
         "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
         # dedup / similarity family

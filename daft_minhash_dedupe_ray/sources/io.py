@@ -169,3 +169,67 @@ class CheckpointManager:
         ds = fn()
         self.save(stage, ds, cfg)
         return self.restore(stage)
+
+
+def shuffle_export(
+    ds,
+    path: str,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> dict:
+    """Deterministic seeded global shuffle + sharded parquet export — the
+    training-data layout step (every epoch reader needs the corpus in a
+    fixed pseudo-random order, split into resumable shards).
+
+    Row placement is pure hashing, no ``random_shuffle`` all-to-all: shard
+    and within-shard rank both derive from ``splitmix64(hash(id) ^ seed)``,
+    so the layout is reproducible for a fixed seed, changes completely with
+    the seed, and is independent of input partitioning.  Shards are written
+    as ``shard=<k>/`` parquet directories via one partition-granular
+    exchange (rows move once); a ``_MANIFEST.json`` + ``_SUCCESS`` marker
+    makes the export resumable/skippable like :func:`partitioned_save`.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..hashing import splitmix64
+    from ..stages.util import _hash_key_col, partition_groupby
+
+    base_schema = ds.schema()
+    names = list(base_schema.names)
+    arrow_schema = pa.schema(
+        [base_schema.base_schema.field(n) for n in names]
+        if hasattr(base_schema, "base_schema")
+        else [(n, t) for n, t in zip(names, base_schema.types)]
+    )
+    out_schema = arrow_schema.append(pa.field("shard", pa.int64())).append(
+        pa.field("rank", pa.uint64())
+    )
+
+    sd = np.uint64(seed)
+
+    def key(b: pa.Table) -> pa.Table:
+        h = splitmix64(_hash_key_col(b[id_col]) ^ sd)
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        b = b.append_column("shard", pa.array(shard, pa.int64()))
+        return b.append_column("rank", pa.array(splitmix64(h), pa.uint64()))
+
+    def order_shard(tab: pa.Table) -> pa.Table:
+        return tab.sort_by("rank")
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    shards = partition_groupby(keyed, ["shard"], order_shard, out_schema, n_shards)
+    os.makedirs(path, exist_ok=True)
+    shards.write_parquet(path, partition_cols=["shard"])
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "rows": ds.count(),
+        "written_at": time.time(),
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("")
+    return manifest

@@ -112,3 +112,50 @@ def test_cli_job_entry(ray_session, tmp_path, capsys):
     import ray.data as rd
 
     assert rd.read_parquet(out_dir).count() == report["rows_after"]
+
+
+def test_shuffle_export_permutation_determinism_balance(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.sources.io import shuffle_export
+
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array([f"doc number {i}" for i in range(n)], pa.string()),
+        }
+    )
+    p1, p2, p3 = str(tmp_path / "s1"), str(tmp_path / "s2"), str(tmp_path / "s3")
+    shuffle_export(rd.from_arrow(t).repartition(5), p1, n_shards=6, seed=1)
+    shuffle_export(rd.from_arrow(t).repartition(2), p2, n_shards=6, seed=1)  # diff partitioning
+    shuffle_export(rd.from_arrow(t).repartition(5), p3, n_shards=6, seed=2)  # diff seed
+
+    import pyarrow.parquet as pq
+
+    def load(p):
+        ds = pq.ParquetDataset(p).read()
+        return ds.to_pandas()
+
+    a, b, c = load(p1), load(p2), load(p3)
+    # permutation: nothing lost, nothing duplicated, payload intact
+    assert sorted(a["doc_id"].tolist()) == list(range(n))
+    assert a.set_index("doc_id")["text"].to_dict() == {i: f"doc number {i}" for i in range(n)}
+    # deterministic placement independent of input partitioning
+    ka = a.set_index("doc_id")[["shard", "rank"]].sort_index()
+    kb = b.set_index("doc_id")[["shard", "rank"]].sort_index()
+    assert ka.equals(kb)
+    # a different seed relocates nearly everything
+    kc = c.set_index("doc_id")[["shard"]].sort_index()
+    assert (ka["shard"] != kc["shard"]).mean() > 0.5
+    # shards are hash-balanced
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 6 and sizes.min() > n / 6 * 0.7
+    # within-shard files are rank-ordered (epoch readers stream in order)
+    import glob
+
+    f = sorted(glob.glob(f"{p1}/shard=0/*.parquet"))[0]
+    r = pq.read_table(f)["rank"].to_numpy()
+    assert (np.diff(r.astype(np.uint64)) >= 0).all()
