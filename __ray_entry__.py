@@ -128,6 +128,17 @@ def _token_counts(sf_dir: str):
     ).select_columns(["doc_id", "n_tokens"])
 
 
+def _bpe_token_counts(sf_dir: str):
+    import functools
+
+    from daft_minhash_dedupe_ray.functions.textops import bpe_token_count_batch
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(bpe_token_count_batch, text_col="text"), batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _distinct_token_counts(sf_dir: str):
     import functools
 
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text ops (SQL-checked)
         "normalize_docs": _normalize_docs,
         "token_counts": _token_counts,
+        "bpe_token_counts": _bpe_token_counts,  # SQL-checked (RE2 parity with DuckDB)
         "distinct_token_counts": _distinct_token_counts,
         "quality_scores": _quality_scores,
         "redact_pii_docs": _redact_pii_docs,  # SQL-checked (RE2 parity with DuckDB)
@@ -895,6 +907,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'
+                   )) AS n_bpe_tokens
             FROM documents
         """,
         "distinct_token_counts": r"""

@@ -30,6 +30,21 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to RE2 syntax (no lookahead,
+# ASCII classes) so pyarrow's count_substring_regex and DuckDB's
+# regexp_extract_all (both RE2) agree exactly: contraction suffixes, then
+# space-prefixed letter/digit/punct runs, then whitespace runs.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token count per row: one vectorised RE2 scan, no Python
+    tokenizer loop (the whitespace counter's sibling for byte-pair-style
+    budgeting)."""
+    n = pc.count_substring_regex(batch[text_col], pattern=BPE_TOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def distinct_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Distinct whitespace-token count per row — fully vectorised: Arrow
     splits to a list column, tokens are hashed flat, and distinct-per-row is

@@ -44,3 +44,19 @@ def test_normalize_nulls_pass_through():
     arr = pa.array(["A  b", None], pa.string())
     out = normalize_array(arr, NormalizeFlags(True, True, True, True)).to_pylist()
     assert out == ["a b", None]
+
+
+def test_bpe_token_count_batch():
+    import pyarrow as pa
+
+    from daft_minhash_dedupe_ray.functions.textops import bpe_token_count_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["Hello, world! It's 2026.", "", "   ", "don't stop-me now 3.14"]),
+        }
+    )
+    out = bpe_token_count_batch(t)["n_bpe_tokens"].to_pylist()
+    # [Hello][,][ world][!][ It]['s][ 2026][.] / [] / [ws-run] / [don]['t][ stop][-][me][ now][ 3][.][14]
+    assert out == [8, 0, 1, 9]
