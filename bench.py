@@ -173,6 +173,15 @@ def run_bench() -> dict:
     cosine_dup_pairs(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.3).count()
     queries["cosine_dup_pairs"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    from daft_minhash_dedupe_ray.functions.span_dedupe import remove_dup_spans
+
+    remove_dup_spans(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+        min_len=30,
+    ).count()
+    queries["remove_dup_spans_docs"] = round(time.perf_counter() - t0, 3)
+
     return {
         "metric": "image+caption near-dup dedupe wall time (synthetic, north-star 128/16 config)",
         "value": round(headline, 3),
