@@ -339,6 +339,20 @@ def _split_docs(sf_dir: str):
     )
 
 
+def _mix_sources_docs(sf_dir: str):
+    """Weighted corpus mixture (epoch up/down-sampling by source):
+    src0/src1 down-sampled, src2 doubled, src3 x2.5, everything else kept.
+    Rows-only (hash-Bernoulli draw is not SQL-expressible); rate /
+    determinism / multiplicity invariants are oracle-tested in
+    tests/test_mixing.py."""
+    from daft_minhash_dedupe_ray.functions.mixing import mix_sources
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "source"])
+    out = mix_sources(ds, {"src0": 0.5, "src1": 0.0, "src2": 2.0, "src3": 2.5}, seed=7)
+    pdf = out.to_pandas().sort_values(["doc_id", "epoch_copy"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _shuffle_export_docs(sf_dir: str):
     """Deterministic seeded global shuffle + sharded parquet export (epoch
     layout).  Rows-only (placement hash not SQL-expressible); permutation /
@@ -745,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": _pack_sequences_docs,  # rows-only (invariant oracle in tests/)
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
         "shuffle_export_docs": _shuffle_export_docs,  # rows-only (invariant oracle in tests/)
+        "mix_sources_docs": _mix_sources_docs,  # rows-only (invariant oracle in tests/)
         "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
         # dedup / similarity family
