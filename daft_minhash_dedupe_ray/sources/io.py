@@ -177,6 +177,7 @@ def shuffle_export(
     n_shards: int = 8,
     seed: int = 0,
     id_col: str = "doc_id",
+    sub_shards: int = 1,
 ) -> dict:
     """Deterministic seeded global shuffle + sharded parquet export — the
     training-data layout step (every epoch reader needs the corpus in a
@@ -189,12 +190,20 @@ def shuffle_export(
     as ``shard=<k>/`` parquet directories via one partition-granular
     exchange (rows move once); a ``_MANIFEST.json`` + ``_SUCCESS`` marker
     makes the export resumable/skippable like :func:`partitioned_save`.
+
+    ``sub_shards`` bounds per-task memory at scale: each shard's rank space
+    is range-split into that many contiguous sub-shards, so no reduce task
+    ever sorts more than ``corpus / (n_shards * sub_shards)`` rows.
+    Sub-shard directories are zero-padded (``sub=000…``), so walking them
+    lexicographically streams the shard in global rank order — the sort
+    parallelises without losing the epoch-reader contract.  Size it so one
+    sub-shard fits a worker heap (100 TB / 1024 shards / 128 sub-shards
+    ≈ 800 MB per reduce task).
     """
     import numpy as np
-    import pyarrow.compute as pc
 
     from ..hashing import splitmix64
-    from ..stages.util import _hash_key_col, partition_groupby
+    from ..stages.util import _hash_key_col, partition_groupby_prekeyed
 
     base_schema = ds.schema()
     names = list(base_schema.names)
@@ -203,27 +212,46 @@ def shuffle_export(
         if hasattr(base_schema, "base_schema")
         else [(n, t) for n, t in zip(names, base_schema.types)]
     )
-    out_schema = arrow_schema.append(pa.field("shard", pa.int64())).append(
-        pa.field("rank", pa.uint64())
+    width = len(str(max(sub_shards - 1, 0)))
+    out_schema = (
+        arrow_schema.append(pa.field("shard", pa.int64()))
+        .append(pa.field("sub", pa.string()))
+        .append(pa.field("rank", pa.uint64()))
     )
 
     sd = np.uint64(seed)
+    # contiguous rank-range split of the u64 space (sub_shards == 1 -> all 0)
+    divisor = np.uint64((1 << 64) // sub_shards - 1) if sub_shards > 1 else None
+    sub_names = np.array([str(i).zfill(width) for i in range(max(sub_shards, 1))])
 
     def key(b: pa.Table) -> pa.Table:
         h = splitmix64(_hash_key_col(b[id_col]) ^ sd)
         shard = (h % np.uint64(n_shards)).astype(np.int64)
+        rank = splitmix64(h)
+        if divisor is not None:
+            sub = np.minimum(rank // divisor, np.uint64(sub_shards - 1)).astype(np.int64)
+        else:
+            sub = np.zeros(len(b), dtype=np.int64)
         b = b.append_column("shard", pa.array(shard, pa.int64()))
-        return b.append_column("rank", pa.array(splitmix64(h), pa.uint64()))
+        b = b.append_column("sub", pa.array(sub_names[sub], pa.string()))
+        b = b.append_column("rank", pa.array(rank, pa.uint64()))
+        return b.append_column(
+            "__p__",
+            pa.array((shard * sub_shards + sub).astype(np.uint64), pa.uint64()),
+        )
 
     def order_shard(tab: pa.Table) -> pa.Table:
         return tab.sort_by("rank")
 
     keyed = ds.map_batches(key, batch_format="pyarrow")
-    shards = partition_groupby(keyed, ["shard"], order_shard, out_schema, n_shards)
+    shards = partition_groupby_prekeyed(
+        keyed, order_shard, out_schema, n_shards * sub_shards
+    )
     os.makedirs(path, exist_ok=True)
-    shards.write_parquet(path, partition_cols=["shard"])
+    shards.write_parquet(path, partition_cols=["shard", "sub"])
     manifest = {
         "n_shards": n_shards,
+        "sub_shards": sub_shards,
         "seed": seed,
         "rows": ds.count(),
         "written_at": time.time(),

@@ -156,6 +156,38 @@ def test_shuffle_export_permutation_determinism_balance(ray_session, tmp_path):
     # within-shard files are rank-ordered (epoch readers stream in order)
     import glob
 
-    f = sorted(glob.glob(f"{p1}/shard=0/*.parquet"))[0]
+    f = sorted(glob.glob(f"{p1}/shard=0/sub=*/*.parquet"))[0]
     r = pq.read_table(f)["rank"].to_numpy()
     assert (np.diff(r.astype(np.uint64)) >= 0).all()
+
+
+def test_shuffle_export_sub_shards_preserve_global_rank_order(ray_session, tmp_path):
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.sources.io import shuffle_export
+
+    n = 4000
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    p = str(tmp_path / "subs")
+    shuffle_export(rd.from_arrow(t).repartition(4), p, n_shards=3, seed=5, sub_shards=4)
+    total = 0
+    for shard_dir in sorted(glob.glob(f"{p}/shard=*")):
+        ranks = []
+        # lexicographic sub-dir walk == numeric order (zero-padded)
+        for f in sorted(glob.glob(f"{shard_dir}/sub=*/*.parquet")):
+            ranks.append(pq.read_table(f)["rank"].to_numpy().astype(np.uint64))
+        r = np.concatenate(ranks)
+        total += len(r)
+        assert (np.diff(r) >= 0).all()  # global rank order across sub-shards
+    assert total == n
+    # placement matches the sub_shards=1 layout (same shard/rank hashes)
+    p1 = str(tmp_path / "flat")
+    shuffle_export(rd.from_arrow(t).repartition(4), p1, n_shards=3, seed=5)
+    a = pq.ParquetDataset(p).read().to_pandas().set_index("doc_id")[["shard", "rank"]].sort_index()
+    b = pq.ParquetDataset(p1).read().to_pandas().set_index("doc_id")[["shard", "rank"]].sort_index()
+    assert a.equals(b)
