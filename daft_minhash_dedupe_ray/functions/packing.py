@@ -56,13 +56,13 @@ def _token_counts(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return token_hashes_flat(texts)[1]
 
 
-def _pack_partition(tab: pa.Table, max_tokens: int, id_col: str, text_col: str) -> pa.Table:
+def _pack_partition(tab: pa.Table, max_tokens: int, id_col: str) -> pa.Table:
     if tab is None or len(tab) == 0:
         return PACK_SCHEMA.empty_table()
     doc = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(doc, kind="stable")
+    order = np.argsort(doc)  # ids are unique; stability not needed
     doc = doc[order]
-    n = _token_counts(tab[text_col])[order]
+    n = tab["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
     cum = np.zeros(len(n), dtype=np.int64)
     np.cumsum(n[:-1], out=cum[1:]) if len(n) > 1 else None
     first = cum // max_tokens
@@ -95,8 +95,19 @@ def pack_sequences(
     """Assign every whitespace token of every doc to exactly one fixed-size
     training sequence.  Returns PACK_SCHEMA rows (one per doc-sequence
     overlap); a downstream gather keyed on ``seq_id`` materialises the actual
-    token blocks."""
-    fn = functools.partial(
-        _pack_partition, max_tokens=max_tokens, id_col=id_col, text_col=text_col
-    )
-    return partition_groupby(ds, [id_col], fn, PACK_SCHEMA, num_partitions)
+    token blocks.
+
+    Token counting happens map-side so the exchange moves 16 bytes per doc
+    — ``(doc_id, n_tokens)`` — never the text."""
+
+    def count(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pa.array(_token_counts(b[text_col]), pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(count, batch_format="pyarrow")
+    fn = functools.partial(_pack_partition, max_tokens=max_tokens, id_col=id_col)
+    return partition_groupby(counted, [id_col], fn, PACK_SCHEMA, num_partitions)
