@@ -50,8 +50,20 @@ def mix_sources(
         out_schema = b.schema.append(pa.field("epoch_copy", pa.int64()))
         if n == 0:
             return out_schema.empty_table()
-        src = b[source_col].to_pylist()
-        w = np.array([float(weights.get(s, default_weight)) for s in src])
+        import pyarrow.compute as pc
+
+        # weight lookup on the per-batch distinct sources only, then a
+        # vectorised gather — no per-row Python
+        enc = pc.dictionary_encode(
+            b[source_col].combine_chunks()
+            if isinstance(b[source_col], pa.ChunkedArray)
+            else b[source_col]
+        )
+        dict_w = np.array(
+            [float(weights.get(s, default_weight)) for s in enc.dictionary.to_pylist()]
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = dict_w[idx] if len(dict_w) else np.zeros(n)
         base = np.floor(w).astype(np.int64)
         frac = w - base
         h = splitmix64(_hash_key_col(b[id_col]) ^ sd)
