@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--modular", action="store_true", help="use the modular stage path instead of the fused throughput path")
     p.add_argument("--limit", type=int, default=None, help="row limit at ingest (reference A1)")
     p.add_argument("--chunk-size", type=int, default=200_000, help="target rows per output partition")
+    p.add_argument(
+        "--mode",
+        choices=["dedupe", "spans"],
+        default="dedupe",
+        help="dedupe: document-level near-dup removal (default); "
+        "spans: ExactSubstr span-level removal (cut every cross-doc "
+        "duplicated span >= --span-min-len chars, keep the smallest-id copy)",
+    )
+    p.add_argument("--span-min-len", type=int, default=50, help="minimum duplicated-span length (chars) in --mode spans")
     return p
 
 
@@ -87,6 +96,27 @@ def main(argv: list[str] | None = None) -> int:
     ds = read_table(args.input)
     if args.limit:
         ds = ds.limit(args.limit)
+
+    if args.mode == "spans":
+        from .functions.span_dedupe import remove_dup_spans
+
+        out = remove_dup_spans(
+            ds.select_columns([args.index_col, args.content_col]),
+            min_len=args.span_min_len,
+            id_col=args.index_col,
+            text_col=args.content_col,
+            num_partitions=args.num_partitions or 64,
+        )
+        manifest = partitioned_save(out, args.output, chunk_size=args.chunk_size)
+        report = {
+            "mode": "spans",
+            "rows": manifest["rows"],
+            "output": args.output,
+            "output_partitions": manifest["target_partitions"],
+            "wall_seconds": round(time.perf_counter() - t0, 2),
+        }
+        print(json.dumps(report))
+        return 0
 
     pipe = MinHashDedupePipeline(cfg)
     if args.checkpoint_dir:

@@ -60,9 +60,27 @@ from ..hashing import _POLY_P, _segment_aranges, splitmix64
 from ..stages.util import partition_groupby, raw_cogroup_exchange
 
 DIR_SCHEMA = pa.schema([("gram", pa.uint64()), ("min_doc", pa.int64())])
-OUT_SCHEMA = pa.schema(
-    [("doc_id", pa.int64()), ("text_clean", pa.string()), ("n_removed", pa.int64())]
-)
+
+
+def _out_schema(id_field: pa.Field) -> pa.Schema:
+    return pa.schema(
+        [id_field, pa.field("text_clean", pa.string()), pa.field("n_removed", pa.int64())]
+    )
+
+
+def _id_keys(col) -> np.ndarray:
+    """Total-ordered int64 comparison keys for the id column.  Integer ids
+    compare natively ("keep the smallest doc_id"); string/binary ids compare
+    by their stable 64-bit hash — an arbitrary but deterministic,
+    partitioning-independent keeper order."""
+    t = col.type
+    if pa.types.is_integer(t):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    from ..stages.util import _hash_key_col
+
+    return _hash_key_col(col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col])).view(
+        np.int64
+    )
 
 
 def _texts_flat(texts) -> tuple[list, np.ndarray, np.ndarray]:
@@ -111,7 +129,7 @@ def _gram_partials(batch: pa.Table, min_len: int, id_col: str, text_col: str) ->
     detected as min-doc != max-doc per sorted segment)."""
     _, flat, offsets = _texts_flat(batch[text_col])
     h, row_idx, _ = _gram_hashes(flat, offsets, min_len)
-    doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[row_idx]
+    doc = _id_keys(batch[id_col])[row_idx]
     if len(h) == 0:
         return DIR_SCHEMA.empty_table().append_column("multi", pa.array([], pa.bool_()))
     order = np.argsort(h)  # no stability needed: min/max are order-free
@@ -181,11 +199,11 @@ def _splice(batch: pa.Table, cut_row: np.ndarray, cut_pos: np.ndarray, min_len: 
     drop covered codepoints, rebuild strings."""
     lst, flat, offsets = _texts_flat(batch[text_col])
     n = int(offsets[-1])
-    doc = batch[id_col].cast(pa.int64())
+    doc = batch[id_col]
     if len(cut_row) == 0 or n == 0:
         return pa.table(
             {
-                "doc_id": doc,
+                id_col: doc,
                 "text_clean": pa.array(lst, pa.string()),
                 "n_removed": pa.array(np.zeros(len(lst), np.int64)),
             }
@@ -205,7 +223,7 @@ def _splice(batch: pa.Table, cut_row: np.ndarray, cut_pos: np.ndarray, min_len: 
     out = [kept_all[keep_off[i] : keep_off[i + 1]] for i in range(len(lst))]
     return pa.table(
         {
-            "doc_id": doc,
+            id_col: doc,
             "text_clean": pa.array(out, pa.string()),
             "n_removed": pa.array(removed),
         }
@@ -221,8 +239,8 @@ def remove_dup_spans(
     broadcast: bool = True,
 ):
     """Cut every cross-doc duplicated span of >= ``min_len`` chars, keeping
-    the occurrence in the smallest ``doc_id``.  Returns OUT_SCHEMA rows."""
-    import functools
+    the occurrence in the smallest ``doc_id`` (hash order for non-integer
+    ids).  Returns ``(id_col, text_clean, n_removed)`` rows."""
 
     dir_ds = build_gram_directory(ds, min_len, id_col, text_col, num_partitions)
 
@@ -241,7 +259,7 @@ def remove_dup_spans(
         def cut_batch(batch: pa.Table) -> pa.Table:
             grams, mins = ray.get(dir_ref)
             h, row_idx, pos = _gram_hashes(*_texts_flat(batch[text_col])[1:], min_len)
-            doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            doc = _id_keys(batch[id_col])
             if len(h) and len(grams):
                 idx = np.searchsorted(grams, h)
                 idx_c = np.minimum(idx, len(grams) - 1)
@@ -254,19 +272,21 @@ def remove_dup_spans(
         return ds.map_batches(cut_batch, batch_format="pyarrow")
 
     # Cogroup fallback: positions x directory -> cuts; cuts x docs -> splice.
+    # Rows carry the int64 comparison key (``doc_key``) through both
+    # exchanges; the original id column only travels with the doc rows.
     def positions(batch: pa.Table) -> pa.Table:
         h, row_idx, pos = _gram_hashes(*_texts_flat(batch[text_col])[1:], min_len)
-        doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = _id_keys(batch[id_col])
         return pa.table(
             {
                 "gram": pa.array(h, pa.uint64()),
-                "doc_id": pa.array(doc[row_idx], pa.int64()),
+                "doc_key": pa.array(doc[row_idx], pa.int64()),
                 "pos": pa.array(pos, pa.int64()),
             }
         )
 
     pos_ds = ds.map_batches(positions, batch_format="pyarrow")
-    CUT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    CUT_SCHEMA = pa.schema([("doc_key", pa.int64()), ("pos", pa.int64())])
 
     def match_cuts(left: pa.Table | None, right: pa.Table | None) -> pa.Table | None:
         if left is None or right is None or len(left) == 0 or len(right) == 0:
@@ -276,16 +296,21 @@ def remove_dup_spans(
         order = np.argsort(g, kind="stable")
         g, md = g[order], md[order]
         h = left["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc = left["doc_id"].to_numpy(zero_copy_only=False)
+        doc = left["doc_key"].to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(g, h), len(g) - 1)
         hit = (g[idx] == h) & (doc > md[idx])
         return pa.table(
-            {"doc_id": left["doc_id"].filter(pa.array(hit)), "pos": left["pos"].filter(pa.array(hit))}
+            {"doc_key": left["doc_key"].filter(pa.array(hit)), "pos": left["pos"].filter(pa.array(hit))}
         )
 
     cuts = raw_cogroup_exchange(
         pos_ds, dir_ds, ["gram"], ["gram"], match_cuts, CUT_SCHEMA, num_partitions
     )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column("doc_key", pa.array(_id_keys(b[id_col]), pa.int64()))
+
+    keyed_docs = ds.map_batches(add_key, batch_format="pyarrow")
 
     def splice_group(docs: pa.Table | None, cut: pa.Table | None) -> pa.Table | None:
         if docs is None or len(docs) == 0:
@@ -293,11 +318,11 @@ def remove_dup_spans(
         if cut is None or len(cut) == 0:
             z = np.zeros(0, np.int64)
             return _splice(docs, z, z, min_len, id_col, text_col)
-        doc_ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(doc_ids, kind="stable")
+        doc_keys = docs["doc_key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_keys, kind="stable")
         docs = docs.take(pa.array(order))
-        sorted_ids = doc_ids[order]
-        cd = cut["doc_id"].to_numpy(zero_copy_only=False)
+        sorted_ids = doc_keys[order]
+        cd = cut["doc_key"].to_numpy(zero_copy_only=False)
         row = np.searchsorted(sorted_ids, cd)
         ok = sorted_ids[np.minimum(row, len(sorted_ids) - 1)] == cd
         return _splice(
@@ -309,6 +334,18 @@ def remove_dup_spans(
             text_col,
         )
 
+    sch = ds.schema()
+    id_field = (
+        sch.base_schema.field(id_col)
+        if hasattr(sch, "base_schema")
+        else pa.field(id_col, dict(zip(sch.names, sch.types))[id_col])
+    )
     return raw_cogroup_exchange(
-        ds, cuts, [id_col], ["doc_id"], splice_group, OUT_SCHEMA, num_partitions
+        keyed_docs,
+        cuts,
+        ["doc_key"],
+        ["doc_key"],
+        splice_group,
+        _out_schema(id_field),
+        num_partitions,
     )

@@ -107,3 +107,38 @@ def test_gram_hashes_respect_row_boundaries():
     assert len(h0) == 1 and len(h1) == 1 and h0[0] == h1[0]
     counts = np.bincount(row_idx, minlength=2)
     assert counts.tolist() == [15 - 11 + 1, 11 - 11 + 1]
+
+
+def test_string_ids_supported(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "image_id": pa.array(["imgA", "imgB", "imgC"], pa.string()),
+            "caption": pa.array(
+                [
+                    "a shared long caption describing the scene in detail",
+                    "PRE a shared long caption describing the scene in detail POST",
+                    "totally different words about something else entirely here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        remove_dup_spans(
+            rd.from_arrow(t), min_len=20, id_col="image_id", text_col="caption", num_partitions=2
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert sorted(out.index) == ["imgA", "imgB", "imgC"]
+    # exactly one of A/B keeps the shared caption; the other is cut
+    cut = {i for i in ("imgA", "imgB") if out.loc[i, "n_removed"] > 0}
+    assert len(cut) == 1
+    assert out.loc["imgC", "n_removed"] == 0
+    b = remove_dup_spans(
+        rd.from_arrow(t), min_len=20, id_col="image_id", text_col="caption",
+        num_partitions=2, broadcast=False,
+    ).to_pandas().set_index("image_id")
+    assert out.sort_index().equals(b.sort_index())
