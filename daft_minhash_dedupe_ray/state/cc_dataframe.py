@@ -209,8 +209,16 @@ def connected_components_dataframe(edges, cfg: DedupeConfig):
     """
     algorithm = cfg.cc_algorithm if cfg.cc_algorithm != "union_find" else "alternating"
     b = canonicalize(edges).materialize()
-    if b.count() == 0:
+    n_edges = b.count()
+    if n_edges == 0:
         return b  # empty assignments
+    if cfg.num_partitions is None:
+        # size the per-round exchanges to the edge volume: a small graph on
+        # 64 partitions pays hundreds of empty reduce tasks per round (the
+        # loop runs several rounds, each with 2 exchanges + a convergence
+        # check) for zero parallelism gain
+        adaptive = max(1, min(DEFAULT_PARTITIONS, -(-n_edges // 50_000)))
+        cfg = cfg.with_overrides(num_partitions=adaptive)
 
     prev_fp = None
     prev_b = None
