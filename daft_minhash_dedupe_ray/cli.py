@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
         "duplicated span >= --span-min-len chars, keep the smallest-id copy)",
     )
     p.add_argument("--span-min-len", type=int, default=50, help="minimum duplicated-span length (chars) in --mode spans")
+    p.add_argument(
+        "--span-scope",
+        choices=["cross_doc", "any"],
+        default="cross_doc",
+        help="cross_doc: cut spans duplicated across documents only; "
+        "any: also cut within-document repeats (keeper = first occurrence)",
+    )
     return p
 
 
@@ -106,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.index_col,
             text_col=args.content_col,
             num_partitions=args.num_partitions or 64,
+            scope=args.span_scope,
         )
         manifest = partitioned_save(out, args.output, chunk_size=args.chunk_size)
         report = {

@@ -9,7 +9,9 @@ canonical occurrence survives).  The reference repo stops at pair detection
 ``workload/minhash_dedupe.py`` banding ancestry); this operator goes one step
 further and rewrites the corpus.
 
-Semantics (deterministic, cross-document only):
+Semantics (deterministic; ``scope="cross_doc"`` default — ``scope="any"``
+additionally cuts within-doc repeats, keeper = lexicographically-first
+``(doc, pos)`` occurrence):
 
 * a position ``p`` in doc ``d`` is *covered* iff the ``min_len``-gram starting
   anywhere in ``[p - min_len + 1, p]`` of ``d`` also occurs in some doc
@@ -60,6 +62,9 @@ from ..hashing import _POLY_P, _segment_aranges, splitmix64
 from ..stages.util import partition_groupby, raw_cogroup_exchange
 
 DIR_SCHEMA = pa.schema([("gram", pa.uint64()), ("min_doc", pa.int64())])
+DIR2_SCHEMA = pa.schema(
+    [("gram", pa.uint64()), ("min_doc", pa.int64()), ("min_pos", pa.int64())]
+)
 
 
 def _out_schema(id_field: pa.Field) -> pa.Schema:
@@ -123,13 +128,33 @@ def _gram_hashes(flat: np.ndarray, offsets: np.ndarray, min_len: int):
     return h[starts_global], row_idx, pos
 
 
-def _gram_partials(batch: pa.Table, min_len: int, id_col: str, text_col: str) -> pa.Table:
-    """Batch-local combiner: one ``(gram, min_doc, multi)`` row per distinct
-    gram in the batch (multi = seen in >= 2 distinct docs *within* the batch,
-    detected as min-doc != max-doc per sorted segment)."""
+def _gram_partials(
+    batch: pa.Table, min_len: int, id_col: str, text_col: str, scope: str = "cross_doc"
+) -> pa.Table:
+    """Batch-local combiner: one row per distinct gram in the batch.
+
+    ``cross_doc``: ``(gram, min_doc, multi)`` with multi = seen in >= 2
+    distinct docs within the batch (min-doc != max-doc per sorted segment).
+    ``any``: ``(gram, min_doc, min_pos, multi)`` with the lexicographic
+    (doc, pos) minimum and multi = any second occurrence, same doc or not."""
     _, flat, offsets = _texts_flat(batch[text_col])
-    h, row_idx, _ = _gram_hashes(flat, offsets, min_len)
+    h, row_idx, pos = _gram_hashes(flat, offsets, min_len)
     doc = _id_keys(batch[id_col])[row_idx]
+    if scope == "any":
+        if len(h) == 0:
+            return DIR2_SCHEMA.empty_table().append_column("multi", pa.array([], pa.bool_()))
+        order = np.lexsort((pos, doc, h))
+        hs, ds, ps = h[order], doc[order], pos[order]
+        seg = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+        cnt = np.diff(np.concatenate((seg, [len(hs)])))
+        return pa.table(
+            {
+                "gram": pa.array(hs[seg], pa.uint64()),
+                "min_doc": pa.array(ds[seg], pa.int64()),
+                "min_pos": pa.array(ps[seg], pa.int64()),
+                "multi": pa.array(cnt > 1, pa.bool_()),
+            }
+        )
     if len(h) == 0:
         return DIR_SCHEMA.empty_table().append_column("multi", pa.array([], pa.bool_()))
     order = np.argsort(h)  # no stability needed: min/max are order-free
@@ -142,6 +167,30 @@ def _gram_partials(batch: pa.Table, min_len: int, id_col: str, text_col: str) ->
             "gram": pa.array(hs[seg], pa.uint64()),
             "min_doc": pa.array(gmin, pa.int64()),
             "multi": pa.array(gmin != gmax, pa.bool_()),
+        }
+    )
+
+
+def _dir_reduce_any(tab: pa.Table) -> pa.Table:
+    """``scope="any"`` reduce: lexicographic (doc, pos) minimum per gram;
+    multi = any partial flag or >= 2 partials (each partial is >= 1
+    occurrence)."""
+    if tab is None or len(tab) == 0:
+        return DIR2_SCHEMA.empty_table()
+    h = tab["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    md = tab["min_doc"].to_numpy(zero_copy_only=False)
+    mp = tab["min_pos"].to_numpy(zero_copy_only=False)
+    mu = tab["multi"].to_numpy(zero_copy_only=False).astype(np.uint8)
+    order = np.lexsort((mp, md, h))
+    hs, ds, ps = h[order], md[order], mp[order]
+    seg = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+    cnt = np.diff(np.concatenate((seg, [len(hs)])))
+    multi = (np.maximum.reduceat(mu[order], seg) > 0) | (cnt > 1)
+    return pa.table(
+        {
+            "gram": pa.array(hs[seg][multi], pa.uint64()),
+            "min_doc": pa.array(ds[seg][multi], pa.int64()),
+            "min_pos": pa.array(ps[seg][multi], pa.int64()),
         }
     )
 
@@ -181,14 +230,22 @@ def _dir_reduce(tab: pa.Table) -> pa.Table:
     )
 
 
-def build_gram_directory(ds, min_len: int, id_col: str, text_col: str, num_partitions: int):
-    """Stage 1: the duplicated-gram directory as a Dataset of DIR_SCHEMA."""
+def build_gram_directory(
+    ds, min_len: int, id_col: str, text_col: str, num_partitions: int,
+    scope: str = "cross_doc",
+):
+    """Stage 1: the duplicated-gram directory as a Dataset of DIR_SCHEMA
+    (``cross_doc``) or DIR2_SCHEMA (``any``)."""
     import functools
 
     partials = ds.map_batches(
-        functools.partial(_gram_partials, min_len=min_len, id_col=id_col, text_col=text_col),
+        functools.partial(
+            _gram_partials, min_len=min_len, id_col=id_col, text_col=text_col, scope=scope
+        ),
         batch_format="pyarrow",
     )
+    if scope == "any":
+        return partition_groupby(partials, ["gram"], _dir_reduce_any, DIR2_SCHEMA, num_partitions)
     return partition_groupby(partials, ["gram"], _dir_reduce, DIR_SCHEMA, num_partitions)
 
 
@@ -237,12 +294,20 @@ def remove_dup_spans(
     text_col: str = "text",
     num_partitions: int = 16,
     broadcast: bool = True,
+    scope: str = "cross_doc",
 ):
-    """Cut every cross-doc duplicated span of >= ``min_len`` chars, keeping
-    the occurrence in the smallest ``doc_id`` (hash order for non-integer
-    ids).  Returns ``(id_col, text_clean, n_removed)`` rows."""
+    """Cut every duplicated span of >= ``min_len`` chars.
 
-    dir_ds = build_gram_directory(ds, min_len, id_col, text_col, num_partitions)
+    ``scope="cross_doc"`` (default): only spans that also occur in a
+    *different* doc are cut; the smallest ``doc_id`` (hash order for
+    non-integer ids) keeps its copy, within-doc repeats are untouched.
+    ``scope="any"``: the paper's full semantics — every occurrence after the
+    lexicographically-first ``(doc, pos)`` is cut, including repeats inside
+    the same document.  Returns ``(id_col, text_clean, n_removed)`` rows."""
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
+
+    dir_ds = build_gram_directory(ds, min_len, id_col, text_col, num_partitions, scope)
 
     if broadcast:
         parts = [t for t in ray.get(dir_ds.to_arrow_refs()) if t is not None and len(t)]
@@ -250,20 +315,30 @@ def remove_dup_spans(
             dtab = pa.concat_tables(parts)
             g = dtab["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
             md = dtab["min_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mp = (
+                dtab["min_pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+                if scope == "any"
+                else np.zeros(len(g), np.int64)
+            )
             order = np.argsort(g, kind="stable")
-            g, md = g[order], md[order]
+            g, md, mp = g[order], md[order], mp[order]
         else:
-            g, md = np.zeros(0, np.uint64), np.zeros(0, np.int64)
-        dir_ref = ray.put((g, md))
+            g, md, mp = np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+        dir_ref = ray.put((g, md, mp))
 
         def cut_batch(batch: pa.Table) -> pa.Table:
-            grams, mins = ray.get(dir_ref)
+            grams, mins, minp = ray.get(dir_ref)
             h, row_idx, pos = _gram_hashes(*_texts_flat(batch[text_col])[1:], min_len)
             doc = _id_keys(batch[id_col])
             if len(h) and len(grams):
                 idx = np.searchsorted(grams, h)
                 idx_c = np.minimum(idx, len(grams) - 1)
-                hit = (grams[idx_c] == h) & (doc[row_idx] > mins[idx_c])
+                d = doc[row_idx]
+                if scope == "any":
+                    later = (d > mins[idx_c]) | ((d == mins[idx_c]) & (pos > minp[idx_c]))
+                else:
+                    later = d > mins[idx_c]
+                hit = (grams[idx_c] == h) & later
                 row_idx, pos = row_idx[hit], pos[hit]
             else:
                 row_idx = pos = np.zeros(0, np.int64)
@@ -293,12 +368,22 @@ def remove_dup_spans(
             return None
         g = right["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
         md = right["min_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mp = (
+            right["min_pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if scope == "any"
+            else np.zeros(len(g), np.int64)
+        )
         order = np.argsort(g, kind="stable")
-        g, md = g[order], md[order]
+        g, md, mp = g[order], md[order], mp[order]
         h = left["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
         doc = left["doc_key"].to_numpy(zero_copy_only=False)
+        p = left["pos"].to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(g, h), len(g) - 1)
-        hit = (g[idx] == h) & (doc > md[idx])
+        if scope == "any":
+            later = (doc > md[idx]) | ((doc == md[idx]) & (p > mp[idx]))
+        else:
+            later = doc > md[idx]
+        hit = (g[idx] == h) & later
         return pa.table(
             {"doc_key": left["doc_key"].filter(pa.array(hit)), "pos": left["pos"].filter(pa.array(hit))}
         )

@@ -142,3 +142,51 @@ def test_string_ids_supported(ray_session):
         num_partitions=2, broadcast=False,
     ).to_pandas().set_index("image_id")
     assert out.sort_index().equals(b.sort_index())
+
+
+def _oracle_any(ids, texts, L):
+    """scope="any" reference: keeper is the lexicographically-first (doc,
+    pos) occurrence of each gram; every other occurrence is covered."""
+    first = {}
+    for d, x in sorted(zip(ids, texts)):
+        for i in range(len(x) - L + 1):
+            first.setdefault(x[i : i + L], (d, i))
+    clean, removed = [], []
+    for d, x in zip(ids, texts):
+        m = [False] * len(x)
+        for i in range(len(x) - L + 1):
+            if first[x[i : i + L]] != (d, i):
+                for j in range(i, i + L):
+                    m[j] = True
+        clean.append("".join(c for c, b in zip(x, m) if not b))
+        removed.append(sum(m))
+    return clean, removed
+
+
+def test_scope_any_cuts_within_doc_repeats(ray_session):
+    ids = [10, 11, 12]
+    texts = [
+        "unique preamble abcdefghijklmno middle abcdefghijklmno end",  # self-repeat
+        "other doc sharing abcdefghijklmno too",
+        "wholly original content with nothing repeated anywhere",
+    ]
+    L = 15
+    out = _run(ray_session, ids, texts, L, scope="any")
+    clean, removed = _oracle_any(ids, texts, L)
+    assert out["text_clean"].tolist() == clean
+    assert out["n_removed"].tolist() == removed
+    assert removed[0] > 0  # the second within-doc occurrence was cut
+    # cross_doc mode leaves the self-repeat alone
+    cd = _run(ray_session, ids, texts, L)
+    assert cd.loc[0, "n_removed"] == 0
+    # both execution paths agree
+    b = _run(ray_session, ids, texts, L, scope="any", broadcast=False)
+    assert out.equals(b)
+
+
+def test_scope_any_matches_bruteforce_on_fixture(ray_session):
+    ids = [10, 11, 12, 13, 14]
+    out = _run(ray_session, ids, FIXTURE_TEXTS, 12, scope="any")
+    clean, removed = _oracle_any(ids, FIXTURE_TEXTS, 12)
+    assert out["text_clean"].tolist() == clean
+    assert out["n_removed"].tolist() == removed
