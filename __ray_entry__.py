@@ -391,6 +391,16 @@ def _cluster_embeddings(sf_dir: str):
     )
 
 
+def _remove_dup_spans_any_docs(sf_dir: str):
+    """ExactSubstr span removal at scope='any': within-doc repeats are cut
+    too; the keeper is the lexicographically-first (doc_id, pos) occurrence.
+    SQL-checked (ROW_NUMBER-over-gram reconstruction in DuckDB)."""
+    from daft_minhash_dedupe_ray.functions.span_dedupe import remove_dup_spans
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    return remove_dup_spans(ds, min_len=30, scope="any")
+
+
 def _pack_sequences_docs(sf_dir: str):
     """Concat-and-chunk sequence packing into 256-token training sequences.
     Rows-only (partition-local greedy layout is not SQL-expressible); token
@@ -756,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
         "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
         "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
+        "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
         "pack_sequences_docs": _pack_sequences_docs,  # rows-only (invariant oracle in tests/)
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
         "shuffle_export_docs": _shuffle_export_docs,  # rows-only (invariant oracle in tests/)
@@ -973,6 +984,37 @@ def oracle_sql() -> dict[str, str]:
             cuts AS (
                 SELECT g.doc_id, g.i FROM g
                 JOIN dir ON g.gram = dir.gram WHERE g.doc_id > dir.m
+            ),
+            cov AS (
+                SELECT p.doc_id, p.i, substr(p.text, p.i, 1) AS ch,
+                       count(c.i) > 0 AS covered
+                FROM pos p LEFT JOIN cuts c
+                  ON c.doc_id = p.doc_id AND p.i >= c.i AND p.i < c.i + 30
+                GROUP BY p.doc_id, p.i, ch
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT covered),
+                            '') AS text_clean,
+                   count(*) FILTER (WHERE covered) AS n_removed
+            FROM cov GROUP BY doc_id ORDER BY doc_id
+        """,
+        "remove_dup_spans_any_docs": """
+            WITH pos AS (
+                SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i, substr(text, i, 30) AS gram
+                FROM pos WHERE i <= length(text) - 29
+            ),
+            r AS (
+                SELECT doc_id, i,
+                       row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+                       count(*) OVER (PARTITION BY gram) AS cnt
+                FROM g
+            ),
+            cuts AS (
+                SELECT doc_id, i FROM r WHERE cnt > 1 AND rn > 1
             ),
             cov AS (
                 SELECT p.doc_id, p.i, substr(p.text, p.i, 1) AS ch,
