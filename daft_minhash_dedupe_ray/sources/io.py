@@ -261,3 +261,30 @@ def shuffle_export(
     with open(os.path.join(path, "_SUCCESS"), "w") as f:
         f.write("")
     return manifest
+
+
+def read_shuffled(path: str, shards: list[int] | None = None, columns=None):
+    """Epoch reader for a :func:`shuffle_export` layout: stream the chosen
+    shards (default: all) as one Dataset whose block order follows the
+    shuffled rank — ``shard=<k>/sub=<j>/`` directories are walked in
+    zero-padded lexicographic order, so a sequential consumer sees the same
+    pseudo-random document order every epoch.  Pass ``shards`` to give each
+    trainer rank its own disjoint slice (the file listing is cheap; data is
+    only read as blocks stream)."""
+    import glob
+
+    import ray.data as rd
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise FileNotFoundError(f"no _SUCCESS marker under {path!r} — incomplete export")
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    want = set(range(manifest["n_shards"])) if shards is None else set(shards)
+    files = []
+    for k in sorted(want):
+        subs = sorted(glob.glob(os.path.join(path, f"shard={k}", "sub=*")))
+        for sub in subs:
+            files.extend(sorted(glob.glob(os.path.join(sub, "*.parquet"))))
+    if not files:
+        raise FileNotFoundError(f"no parquet files for shards {sorted(want)} under {path!r}")
+    return rd.read_parquet(files, columns=columns)

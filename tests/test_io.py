@@ -191,3 +191,29 @@ def test_shuffle_export_sub_shards_preserve_global_rank_order(ray_session, tmp_p
     a = pq.ParquetDataset(p).read().to_pandas().set_index("doc_id")[["shard", "rank"]].sort_index()
     b = pq.ParquetDataset(p1).read().to_pandas().set_index("doc_id")[["shard", "rank"]].sort_index()
     assert a.equals(b)
+
+
+def test_read_shuffled_round_trip_and_shard_slicing(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.sources.io import read_shuffled, shuffle_export
+
+    n = 2000
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    p = str(tmp_path / "epoch")
+    shuffle_export(rd.from_arrow(t).repartition(3), p, n_shards=4, seed=3, sub_shards=2)
+    full = read_shuffled(p).to_pandas()
+    assert sorted(full["doc_id"]) == list(range(n))
+    # disjoint per-trainer slices cover everything exactly once
+    parts = [set(read_shuffled(p, shards=[k]).to_pandas()["doc_id"]) for k in range(4)]
+    assert set().union(*parts) == set(range(n))
+    assert sum(len(s) for s in parts) == n
+    # column pruning works
+    cols = read_shuffled(p, shards=[0], columns=["doc_id"]).schema().names
+    assert cols == ["doc_id"]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_shuffled(str(tmp_path / "missing"))
