@@ -415,6 +415,19 @@ def _pack_sequences_docs(sf_dir: str):
     )
 
 
+def _packed_sequence_texts(sf_dir: str):
+    """Materialised 256-token training sequences (pack layout -> actual
+    token blocks).  Rows-only; token-conservation / fullness oracles in
+    tests/test_packing.py."""
+    from daft_minhash_dedupe_ray.functions.packing import materialize_sequences
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    out = materialize_sequences(ds, max_tokens=256).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("seq_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def _remove_dup_spans_docs(sf_dir: str):
     """ExactSubstr-style duplicated-span removal: every cross-doc duplicated
     span of >=30 chars is cut from all but the smallest-doc_id occurrence.
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
         "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
         "pack_sequences_docs": _pack_sequences_docs,  # rows-only (invariant oracle in tests/)
+        "packed_sequence_texts": _packed_sequence_texts,  # rows-only (invariant oracle in tests/)
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
         "shuffle_export_docs": _shuffle_export_docs,  # rows-only (invariant oracle in tests/)
         "mix_sources_docs": _mix_sources_docs,  # rows-only (invariant oracle in tests/)

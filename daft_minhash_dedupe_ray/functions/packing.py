@@ -111,3 +111,93 @@ def pack_sequences(
     counted = ds.map_batches(count, batch_format="pyarrow")
     fn = functools.partial(_pack_partition, max_tokens=max_tokens, id_col=id_col)
     return partition_groupby(counted, [id_col], fn, PACK_SCHEMA, num_partitions)
+
+
+SEQ_SCHEMA = pa.schema(
+    [("seq_id", pa.uint64()), ("text", pa.string()), ("n_tokens", pa.int64())]
+)
+_FRAG_SCHEMA = pa.schema(
+    [
+        ("seq_id", pa.uint64()),
+        ("doc_id", pa.int64()),
+        ("frag", pa.string()),
+        ("n_toks", pa.int64()),
+    ]
+)
+
+
+def materialize_sequences(
+    ds,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+):
+    """Turn the :func:`pack_sequences` layout into actual token blocks:
+    ``(seq_id, text, n_tokens)`` with ``text`` = the whitespace-joined token
+    slice of every contributing doc, in packing order.
+
+    Two exchanges, both thin: (1) the pack rows cogroup back onto the docs by
+    id — each doc slices out its fragments (token-index ranges -> substrings);
+    (2) fragments regroup by ``seq_id`` and concatenate (a sequence's docs
+    are ascending ids within one partition, so sorting fragments by
+    ``(seq_id, doc_id)`` restores packing order).  Only fragment text moves —
+    total bytes ≈ corpus size, the unavoidable minimum for this output."""
+    from ..stages.util import partition_groupby, raw_cogroup_exchange
+
+    pack = pack_sequences(ds, max_tokens, id_col, text_col, num_partitions)
+
+    def frag(docs: pa.Table | None, rows: pa.Table | None) -> pa.Table | None:
+        if docs is None or rows is None or len(docs) == 0 or len(rows) == 0:
+            return None
+        ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        texts = docs[text_col].take(pa.array(order)).to_pylist()
+        toks = [t.split() if isinstance(t, str) else [] for t in texts]
+        rd_ = rows["doc_id"].to_numpy(zero_copy_only=False)
+        lo = rows["tok_start"].to_numpy(zero_copy_only=False)
+        hi = rows["tok_end"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, rd_)
+        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == rd_)
+        out_frag = [
+            " ".join(toks[p][s:e]) if k else ""
+            for p, s, e, k in zip(pos, lo, hi, ok)
+        ]
+        return pa.table(
+            {
+                "seq_id": rows["seq_id"],
+                "doc_id": rows["doc_id"],
+                "frag": pa.array(out_frag, pa.string()),
+                "n_toks": pa.array((hi - lo) * ok.astype(np.int64), pa.int64()),
+            }
+        )
+
+    frags = raw_cogroup_exchange(
+        ds, pack, [id_col], ["doc_id"], frag, _FRAG_SCHEMA, num_partitions
+    )
+
+    def assemble(tab: pa.Table) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return SEQ_SCHEMA.empty_table()
+        sid = tab["seq_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = tab["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sid))
+        sid = sid[order]
+        fr = tab["frag"].take(pa.array(order)).to_pylist()
+        nt = tab["n_toks"].to_numpy(zero_copy_only=False)[order]
+        seg = np.flatnonzero(np.concatenate(([True], sid[1:] != sid[:-1])))
+        ends = np.concatenate((seg[1:], [len(sid)]))
+        texts = [
+            " ".join(f for f in fr[s:e] if f) for s, e in zip(seg, ends)
+        ]
+        csum = np.concatenate(([0], np.cumsum(nt)))
+        return pa.table(
+            {
+                "seq_id": pa.array(sid[seg], pa.uint64()),
+                "text": pa.array(texts, pa.string()),
+                "n_tokens": pa.array(csum[ends] - csum[seg], pa.int64()),
+            }
+        )
+
+    return partition_groupby(frags, ["seq_id"], assemble, SEQ_SCHEMA, num_partitions)

@@ -59,3 +59,35 @@ def test_long_doc_spans_sequences(ray_session):
     sizes = sorted((out["tok_end"] - out["tok_start"]).tolist(), reverse=True)
     assert sizes == [128, 128, 128, 116]
     assert out["seq_id"].nunique() == 4
+
+
+def test_materialize_sequences_token_conservation(ray_session):
+    import collections
+
+    from daft_minhash_dedupe_ray.functions.packing import materialize_sequences
+
+    rng = np.random.default_rng(13)
+    texts = [
+        " ".join(f"w{rng.integers(0, 50)}" for _ in range(rng.integers(0, 30)))
+        for _ in range(150)
+    ]
+    out = materialize_sequences(
+        _mk(ray_session, texts), max_tokens=48, num_partitions=4
+    ).to_pandas()
+    # every token lands in exactly one sequence (multiset equality)
+    got = collections.Counter(tok for t in out["text"] for tok in t.split())
+    want = collections.Counter(tok for t in texts for tok in t.split())
+    assert got == want
+    # n_tokens matches the actual text and fullness bounds hold
+    assert (out["n_tokens"] == out["text"].str.split().str.len()).all()
+    assert (out["n_tokens"] <= 48).all()
+    assert (out["n_tokens"] < 48).sum() <= 4  # <= one ragged tail per partition
+    # deterministic
+    again = materialize_sequences(
+        _mk(ray_session, texts), max_tokens=48, num_partitions=4
+    ).to_pandas()
+    key = ["seq_id"]
+    assert (
+        out.sort_values(key).reset_index(drop=True)
+        .equals(again.sort_values(key).reset_index(drop=True))
+    )
