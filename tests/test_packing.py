@@ -91,3 +91,46 @@ def test_materialize_sequences_token_conservation(ray_session):
         out.sort_values(key).reset_index(drop=True)
         .equals(again.sort_values(key).reset_index(drop=True))
     )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    st.integers(1, 64),
+)
+@settings(max_examples=80, deadline=None)
+def test_pack_partition_properties(token_counts, max_tokens):
+    """Pure-kernel invariants, no Ray: ranges tile each doc, sequences are
+    contiguous chunks of the concatenated stream, only the final sequence of
+    the partition is ragged."""
+    from daft_minhash_dedupe_ray.functions.packing import _pack_partition
+
+    n = len(token_counts)
+    tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_tokens": pa.array(np.array(token_counts, dtype=np.int64)),
+        }
+    )
+    out = _pack_partition(tab, max_tokens, "doc_id").to_pandas()
+    assert out["doc_id"].nunique() == n  # every doc appears
+    total = sum(token_counts)
+    assert int((out["tok_end"] - out["tok_start"]).sum()) == total
+    for did, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("tok_start")
+        nd = token_counts[did]
+        assert grp["tok_start"].iloc[0] == 0
+        assert grp["tok_end"].iloc[-1] == (nd if nd else 0)
+        assert (grp["tok_start"].values[1:] == grp["tok_end"].values[:-1]).all()
+    sizes = (out["tok_end"] - out["tok_start"]).groupby(out["seq_id"]).sum()
+    if total:
+        assert (sizes <= max_tokens).all()
+        nonzero = sizes[sizes > 0]
+        # one ragged (non-full) tail max; a zero-size sequence can only be
+        # the landing slot of trailing zero-token docs after a full stream
+        assert (nonzero < max_tokens).sum() <= 1
+        assert len(nonzero) == -(-total // max_tokens)
+        assert (sizes == 0).sum() <= 1
