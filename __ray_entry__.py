@@ -325,6 +325,27 @@ def _incremental_dedupe_indexed_docs(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _incremental_near_dedupe_docs(sf_dir: str):
+    """Near-dup ingest-wave dedupe vs a corpus snapshot (MinHash banding,
+    one cogroup exchange, wave-bounded anti-filter).  Even doc_ids play the
+    corpus, odd the wave.  Rows-only (MinHash not SQL-expressible); planted
+    recall oracle in tests/test_incremental.py."""
+    import pyarrow.compute as pc_
+
+    from daft_minhash_dedupe_ray.functions.incremental import incremental_near_dedupe
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _mask(b: pa.Table, odd: int) -> pa.Table:
+        return b.filter(pc_.equal(pc_.bit_wise_and(b["doc_id"], 1), odd))
+
+    corpus = ds.map_batches(lambda b: _mask(b, 0), batch_format="pyarrow")
+    wave = ds.map_batches(lambda b: _mask(b, 1), batch_format="pyarrow")
+    out = incremental_near_dedupe(wave, corpus, _docs_cfg()).select_columns(["doc_id"])
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _split_docs(sf_dir: str):
     """Leakage-safe deterministic train/val/test split (content-hash keyed:
     identical texts always share a split).  Rows-only (the split hash is not
@@ -791,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
         "incremental_dedupe_indexed_docs": _incremental_dedupe_indexed_docs,  # SQL-checked (Bloom-pruned hash index)
+        "incremental_near_dedupe_docs": _incremental_near_dedupe_docs,  # rows-only (planted oracle in tests/)
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked

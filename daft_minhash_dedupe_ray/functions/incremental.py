@@ -186,3 +186,93 @@ def incremental_dedupe_indexed(new_ds, index_path: str, text_col: str, id_col: s
         schema,
         num_partitions,
     )
+
+
+def incremental_near_dedupe(
+    new_ds,
+    corpus_ds,
+    cfg,
+    num_partitions: int = 16,
+):
+    """Near-duplicate ingest-wave dedupe: drop every wave doc whose MinHash
+    signature shares >= 1 LSH band with ANY corpus doc (the crawl-vs-corpus
+    companion of the exact :func:`incremental_exact_dedupe`; same banding
+    semantics as the flagship pipeline, so the drop probability follows the
+    (b, r) S-curve of ``cfg``).
+
+    Shape: both sides emit ``(band_key, node_id)`` via the shared signature
+    kernel (stateless — warm Ray workers, no actor cold-start), meet in ONE
+    cogroup exchange keyed on the band hash, and the matched *wave* node ids
+    (bounded by the wave size, never the corpus) broadcast back as an
+    anti-filter.  The corpus side is re-signed per wave here; persisting its
+    band keys as a hash-partitioned index (exactly like
+    :func:`build_corpus_index`) amortises that across waves — the exchange
+    itself is the same either way.
+
+    Wave-internal duplicates are NOT touched (run the regular pipeline for
+    that); this operator answers only "is it already in the corpus?".
+    """
+    import ray
+
+    from ..stages.signature import SignatureStage, node_ids_for
+    from ..stages.util import raw_cogroup_exchange
+
+    BAND_SCHEMA = pa.schema([("band_key", pa.uint64()), ("node_id", pa.uint64())])
+    HIT_SCHEMA = pa.schema([("node_id", pa.uint64())])
+
+    def bands_of(batch: pa.Table) -> pa.Table:
+        stage = SignatureStage(cfg)
+        nodes, sig, has_sig = stage.signatures(batch)
+        if not has_sig.any():
+            return BAND_SCHEMA.empty_table()
+        from ..hashing import band_keys
+
+        bk = band_keys(sig[has_sig], stage.bands, stage.rows)
+        return pa.table(
+            {
+                "band_key": pa.array(bk.reshape(-1), pa.uint64()),
+                "node_id": pa.array(np.repeat(nodes[has_sig], stage.bands), pa.uint64()),
+            }
+        )
+
+    wave_bands = new_ds.map_batches(bands_of, batch_format="pyarrow")
+    corpus_bands = corpus_ds.map_batches(bands_of, batch_format="pyarrow")
+
+    def match(wave: pa.Table | None, corpus: pa.Table | None) -> pa.Table | None:
+        if wave is None or corpus is None or len(wave) == 0 or len(corpus) == 0:
+            return None
+        ck = np.sort(corpus["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        wk = wave["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.minimum(np.searchsorted(ck, wk), len(ck) - 1)
+        hit = ck[idx] == wk
+        if not hit.any():
+            return None
+        nodes = wave["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)[hit]
+        return pa.table({"node_id": pa.array(np.unique(nodes), pa.uint64())})
+
+    hits = raw_cogroup_exchange(
+        wave_bands, corpus_bands, ["band_key"], ["band_key"], match,
+        HIT_SCHEMA, num_partitions,
+    )
+    parts = [t for t in ray.get(hits.to_arrow_refs()) if t is not None and len(t)]
+    dup_nodes = (
+        np.unique(
+            np.concatenate(
+                [t["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64) for t in parts]
+            )
+        )
+        if parts
+        else np.zeros(0, np.uint64)
+    )
+    dup_ref = ray.put(dup_nodes)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        nodes = node_ids_for(batch, cfg)
+        if len(dups) == 0 or len(batch) == 0:
+            return batch
+        idx = np.minimum(np.searchsorted(dups, nodes), len(dups) - 1)
+        fresh = dups[idx] != nodes
+        return batch.filter(pa.array(fresh))
+
+    return new_ds.map_batches(keep, batch_format="pyarrow")

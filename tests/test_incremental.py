@@ -136,3 +136,47 @@ def test_indexed_dedupe_edge_cases(ray_session, tmp_path):
     # power-of-two enforcement
     with pytest.raises(ValueError):
         build_corpus_index(corpus, str(tmp_path / "ix9"), num_partitions=9)
+
+
+def test_incremental_near_dedupe_planted_recall(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import incremental_near_dedupe
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(800)]
+    corpus_texts = [" ".join(rng.choice(vocab, 60)) for _ in range(300)]
+    fresh = [" ".join(rng.choice(vocab, 60)) for _ in range(150)]
+    copies = []
+    for i in range(100):  # near-copies: a trailing edit (Jaccard ~0.97,
+        # comfortably above the 0.7 S-curve knee — threshold-straddling
+        # pairs are covered by the pipeline recall tests)
+        copies.append(corpus_texts[i % 300] + f" appended{i}")
+    wave_texts = fresh + copies
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+
+    def tab(texts, start):
+        return pa.table(
+            {
+                "doc_id": pa.array(np.arange(start, start + len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    corpus = rd.from_arrow(tab(corpus_texts, 0)).repartition(3)
+    wave = rd.from_arrow(tab(wave_texts, 10_000)).repartition(3)
+    out = incremental_near_dedupe(wave, corpus, cfg, num_partitions=4).to_pandas()
+    kept = set(out["doc_id"])
+    copy_ids = set(range(10_000 + len(fresh), 10_000 + len(wave_texts)))
+    fresh_ids = set(range(10_000, 10_000 + len(fresh)))
+    dropped_copies = len(copy_ids - kept)
+    kept_fresh = len(fresh_ids & kept)
+    assert dropped_copies >= 95  # planted near-copies recalled
+    assert kept_fresh >= 145  # fresh docs survive (banding FPs are rare)
+    # dedupe against an empty corpus is the identity
+    empty = rd.from_arrow(tab([], 0))
+    out2 = incremental_near_dedupe(wave, empty, cfg, num_partitions=4).to_pandas()
+    assert len(out2) == len(wave_texts)
