@@ -276,3 +276,190 @@ def incremental_near_dedupe(
         return batch.filter(pa.array(fresh))
 
     return new_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _sig_fingerprint(cfg) -> str:
+    """Hash of the signature-relevant config — a band index probed with a
+    different shingle/permutation/banding setup would silently miss."""
+    from ..sources.io import config_hash
+
+    bands, rows = cfg.resolved_bands_rows()
+    return config_hash(
+        {
+            "num_perm": cfg.num_perm,
+            "ngram_size": cfg.ngram_size,
+            "seed": cfg.seed,
+            "bands": bands,
+            "rows": rows,
+            "min_length": cfg.min_length,
+            "normalize": str(cfg.normalize),
+            "content_col": cfg.content_col,
+        }
+    )
+
+
+def _collect_hit_nodes(hits_ds):
+    import ray
+
+    parts = [t for t in ray.get(hits_ds.to_arrow_refs()) if t is not None and len(t)]
+    if not parts:
+        return np.zeros(0, np.uint64)
+    return np.unique(
+        np.concatenate(
+            [t["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64) for t in parts]
+        )
+    )
+
+
+def _anti_filter_wave(new_ds, dup_nodes: np.ndarray, cfg):
+    """Broadcast the matched wave node ids (wave-bounded, never corpus-sized)
+    and drop those rows from the wave."""
+    import ray
+
+    from ..stages.signature import node_ids_for
+
+    dup_ref = ray.put(np.sort(dup_nodes))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        if len(dups) == 0 or len(batch) == 0:
+            return batch
+        nodes = node_ids_for(batch, cfg)
+        idx = np.minimum(np.searchsorted(dups, nodes), len(dups) - 1)
+        return batch.filter(pa.array(dups[idx] != nodes))
+
+    return new_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def build_band_index(
+    corpus_ds,
+    path: str,
+    cfg,
+    fp_rate: float = 1e-3,
+    num_partitions: int = 16,
+) -> dict:
+    """Persist the corpus's LSH band keys as a hash-range-partitioned sorted
+    parquet index with per-partition Bloom sketches — the amortised form of
+    :func:`incremental_near_dedupe`: the corpus is signed ONCE, every later
+    ingest wave probes at wave-sized cost (same layout and pruning story as
+    :func:`build_corpus_index`, band keys instead of content hashes)."""
+    shift = _shift_for(num_partitions)
+    os.makedirs(path, exist_ok=True)
+
+    def band_batch(b: pa.Table) -> pa.Table:
+        from ..hashing import band_keys
+        from ..stages.signature import SignatureStage
+
+        stage = SignatureStage(cfg)
+        _, sig, has = stage.signatures(b)
+        if not has.any():
+            return pa.table(
+                {"__h__": pa.array([], pa.uint64()), "__p__": pa.array([], pa.uint64())}
+            )
+        k = np.unique(band_keys(sig[has], stage.bands, stage.rows).reshape(-1))
+        return pa.table(
+            {
+                "__h__": pa.array(k, pa.uint64()),
+                "__p__": pa.array(k >> np.uint64(shift), pa.uint64()),
+            }
+        )
+
+    keyed = corpus_ds.map_batches(band_batch, batch_format="pyarrow")
+    stats = partition_groupby_prekeyed(
+        keyed,
+        functools.partial(_build_partition, path=path, shift=shift, fp_rate=fp_rate),
+        _STATS_SCHEMA,
+        num_partitions,
+    ).take_all()
+    meta = {
+        "kind": "band",
+        "num_partitions": num_partitions,
+        "fp_rate": fp_rate,
+        "sig_fingerprint": _sig_fingerprint(cfg),
+        "parts": {str(r["part"]): r["n_hashes"] for r in stats},
+    }
+    with open(f"{path}/_META.json", "w") as f:
+        json.dump(meta, f)
+    open(f"{path}/_SUCCESS", "w").close()
+    return meta
+
+
+def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
+    """Wave-vs-persisted-band-index near-dup dedupe: drop every wave doc
+    sharing >= 1 LSH band with the indexed corpus.  Wave-sized work only —
+    the wave's band keys route to their hash-range partitions, each
+    partition probes its Bloom sketch map-side, and only Bloom-positive
+    partitions open their (sorted, row-group-pruned) band file for exact
+    confirmation.  Semantics identical to :func:`incremental_near_dedupe`
+    against the same corpus (asserted in tests/test_incremental.py)."""
+    with open(f"{index_path}/_META.json") as f:
+        meta = json.load(f)
+    if meta.get("kind") != "band":
+        raise ValueError(f"{index_path!r} is not a band index")
+    if meta["sig_fingerprint"] != _sig_fingerprint(cfg):
+        raise ValueError(
+            "band index was built with a different signature config "
+            "(num_perm/ngram/seed/banding/normalize) — rebuild it"
+        )
+    num_partitions = meta["num_partitions"]
+    shift = _shift_for(num_partitions)
+    HIT_SCHEMA = pa.schema([("node_id", pa.uint64())])
+
+    def wave_bands(b: pa.Table) -> pa.Table:
+        from ..hashing import band_keys
+        from ..stages.signature import SignatureStage
+
+        stage = SignatureStage(cfg)
+        nodes, sig, has = stage.signatures(b)
+        if not has.any():
+            return pa.table(
+                {
+                    "node_id": pa.array([], pa.uint64()),
+                    "__h__": pa.array([], pa.uint64()),
+                    "__p__": pa.array([], pa.uint64()),
+                }
+            )
+        bk = band_keys(sig[has], stage.bands, stage.rows)
+        k = bk.reshape(-1)
+        return pa.table(
+            {
+                "node_id": pa.array(np.repeat(nodes[has], stage.bands), pa.uint64()),
+                "__h__": pa.array(k, pa.uint64()),
+                "__p__": pa.array(k >> np.uint64(shift), pa.uint64()),
+            }
+        )
+
+    def probe(tab: pa.Table) -> pa.Table:
+        from ..state.bloom import BloomFilter
+
+        if tab is None or len(tab) == 0:
+            return HIT_SCHEMA.empty_table()
+        hh = tab["__h__"].to_numpy(zero_copy_only=False)
+        part = int(hh[0] >> np.uint64(shift))
+        d = _part_dir(index_path, part)
+        if not os.path.exists(f"{d}/_bloom.npz"):
+            return HIT_SCHEMA.empty_table()
+        maybe = BloomFilter.load(f"{d}/_bloom.npz").contains(hh)
+        if not maybe.any():
+            return HIT_SCHEMA.empty_table()
+        pos = hh[maybe]
+        lo = pa.scalar(int(pos.min()), pa.uint64())
+        hi = pa.scalar(int(pos.max()), pa.uint64())
+        seen = pq.read_table(
+            f"{d}/hashes.parquet",
+            filters=(pc.field("__h__") >= lo) & (pc.field("__h__") <= hi),
+        )["__h__"].to_numpy(zero_copy_only=False)
+        if not len(seen):
+            return HIT_SCHEMA.empty_table()
+        at = np.searchsorted(seen, pos)
+        at[at == len(seen)] = 0
+        confirmed = seen[at] == pos
+        if not confirmed.any():
+            return HIT_SCHEMA.empty_table()
+        nodes = tab["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hit_nodes = nodes[maybe][confirmed]
+        return pa.table({"node_id": pa.array(np.unique(hit_nodes), pa.uint64())})
+
+    keyed = new_ds.map_batches(wave_bands, batch_format="pyarrow")
+    hits = partition_groupby_prekeyed(keyed, probe, HIT_SCHEMA, num_partitions)
+    return _anti_filter_wave(new_ds, _collect_hit_nodes(hits), cfg)

@@ -180,3 +180,57 @@ def test_incremental_near_dedupe_planted_recall(ray_session):
     empty = rd.from_arrow(tab([], 0))
     out2 = incremental_near_dedupe(wave, empty, cfg, num_partitions=4).to_pandas()
     assert len(out2) == len(wave_texts)
+
+
+def test_band_index_matches_direct_near_dedupe(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_band_index,
+        incremental_near_dedupe,
+        incremental_near_dedupe_indexed,
+    )
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(600)]
+    corpus_texts = [" ".join(rng.choice(vocab, 50)) for _ in range(200)]
+    wave_texts = [" ".join(rng.choice(vocab, 50)) for _ in range(80)] + [
+        corpus_texts[i] + f" tail{i}" for i in range(60)
+    ]
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+
+    def tab(texts, start):
+        return pa.table(
+            {
+                "doc_id": pa.array(np.arange(start, start + len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    corpus = rd.from_arrow(tab(corpus_texts, 0)).repartition(3)
+    wave = rd.from_arrow(tab(wave_texts, 5000)).repartition(3)
+
+    p = str(tmp_path / "bandidx")
+    meta = build_band_index(corpus, p, cfg, num_partitions=8)
+    assert meta["kind"] == "band" and sum(meta["parts"].values()) > 0
+
+    via_index = (
+        incremental_near_dedupe_indexed(wave, p, cfg).to_pandas().sort_values("doc_id")
+    )
+    direct = (
+        incremental_near_dedupe(wave, corpus, cfg, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert via_index["doc_id"].tolist() == direct["doc_id"].tolist()
+    assert len(via_index) < len(wave_texts)  # planted tails were dropped
+
+    # a mismatched signature config refuses to probe
+    with pytest.raises(ValueError):
+        incremental_near_dedupe_indexed(
+            wave, p, cfg.with_overrides(num_perm=128, bands=16, rows=8)
+        )
