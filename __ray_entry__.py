@@ -346,6 +346,35 @@ def _incremental_near_dedupe_docs(sf_dir: str):
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def _incremental_near_dedupe_indexed_docs(sf_dir: str):
+    """Same wave-vs-corpus near-dup semantics as incremental_near_dedupe_docs
+    but through the persisted hash-range band index (Bloom-pruned probes).
+    Rows-only; equivalence with the direct path is asserted in
+    tests/test_incremental.py."""
+    import tempfile
+
+    import pyarrow.compute as pc_
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_band_index,
+        incremental_near_dedupe_indexed,
+    )
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _mask(b: pa.Table, odd: int) -> pa.Table:
+        return b.filter(pc_.equal(pc_.bit_wise_and(b["doc_id"], 1), odd))
+
+    corpus = ds.map_batches(lambda b: _mask(b, 0), batch_format="pyarrow")
+    wave = ds.map_batches(lambda b: _mask(b, 1), batch_format="pyarrow")
+    cfg = _docs_cfg()
+    with tempfile.TemporaryDirectory(prefix="band_index_") as td:
+        build_band_index(corpus, td, cfg)
+        out = incremental_near_dedupe_indexed(wave, td, cfg).select_columns(["doc_id"])
+        pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _split_docs(sf_dir: str):
     """Leakage-safe deterministic train/val/test split (content-hash keyed:
     identical texts always share a split).  Rows-only (the split hash is not
@@ -813,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
         "incremental_dedupe_indexed_docs": _incremental_dedupe_indexed_docs,  # SQL-checked (Bloom-pruned hash index)
         "incremental_near_dedupe_docs": _incremental_near_dedupe_docs,  # rows-only (planted oracle in tests/)
+        "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # rows-only (parity test)
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
