@@ -371,7 +371,6 @@ def simhash_candidates(ds, cfg: DedupeConfig, text_col: str, id_col: str):
     Hamming buckets and verified — reusing the pHash sub-band + verify
     machinery (the kind=KIND_PHASH path of the candidate stages)."""
     from ..hashing import phash_band_keys
-    from ..stages.signature import node_ids_for
 
     def sim_batch(b: pa.Table) -> pa.Table:
         cfg_local = cfg

@@ -50,7 +50,7 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import hamming_distance64, splitmix64
-from .util import DEFAULT_PARTITIONS, ensure_schema, partition_groupby, partition_groupby_prekeyed
+from .util import DEFAULT_PARTITIONS, partition_groupby, partition_groupby_prekeyed
 
 EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
 _PACKED_SCHEMA = pa.schema(

@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import hash64_int_pairs
-from ..stages.util import DEFAULT_PARTITIONS, ensure_schema, partition_groupby
+from ..stages.util import DEFAULT_PARTITIONS, partition_groupby
 
 EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
 ASSIGN_SCHEMA = pa.schema([("u", pa.uint64()), ("rep", pa.uint64())])
