@@ -61,9 +61,14 @@ def mix_sources(
         )
         dict_w = np.array(
             [float(weights.get(s, default_weight)) for s in enc.dictionary.to_pylist()]
+            + [default_weight]  # null sources fall back to the default weight
         )
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        w = dict_w[idx] if len(dict_w) else np.zeros(n)
+        idx = (
+            pc.fill_null(enc.indices, len(dict_w) - 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w = dict_w[idx]
         base = np.floor(w).astype(np.int64)
         frac = w - base
         h = splitmix64(_hash_key_col(b[id_col]) ^ sd)

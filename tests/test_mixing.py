@@ -77,3 +77,17 @@ def test_negative_weight_rejected(ray_session):
 
     with pytest.raises(ValueError):
         mix_sources(rd.from_arrow(_corpus(10)), {"web": -1.0})
+
+
+def test_null_sources_use_default_weight(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+            "source": pa.array(["web"] * 50 + [None] * 50, pa.string()),
+        }
+    )
+    out = mix_sources(rd.from_arrow(t), {"web": 0.0}, default_weight=1.0).to_pandas()
+    # web dropped entirely; null-source rows kept once each via the default
+    assert len(out) == 50 and out["source"].isna().all()
