@@ -668,6 +668,25 @@ def _image_dedupe_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _image_wave_dedupe_synth(sf_dir: str):
+    """Image-tier ingest-wave near-dup dedupe vs a corpus snapshot: caption
+    LSH bands + pHash Hamming-verified buckets across the wave/corpus
+    boundary.  Rows-only; planted per-path recall oracle in
+    tests/test_incremental.py."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+    from daft_minhash_dedupe_ray.functions.incremental import incremental_image_near_dedupe
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(2000, seed=42, with_images=False)
+    corpus = rd.from_arrow(t.slice(0, 1000))
+    wave = rd.from_arrow(t.slice(1000))
+    out = incremental_image_near_dedupe(wave, corpus, NORTH_STAR_CONFIG)
+    pdf = out.select_columns(["image_id"]).to_pandas().sort_values("image_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _image_stats_synth(sf_dir: str):
     """Multimodal plumbing: decode + feature-extract over the binary payload
     column (actor pool, small batches) — rows-only."""
@@ -870,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image+caption flagship + multimodal plumbing (rows-only)
         "image_dedupe_synth": _image_dedupe_synth,
         "image_stats_synth": _image_stats_synth,
+        "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # rows-only (planted oracle in tests/)
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,
         "cdc_dedupe_synth": _cdc_dedupe_synth,
         "video_dedupe_synth": _video_dedupe_synth,

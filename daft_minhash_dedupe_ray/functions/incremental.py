@@ -463,3 +463,70 @@ def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
     keyed = new_ds.map_batches(wave_bands, batch_format="pyarrow")
     hits = partition_groupby_prekeyed(keyed, probe, HIT_SCHEMA, num_partitions)
     return _anti_filter_wave(new_ds, _collect_hit_nodes(hits), cfg)
+
+
+def incremental_image_near_dedupe(new_ds, corpus_ds, cfg, num_partitions: int = 16):
+    """Image-tier wave-vs-corpus near-dup dedupe: a wave row is dropped if it
+    shares a caption LSH band with any corpus row OR its pHash lands in a
+    corpus Hamming bucket AND verifies within ``cfg.phash_max_hamming`` bits
+    — the exact candidate semantics of the flagship pipeline
+    (``stages/candidates.py``: banded caption MinHash, pHash sub-band buckets
+    with exact Hamming confirmation), applied across the wave/corpus
+    boundary instead of within one table.
+
+    Both sides run the shared :class:`SignatureStage` kernel (caption bands
+    and pHash bands in one pass), meet in ONE band-key cogroup exchange, and
+    the matched wave node ids broadcast back as the anti-filter."""
+    from ..hashing import hamming_distance64
+    from ..stages.signature import SignatureStage
+    from ..stages.util import raw_cogroup_exchange
+
+    HIT_SCHEMA = pa.schema([("node_id", pa.uint64())])
+
+    def bands_of(batch: pa.Table) -> pa.Table:
+        return SignatureStage(cfg)(batch)
+
+    wave_bands = new_ds.map_batches(bands_of, batch_format="pyarrow")
+    corpus_bands = corpus_ds.map_batches(bands_of, batch_format="pyarrow")
+
+    def match(wave: pa.Table | None, corpus: pa.Table | None) -> pa.Table | None:
+        if wave is None or corpus is None or len(wave) == 0 or len(corpus) == 0:
+            return None
+        ck = corpus["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cp = corpus["payload"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ckind = corpus["kind"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck)
+        ck, cp, ckind = ck[order], cp[order], ckind[order]
+        wk = wave["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        wp = wave["payload"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        wkind = wave["kind"].to_numpy(zero_copy_only=False)
+        wn = wave["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = np.searchsorted(ck, wk, side="left")
+        hi = np.searchsorted(ck, wk, side="right")
+        present = hi > lo
+        # caption bands (kind 0): bucket membership alone is a hit
+        hit = present & (wkind == 0)
+        # pHash bands (kind 1): expand each wave row against its (small)
+        # bucket and confirm Hamming <= budget
+        pm = present & (wkind == 1)
+        if pm.any():
+            sizes = (hi[pm] - lo[pm]).astype(np.int64)
+            from ..hashing import _segment_aranges
+
+            idx = np.repeat(lo[pm], sizes) + _segment_aranges(sizes)
+            dist = hamming_distance64(np.repeat(wp[pm], sizes), cp[idx])
+            ok = (dist <= cfg.phash_max_hamming) & (ckind[idx] == 1)
+            csum = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+            bounds = np.concatenate(([0], np.cumsum(sizes)))
+            any_ok = (csum[bounds[1:]] - csum[bounds[:-1]]) > 0
+            sub = np.flatnonzero(pm)
+            hit[sub[any_ok]] = True
+        if not hit.any():
+            return None
+        return pa.table({"node_id": pa.array(np.unique(wn[hit]), pa.uint64())})
+
+    hits = raw_cogroup_exchange(
+        wave_bands, corpus_bands, ["band_key"], ["band_key"], match,
+        HIT_SCHEMA, num_partitions,
+    )
+    return _anti_filter_wave(new_ds, _collect_hit_nodes(hits), cfg)

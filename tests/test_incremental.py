@@ -234,3 +234,63 @@ def test_band_index_matches_direct_near_dedupe(ray_session, tmp_path):
         incremental_near_dedupe_indexed(
             wave, p, cfg.with_overrides(num_perm=128, bands=16, rows=8)
         )
+
+
+def test_image_wave_near_dedupe_phash_and_caption_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import incremental_image_near_dedupe
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def cap():
+        return " ".join(rng.choice(vocab, 40))
+
+    n_c = 200
+    corpus_caps = [cap() for _ in range(n_c)]
+    corpus_ph = rng.integers(0, 2**63, n_c, dtype=np.int64)
+
+    # wave: 60 phash-near copies (<=2 bit flips, FRESH captions),
+    #       40 caption near-copies (trailing edit, FRESH phash),
+    #       100 fully fresh rows
+    wave_caps, wave_ph, roles = [], [], []
+    for i in range(60):
+        flips = rng.choice(64, rng.integers(0, 3), replace=False)
+        ph = corpus_ph[i]
+        for b in flips:
+            ph ^= np.int64(1) << np.int64(b)
+        wave_caps.append(cap()); wave_ph.append(ph); roles.append("phash")
+    for i in range(40):
+        wave_caps.append(corpus_caps[i] + f" tail{i}")
+        wave_ph.append(int(rng.integers(0, 2**63))); roles.append("caption")
+    for i in range(100):
+        wave_caps.append(cap()); wave_ph.append(int(rng.integers(0, 2**63))); roles.append("fresh")
+
+    cfg = DedupeConfig(index_col="image_id", content_col="caption", phash_col="phash")
+
+    def tab(caps, phs, start):
+        return pa.table(
+            {
+                "image_id": pa.array([f"i{start + j}" for j in range(len(caps))], pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(np.asarray(phs, dtype=np.int64)),
+            }
+        )
+
+    corpus = rd.from_arrow(tab(corpus_caps, corpus_ph, 0)).repartition(3)
+    wave = rd.from_arrow(tab(wave_caps, wave_ph, 10_000)).repartition(3)
+    out = incremental_image_near_dedupe(wave, corpus, cfg, num_partitions=4).to_pandas()
+    kept = set(out["image_id"])
+    by_role = {}
+    for j, r in enumerate(roles):
+        by_role.setdefault(r, []).append(f"i{10_000 + j}")
+    phash_dropped = sum(1 for i in by_role["phash"] if i not in kept)
+    caption_dropped = sum(1 for i in by_role["caption"] if i not in kept)
+    fresh_kept = sum(1 for i in by_role["fresh"] if i in kept)
+    assert phash_dropped >= 57  # Hamming <= 2 vs budget 3: near-certain recall
+    assert caption_dropped >= 38
+    assert fresh_kept >= 97
