@@ -161,6 +161,17 @@ def _lm_quality_scores(sf_dir: str):
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def _lm_quality_filter_docs(sf_dir: str):
+    """CCNet-style perplexity-tail filter: keep docs at or below the exact
+    corpus p90 LM score (sparse-histogram quantile, no corpus sort).
+    SQL-checked (quantile_disc over the retrained model)."""
+    from daft_minhash_dedupe_ray.functions.lm_quality import lm_quality_filter
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    pdf = lm_quality_filter(ds, q=0.9).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _quality_scores(sf_dir: str):
     from daft_minhash_dedupe_ray.functions.textops import QualityScorer
 
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_token_counts": _distinct_token_counts,
         "quality_scores": _quality_scores,
         "lm_quality_scores": _lm_quality_scores,  # SQL-checked (corpus bigram LM parity)
+        "lm_quality_filter_docs": _lm_quality_filter_docs,  # SQL-checked (quantile_disc gate)
         "redact_pii_docs": _redact_pii_docs,  # SQL-checked (RE2 parity with DuckDB)
         "repetition_scores": _repetition_scores,  # SQL-checked (Gopher repetition)
         "remove_boilerplate_docs": _remove_boilerplate_docs,  # SQL-checked (corpus df)
@@ -1096,6 +1108,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT dd.doc_id, round(coalesce(scored.s, 0), 6) AS lm_score
             FROM documents dd LEFT JOIN scored ON scored.doc_id = dd.doc_id
             ORDER BY dd.doc_id
+        """,
+        "lm_quality_filter_docs": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(arr) AS w,
+                       unnest(range(1, len(arr) + 1)) AS i
+                FROM d
+            ),
+            bg AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            u AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+            v AS (SELECT count(*) AS vv FROM u),
+            scored0 AS (
+                SELECT g.doc_id, -avg(ln((bc.cb + 1.0) / (u.cu + 1.0 * v.vv))) AS s
+                FROM bg g
+                JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+                JOIN u ON u.w = g.w1
+                CROSS JOIN v
+                GROUP BY g.doc_id
+            ),
+            scored AS (
+                SELECT dd.doc_id, round(coalesce(scored0.s, 0), 6) AS lm_score
+                FROM documents dd LEFT JOIN scored0 ON scored0.doc_id = dd.doc_id
+            ),
+            cut AS (SELECT quantile_disc(lm_score, 0.9) AS c FROM scored)
+            SELECT doc_id FROM scored, cut WHERE lm_score <= cut.c
+            ORDER BY doc_id
         """,
         "remove_dup_spans_docs": """
             WITH pos AS (

@@ -75,3 +75,23 @@ def test_train_counts_exact(ray_session):
     assert sorted(uc.tolist()) == [2, 3]  # a x3, b x2
     # bigrams: (a,b) x1, (b,a) x2
     assert sorted(bc.tolist()) == [1, 2]
+
+
+def test_quantile_filter_matches_python(ray_session):
+    import math
+
+    from daft_minhash_dedupe_ray.functions.lm_quality import lm_quality_filter
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, 20)) for _ in range(97)]
+    kept = (
+        lm_quality_filter(_ds(ray_session, texts), q=0.8)
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    scores = _oracle(texts)
+    cut = sorted(scores)[math.ceil(0.8 * len(scores)) - 1]  # quantile_disc
+    exp = [i for i, s in enumerate(scores) if s <= cut]
+    assert kept == exp
