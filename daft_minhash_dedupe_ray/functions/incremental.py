@@ -220,8 +220,11 @@ def incremental_near_dedupe(
     BAND_SCHEMA = pa.schema([("band_key", pa.uint64()), ("node_id", pa.uint64())])
     HIT_SCHEMA = pa.schema([("node_id", pa.uint64())])
 
+    # constructed ONCE on the driver (permutation tables ride the closure);
+    # per-batch construction would rebuild them for every block
+    stage = SignatureStage(cfg)
+
     def bands_of(batch: pa.Table) -> pa.Table:
-        stage = SignatureStage(cfg)
         nodes, sig, has_sig = stage.signatures(batch)
         if not has_sig.any():
             return BAND_SCHEMA.empty_table()
@@ -346,11 +349,12 @@ def build_band_index(
     shift = _shift_for(num_partitions)
     os.makedirs(path, exist_ok=True)
 
-    def band_batch(b: pa.Table) -> pa.Table:
-        from ..hashing import band_keys
-        from ..stages.signature import SignatureStage
+    from ..hashing import band_keys
+    from ..stages.signature import SignatureStage
 
-        stage = SignatureStage(cfg)
+    stage = SignatureStage(cfg)  # once; permutation tables ride the closure
+
+    def band_batch(b: pa.Table) -> pa.Table:
         _, sig, has = stage.signatures(b)
         if not has.any():
             return pa.table(
@@ -405,11 +409,12 @@ def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
     shift = _shift_for(num_partitions)
     HIT_SCHEMA = pa.schema([("node_id", pa.uint64())])
 
-    def wave_bands(b: pa.Table) -> pa.Table:
-        from ..hashing import band_keys
-        from ..stages.signature import SignatureStage
+    from ..hashing import band_keys
+    from ..stages.signature import SignatureStage
 
-        stage = SignatureStage(cfg)
+    stage = SignatureStage(cfg)  # once; permutation tables ride the closure
+
+    def wave_bands(b: pa.Table) -> pa.Table:
         nodes, sig, has = stage.signatures(b)
         if not has.any():
             return pa.table(
@@ -483,8 +488,10 @@ def incremental_image_near_dedupe(new_ds, corpus_ds, cfg, num_partitions: int = 
 
     HIT_SCHEMA = pa.schema([("node_id", pa.uint64())])
 
+    stage = SignatureStage(cfg)  # once; permutation tables ride the closure
+
     def bands_of(batch: pa.Table) -> pa.Table:
-        return SignatureStage(cfg)(batch)
+        return stage(batch)
 
     wave_bands = new_ds.map_batches(bands_of, batch_format="pyarrow")
     corpus_bands = corpus_ds.map_batches(bands_of, batch_format="pyarrow")
