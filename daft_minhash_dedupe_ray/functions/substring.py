@@ -233,12 +233,18 @@ def substring_dup_pairs(ds, cfg: DedupeConfig, exact: bool = False, window: int 
         )
 
     routed = ds.map_batches(route, batch_format="pyarrow", batch_size=cfg.batch_size)
+    n_parts = cfg.num_partitions
+    if n_parts is None:
+        # size the exchange from the input: hundreds of near-empty partition
+        # tasks dominate wall time on small corpora (see CLAUDE.md, the
+        # dataframe-CC sizing note); ~4k docs of anchor fan-out per partition.
+        n_parts = max(1, min(64, ds.count() // 4096))
     pairs = partition_groupby(
         routed,
         ["route_key"],
         _partition_substring_pairs,
         EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or 64,
+        num_partitions=n_parts,
     )
     from ..stages.candidates import distinct_edges
 

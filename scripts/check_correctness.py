@@ -13,6 +13,7 @@ import duckdb
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])  # optional: restrict to these query names
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -55,6 +56,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             mine = to_pandas(fn(SF_DIR))
