@@ -118,19 +118,40 @@ def run_bench() -> dict:
 
     # --- headline: image+caption near-dup dedupe at the north-star config
     # (fused minimal-data-movement path; equivalence with the modular path is
-    # asserted in tests/test_pipeline_e2e.py).  Best-of-N because this
-    # sandbox shows +/-40% run-to-run noise at fixed config (BASELINE.md);
-    # the minimum estimates capability rather than co-tenant load.
-    n_samples = int(os.environ.get("GRAFT_HEADLINE_SAMPLES", "3"))
-    headline = float("inf")
-    for _ in range(max(1, n_samples)):
+    # asserted in tests/test_pipeline_e2e.py).  ADAPTIVE best-of-N: this
+    # sandbox oscillates on a ~minute timescale (BASELINE.md: 13.2s-46.4s on
+    # the identical job), so a fixed 3 samples can land entirely inside a
+    # slow window.  We sample until the minimum is CORROBORATED — a second
+    # sample within 15% of the best — or until the sample/time budget runs
+    # out, and record every sample + a per-sample membw probe so the spread
+    # is auditable.  The minimum estimates capability, not co-tenant load.
+    n_min = max(1, int(os.environ.get("GRAFT_HEADLINE_SAMPLES", "3")))
+    n_max = max(n_min, int(os.environ.get("GRAFT_HEADLINE_MAX_SAMPLES", "8")))
+    budget_s = float(os.environ.get("GRAFT_HEADLINE_BUDGET_S", "300"))
+    samples: list[float] = []
+    sample_membw: list[float] = []
+    t_bench0 = time.perf_counter()
+    while True:
+        sample_membw.append(host_membw_gbs(3))
         t0 = time.perf_counter()
         pipe = MinHashDedupePipeline(NORTH_STAR_CONFIG)
         ds = rd.read_parquet(img_path)
         out, assign, report = pipe.run_fused(ds, num_actors=n_uf, materialize_output=False)
-        headline = min(headline, time.perf_counter() - t0)
+        samples.append(time.perf_counter() - t0)
+        if len(samples) >= n_max or (n_min == 1 and len(samples) >= 1):
+            break  # scaling mode: the outer best-of-3 supplies the repeats
+        if len(samples) >= max(2, n_min):
+            s = sorted(samples)
+            corroborated = s[1] <= s[0] * 1.15
+            if corroborated or time.perf_counter() - t_bench0 > budget_s:
+                break
+    headline = min(samples)
     queries["image_dedupe"] = round(headline, 3)
     images_per_sec = n_img / headline
+    headline_detail = {
+        "headline_samples": [round(x, 3) for x in samples],
+        "headline_membw_probes": sample_membw,
+    }
 
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         return {
@@ -147,6 +168,7 @@ def run_bench() -> dict:
             "n_components": report.n_components,
             "host_membw_gbs": membw,
             "phase_walls": {k: round(v, 2) for k, v in (report.phase_walls or {}).items()},
+            **headline_detail,
         }
 
     # --- secondary pipelines over the sf dir
@@ -195,6 +217,7 @@ def run_bench() -> dict:
         "rows_after": report.rows_after,
         "n_components": report.n_components,
         "host_membw_gbs": membw,
+        **headline_detail,
     }
 
 
