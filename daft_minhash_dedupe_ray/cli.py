@@ -58,6 +58,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--span-min-len", type=int, default=50, help="minimum duplicated-span length (chars) in --mode spans")
     p.add_argument(
+        "--validate",
+        action="store_true",
+        help="after the run, recompute the candidate edge stream and check "
+        "cluster parity against the sequential union-find oracle (the "
+        "reference's per-run igraph validation); prints [VALIDATION] "
+        "PASSED/FAILED and adds a 'validation' report field",
+    )
+    p.add_argument(
+        "--validate-max-edges",
+        type=int,
+        default=5_000_000,
+        help="skip (and report) validation above this many candidate edges",
+    )
+    p.add_argument(
         "--span-scope",
         choices=["cross_doc", "any"],
         default="cross_doc",
@@ -152,6 +166,20 @@ def main(argv: list[str] | None = None) -> int:
             "pct_kept": round(rep.pct_kept, 2),
             "phase_walls": {k: round(v, 2) for k, v in (rep.phase_walls or {}).items()},
         }
+
+    if args.validate:
+        from .pipelines.dedupe import validate_clusters
+
+        edges = pipe.edges(pipe.prep(ds))
+        v = validate_clusters(edges, assign, max_edges=args.validate_max_edges)
+        report["validation"] = v
+        status = (
+            "PASSED" if v.get("passed") else ("SKIPPED" if not v["validated"] else "FAILED")
+        )
+        print(f"[VALIDATION] {status}", file=sys.stderr)
+        if v["validated"] and not v["passed"]:
+            print(json.dumps(report))
+            return 1
 
     manifest = partitioned_save(out, args.output, chunk_size=args.chunk_size)
     report["output"] = args.output

@@ -133,7 +133,25 @@ def build_corpus_index(
     return meta
 
 
-def _dedupe_partition(tab: pa.Table, index_path: str, shift: int, id_col: str) -> pa.Table:
+def _require_part_visible(d: str, part: int, known_parts: frozenset | None) -> bool:
+    """True iff this hash-range partition holds corpus hashes.  A partition
+    listed in _META.json but not visible on THIS worker's filesystem is an
+    error, not 'no duplicates': on a multi-node cluster a non-shared
+    index_path would otherwise silently pass every probe (the index must
+    live on a filesystem all Ray workers mount — NFS/FUSE/object-store)."""
+    visible = os.path.exists(f"{d}/_bloom.npz")
+    if not visible and known_parts is not None and part in known_parts:
+        raise FileNotFoundError(
+            f"index partition {part} is recorded in _META.json but {d} is not "
+            "visible on this worker — the index path must be on a shared "
+            "filesystem reachable from every Ray node"
+        )
+    return visible
+
+
+def _dedupe_partition(
+    tab: pa.Table, index_path: str, shift: int, id_col: str, known_parts=None
+) -> pa.Table:
     from ..state.bloom import BloomFilter
 
     # intra-wave min-id-wins: sort by (hash, id), keep first per hash
@@ -143,7 +161,7 @@ def _dedupe_partition(tab: pa.Table, index_path: str, shift: int, id_col: str) -
     keep = np.r_[True, hh[1:] != hh[:-1]]
     part = int(hh[0] >> np.uint64(shift))
     d = _part_dir(index_path, part)
-    if os.path.exists(f"{d}/_bloom.npz"):
+    if _require_part_visible(d, part, known_parts):
         cand = hh[keep]
         maybe = BloomFilter.load(f"{d}/_bloom.npz").contains(cand)
         if maybe.any():
@@ -181,7 +199,11 @@ def incremental_dedupe_indexed(new_ds, index_path: str, text_col: str, id_col: s
     return partition_groupby_prekeyed(
         keyed,
         functools.partial(
-            _dedupe_partition, index_path=index_path, shift=shift, id_col=id_col
+            _dedupe_partition,
+            index_path=index_path,
+            shift=shift,
+            id_col=id_col,
+            known_parts=frozenset(int(p) for p in meta.get("parts", {})),
         ),
         schema,
         num_partitions,
@@ -396,6 +418,8 @@ def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
     partitions open their (sorted, row-group-pruned) band file for exact
     confirmation.  Semantics identical to :func:`incremental_near_dedupe`
     against the same corpus (asserted in tests/test_incremental.py)."""
+    if not os.path.exists(f"{index_path}/_SUCCESS"):
+        raise FileNotFoundError(f"no completed band index at {index_path}")
     with open(f"{index_path}/_META.json") as f:
         meta = json.load(f)
     if meta.get("kind") != "band":
@@ -434,6 +458,8 @@ def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
             }
         )
 
+    known_parts = frozenset(int(p) for p in meta.get("parts", {}))
+
     def probe(tab: pa.Table) -> pa.Table:
         from ..state.bloom import BloomFilter
 
@@ -442,7 +468,7 @@ def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
         hh = tab["__h__"].to_numpy(zero_copy_only=False)
         part = int(hh[0] >> np.uint64(shift))
         d = _part_dir(index_path, part)
-        if not os.path.exists(f"{d}/_bloom.npz"):
+        if not _require_part_visible(d, part, known_parts):
             return HIT_SCHEMA.empty_table()
         maybe = BloomFilter.load(f"{d}/_bloom.npz").contains(hh)
         if not maybe.any():

@@ -490,18 +490,12 @@ def word_jaccard_pairs(
     tok_schema = pa.schema([(id_col, pa.int64()), ("token", pa.uint64())])
 
     def explode_tokens(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        texts = b[text_col].to_pylist()
-        out_ids, out_toks = [], []
-        for i, t in enumerate(texts):
-            toks = set((t or "").split())
-            out_ids += [int(ids[i])] * len(toks)
-            out_toks += list(toks)
-        th = hash64_str_array(out_toks)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fs, offs = _distinct_row_hashes(b[text_col])
         return pa.table(
             {
-                id_col: pa.array(out_ids, pa.int64()),
-                "token": pa.array(th, pa.uint64()),
+                id_col: pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
+                "token": pa.array(fs, pa.uint64()),
             }
         )
 
@@ -544,87 +538,171 @@ def word_jaccard_pairs(
     )
 
     def emit_prefix(b: pa.Table) -> pa.Table:
+        """Fully vectorised (VERDICT r2 item 4): Arrow-split+hash tokenize,
+        one global (row, df, hash) lexsort picks every row's prefix, one
+        segment-gather materialises the carried full-list column."""
         dft, dfc = ray.get(df_ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        texts = b[text_col].to_pylist()
-        out_tok, out_id, list_vals, list_offs = [], [], [], [0]
-        for i, t in enumerate(texts):
-            toks = set((t or "").split())
-            n = len(toks)
-            if n == 0:
-                continue
-            h = np.sort(hash64_str_array(list(toks)))
-            pos = np.searchsorted(dft, h)
-            pos_c = np.minimum(pos, max(len(dft) - 1, 0))
-            df = np.ones(n, dtype=np.int64)
-            if len(dft):
-                found = dft[pos_c] == h
-                df[found] = dfc[pos_c[found]]
-            prefix = jaccard_prefix(h, df, threshold)
-            L = len(prefix)
-            out_tok.append(prefix)
-            out_id.append(np.full(L, int(ids[i]), np.int64))
-            for _ in range(L):
-                list_vals.append(h)
-                list_offs.append(list_offs[-1] + n)
-        if not out_tok:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fs, offs = _distinct_row_hashes(b[text_col])
+        if fs.size == 0:
             return prefix_schema.empty_table()
-        values = pa.array(np.concatenate(list_vals), pa.uint64())
+        n = len(b)
+        rowlen = np.diff(offs)
+        dfv = np.ones(len(fs), np.int64)
+        if len(dft):
+            pos = np.minimum(np.searchsorted(dft, fs), len(dft) - 1)
+            found = dft[pos] == fs
+            dfv[found] = dfc[pos[found]]
+        row_id = np.repeat(np.arange(n, dtype=np.int64), rowlen)
+        order = np.lexsort((fs, dfv, row_id))  # rows contiguous, (df, hash) asc
+        pos_in_row = np.arange(len(fs), dtype=np.int64) - np.repeat(offs[:-1], rowlen)
+        L = rowlen - np.ceil(threshold * rowlen).astype(np.int64) + 1
+        keep = pos_in_row < np.repeat(L, rowlen)  # ordered space: rows stay contiguous
+        emit_tok = fs[order][keep]
+        emit_row = row_id[keep]  # row_id is identical in ordered space
+        if emit_tok.size == 0:
+            return prefix_schema.empty_table()
+        # each emitted prefix row carries its doc's full value-sorted list
+        lens_e = rowlen[emit_row]
+        values = pa.array(fs[_seg_gather(offs[:-1][emit_row], lens_e)], pa.uint64())
+        list_offs = np.zeros(len(emit_row) + 1, np.int64)
+        np.cumsum(lens_e, out=list_offs[1:])
         toks_col = pa.ListArray.from_arrays(pa.array(list_offs, pa.int32()), values)
         return pa.table(
             {
-                "token": pa.array(np.concatenate(out_tok), pa.uint64()),
-                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "token": pa.array(emit_tok, pa.uint64()),
+                id_col: pa.array(ids[emit_row], pa.int64()),
                 "toks": toks_col,
             }
         )
 
     prefix_rows = ds.map_batches(emit_prefix, batch_format="pyarrow")
 
-    # --- pass 3: group by prefix token; exact-verify candidate pairs
+    # --- pass 3: group by prefix token; exact-verify candidate pairs.
+    # Vectorised end-to-end (VERDICT r2 item 4): the only Python loop left
+    # runs once per token GROUP to emit triu index pairs; candidate pairs
+    # are then deduped across groups (each pair verifies once per
+    # PARTITION, not once per shared prefix token), length-filtered, and
+    # intersected with ONE global (pair, token) lexsort + run-length count
+    # instead of np.intersect1d per pair.
     def verify(b: pa.Table) -> pa.Table:
         if len(b) == 0:
             return out_schema.empty_table()
         tok = b["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         toks_col = b["toks"]
         if isinstance(toks_col, pa.ChunkedArray):
             toks_col = toks_col.combine_chunks()
-        offs = toks_col.offsets.to_numpy(zero_copy_only=False)
+        offs = toks_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = toks_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        lens = np.diff(offs)
         order = np.argsort(tok, kind="stable")
-        starts = np.flatnonzero(np.r_[True, tok[order][1:] != tok[order][:-1]])
-        ends = np.r_[starts[1:], len(tok)]
-        us, vs, js = [], [], []
-        for s0, e0 in zip(starts, ends):
-            grp = order[s0:e0]
-            m = len(grp)
+        tko = tok[order]
+        g_starts = np.flatnonzero(np.r_[True, tko[1:] != tko[:-1]])
+        g_ends = np.r_[g_starts[1:], len(tko)]
+        ra_parts, rc_parts = [], []
+        for s0, e0 in zip(g_starts, g_ends):
+            m = e0 - s0
             if m < 2:
                 continue
-            lists = [vals[offs[g] : offs[g + 1]] for g in grp]
-            szs = np.array([len(x) for x in lists], dtype=np.int64)
-            gids = ids[grp]
-            for a in range(m):
-                for c in range(a + 1, m):
-                    if gids[a] == gids[c]:
-                        continue
-                    sa, sc = szs[a], szs[c]
-                    # length filter: J >= t needs min >= t * max
-                    if min(sa, sc) < threshold * max(sa, sc):
-                        continue
-                    inter = np.intersect1d(lists[a], lists[c], assume_unique=True).size
-                    jac = inter / (sa + sc - inter)
-                    if jac >= threshold:
-                        us.append(min(gids[a], gids[c]))
-                        vs.append(max(gids[a], gids[c]))
-                        js.append(jac)
-        if not us:
+            ai, ci = np.triu_indices(m, k=1)
+            grp = order[s0:e0]
+            ra_parts.append(grp[ai])
+            rc_parts.append(grp[ci])
+        if not ra_parts:
+            return out_schema.empty_table()
+        ra = np.concatenate(ra_parts)
+        rc = np.concatenate(rc_parts)
+        mask = ids[ra] != ids[rc]
+        ra, rc = ra[mask], rc[mask]
+        if not len(ra):
+            return out_schema.empty_table()
+        u = np.minimum(ids[ra], ids[rc])
+        v = np.maximum(ids[ra], ids[rc])
+        o2 = np.lexsort((v, u))
+        uu, vv = u[o2], v[o2]
+        first = np.r_[True, (uu[1:] != uu[:-1]) | (vv[1:] != vv[:-1])]
+        sel = o2[first]
+        ra, rc, u, v = ra[sel], rc[sel], u[sel], v[sel]
+        sa, sc = lens[ra], lens[rc]
+        lf = np.minimum(sa, sc) >= threshold * np.maximum(sa, sc)
+        ra, rc, u, v, sa, sc = ra[lf], rc[lf], u[lf], v[lf], sa[lf], sc[lf]
+        if not len(ra):
+            return out_schema.empty_table()
+        n_pairs = len(ra)
+        # Intersection counts via ONE C-level searchsorted over a composite
+        # key: token hashes are rank-remapped to < 2^32 within the batch,
+        # each pair's larger list becomes a segment of a globally-sorted
+        # (target_slot << 32 | rank) stream (each unique target row stored
+        # ONCE), and every element of the smaller list probes that stream
+        # with its pair's slot prefix.  No per-pair Python, no per-iteration
+        # temporaries (a vectorised-bisection variant measured 540ns/probe
+        # from numpy temp churn; this is ~25ns/probe).
+        from ..state.numpy_cc import _unique_inverse
+
+        dv = np.unique(vals)
+        vrank = np.searchsorted(dv, vals).astype(np.int64)
+        # unique docs among the candidate pairs, one representative row each
+        # (rows carrying the same doc id carry identical token lists)
+        uids, uinv = _unique_inverse(np.concatenate([ids[ra], ids[rc]]))
+        rep_row = np.empty(len(uids), np.int64)
+        rep_row[uinv] = np.concatenate([ra, rc])
+        ia, ic = uinv[:n_pairs], uinv[n_pairs:]
+        n_u = len(uids)
+        rep_lens = lens[rep_row]
+        if n_u * len(dv) <= 32_000_000 and n_u * n_u <= 16_000_000:
+            # Dense path: one 0/1 doc x token matrix, BLAS M @ M.T yields
+            # EVERY pairwise intersection count at once (0/1 float32 sums of
+            # <= doclen terms are exact), then candidate pairs are a single
+            # gather.  This box's random-gather latency is ~400ns/element
+            # out of cache (CLAUDE.md), so per-probe streams lose to sgemm
+            # by >10x whenever the matrices fit.
+            M = np.zeros((n_u, len(dv)), np.float32)
+            M[
+                np.repeat(np.arange(n_u, dtype=np.int64), rep_lens),
+                vrank[_seg_gather(offs[rep_row], rep_lens)],
+            ] = 1.0
+            G = M @ M.T
+            inter = G[ia, ic].astype(np.int64)
+        else:
+            # Stream fallback (huge sparse partitions): smaller list probes
+            # the larger list's segment of a (doc_slot << 32 | token_rank)
+            # sorted stream, chunked to bound temporaries.
+            swap = sa > sc
+            p_side = np.where(swap, ic, ia)
+            t_side = np.where(swap, ia, ic)
+            psa = rep_lens[p_side]
+            t_stream = vrank[_seg_gather(offs[rep_row], rep_lens)] + (
+                np.repeat(np.arange(n_u, dtype=np.int64), rep_lens) << 32
+            )
+            inter = np.empty(n_pairs, np.int64)
+            cum = np.cumsum(psa)
+            budget = 16_000_000
+            start = 0
+            while start < n_pairs:
+                base = cum[start - 1] if start else 0
+                end = min(
+                    n_pairs, max(start + 1, int(np.searchsorted(cum, base + budget)) + 1)
+                )
+                sl = slice(start, end)
+                m = end - start
+                pid = np.repeat(np.arange(m, dtype=np.int64), psa[sl])
+                comp = vrank[_seg_gather(offs[rep_row[p_side[sl]]], psa[sl])] + (
+                    t_side[sl][pid] << 32
+                )
+                pos = np.minimum(np.searchsorted(t_stream, comp), len(t_stream) - 1)
+                hit = t_stream[pos] == comp
+                inter[sl] = np.bincount(pid[hit], minlength=m).astype(np.int64)
+                start = end
+        jac = inter / (sa + sc - inter)
+        ok = jac >= threshold
+        if not ok.any():
             return out_schema.empty_table()
         return pa.table(
             {
-                "u": pa.array(np.array(us, np.int64), pa.int64()),
-                "v": pa.array(np.array(vs, np.int64), pa.int64()),
-                "jaccard": pa.array(np.array(js, np.float64), pa.float64()),
+                "u": pa.array(u[ok], pa.int64()),
+                "v": pa.array(v[ok], pa.int64()),
+                "jaccard": pa.array(jac[ok], pa.float64()),
             }
         )
 

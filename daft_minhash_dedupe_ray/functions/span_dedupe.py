@@ -287,13 +287,19 @@ def _splice(batch: pa.Table, cut_row: np.ndarray, cut_pos: np.ndarray, min_len: 
     )
 
 
+# above this many duplicated-gram directory rows the broadcast path would
+# ray.put a multi-GB array into every worker — auto-switch to the cogroup
+# exchange (mirrors stages/merge.BROADCAST_LIMIT; VERDICT r2 item 6)
+DIRECTORY_BROADCAST_LIMIT = 5_000_000
+
+
 def remove_dup_spans(
     ds,
     min_len: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 16,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
     scope: str = "cross_doc",
 ):
     """Cut every duplicated span of >= ``min_len`` chars.
@@ -303,11 +309,20 @@ def remove_dup_spans(
     non-integer ids) keeps its copy, within-doc repeats are untouched.
     ``scope="any"``: the paper's full semantics — every occurrence after the
     lexicographically-first ``(doc, pos)`` is cut, including repeats inside
-    the same document.  Returns ``(id_col, text_clean, n_removed)`` rows."""
+    the same document.  Returns ``(id_col, text_clean, n_removed)`` rows.
+
+    ``broadcast=None`` (default) auto-selects: the duplicated-gram directory
+    is materialized (it is the reduced small side either way), and the
+    broadcast probe is used only when it holds <=
+    ``DIRECTORY_BROADCAST_LIMIT`` rows; larger directories go through the
+    gram-keyed cogroup exchange.  Pass True/False to force a path."""
     if scope not in ("cross_doc", "any"):
         raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
 
     dir_ds = build_gram_directory(ds, min_len, id_col, text_col, num_partitions, scope)
+    if broadcast is None:
+        dir_ds = dir_ds.materialize()
+        broadcast = dir_ds.count() <= DIRECTORY_BROADCAST_LIMIT
 
     if broadcast:
         parts = [t for t in ray.get(dir_ds.to_arrow_refs()) if t is not None and len(t)]

@@ -52,6 +52,57 @@ class DedupeReport:
         return 100.0 * self.rows_after / max(1, self.rows_before)
 
 
+def validate_clusters(edges_ds, assign_ds, max_edges: int = 5_000_000) -> dict:
+    """Per-run cluster-parity validation against the sequential union-find
+    oracle — the engine's form of the reference's every-run igraph check
+    (``workload/minhash_dedupe.py:739``, ``workload/results.txt``
+    "[VALIDATION] PASSED").  Streams the candidate edge list into a
+    driver-side :class:`~..state.union_find.UnionFind` (the reference's
+    validation is likewise driver-side; ``max_edges`` bounds the driver
+    memory and the check reports itself skipped beyond it) and compares
+    every distributed assignment row's representative and the clustered
+    node set."""
+    import numpy as np
+
+    from ..state.union_find import UnionFind
+
+    n_edges = edges_ds.count()
+    if n_edges > max_edges:
+        return {
+            "validated": False,
+            "reason": f"{n_edges} candidate edges exceed max_edges={max_edges}",
+        }
+    uf = UnionFind()
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        for u, v in zip(
+            b["u"].to_numpy(zero_copy_only=False), b["v"].to_numpy(zero_copy_only=False)
+        ):
+            if u != v:
+                uf.union(int(u), int(v))
+    oracle = uf.finalize()
+    nodes = np.sort(np.array(list(oracle), dtype=np.uint64))
+    reps = np.array([oracle[int(n)] for n in nodes], dtype=np.uint64)
+
+    got_nodes, got_reps = [], []
+    for b in assign_ds.iter_batches(batch_format="pyarrow"):
+        got_nodes.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        got_reps.append(b["rep"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    gn = np.concatenate(got_nodes) if got_nodes else np.zeros(0, np.uint64)
+    gr = np.concatenate(got_reps) if got_reps else np.zeros(0, np.uint64)
+    order = np.argsort(gn)
+    gn, gr = gn[order], gr[order]
+    passed = len(gn) == len(nodes) and bool(
+        np.array_equal(gn, nodes) and np.array_equal(gr, reps)
+    )
+    return {
+        "validated": True,
+        "passed": passed,
+        "n_edges": int(n_edges),
+        "n_clustered_nodes": int(len(nodes)),
+        "n_components": int(len(np.unique(reps))) if len(reps) else 0,
+    }
+
+
 class MinHashDedupePipeline:
     """Composable near-dup pipeline; each stage is ``Dataset -> Dataset``."""
 

@@ -32,6 +32,23 @@ def _read(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _dim_pandas(sf_dir: str, name: str, columns: list[str]):
+    """Small dimension table as pandas.  Ray's ``to_pandas()`` on a 0-row
+    read yields a column-less frame (the empty-block schema poison noted in
+    CLAUDE.md); reindex so empty dimensions keep their columns."""
+    df = _read(sf_dir, name, columns=columns).to_pandas()
+    if not all(c in df.columns for c in columns):
+        df = pd.DataFrame({c: [] for c in columns})
+    return df
+
+
+def _ensure_cols(df, cols: list[str]):
+    """Same empty-block guard for an aggregate's ``to_pandas()`` result."""
+    if not all(c in df.columns for c in cols):
+        return pd.DataFrame({c: [] for c in cols})
+    return df
+
+
 def q1_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped: filtered lineitem grouped by returnflag+linestatus.
     Partial aggregation inside map_batches; the groupby shuffles one row per
@@ -75,13 +92,23 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
 def segment_revenue(sf_dir: str) -> pa.Table:
     """orders ⋈ customer via broadcast (customer is the small dimension side):
     revenue per market segment."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _dim_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     ck = cust["c_custkey"].to_numpy().astype(np.int64)
     order = np.argsort(ck)
     ref = ray.put((ck[order], cust["c_mktsegment"].to_numpy()[order]))
 
+    _EMPTY_SEG = pa.table(
+        {
+            "c_mktsegment": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+
     def partial(b: pa.Table) -> pa.Table:
         keys_sorted, segs_sorted = ray.get(ref)
+        if len(keys_sorted) == 0:  # empty dimension -> empty inner join
+            return _EMPTY_SEG
         keys = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(keys_sorted, keys)
         pos_c = np.minimum(pos, len(keys_sorted) - 1)
@@ -103,14 +130,22 @@ def segment_revenue(sf_dir: str) -> pa.Table:
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
         .to_pandas()
     )
+    out = _ensure_cols(out, ["c_mktsegment", "revenue", "n_orders"])
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
-    """Top-k customers by total order value: groupby-sum (with partials) then
-    a tiny driver-side top-k — no global sort."""
+def top_customers(sf_dir: str, k: int = 10, num_partitions: int = 32) -> pa.Table:
+    """Top-k customers by total order value: per-batch partial sums ->
+    custkey-hash exchange -> each partition finishes its customers' exact
+    totals and emits only its LOCAL top-k -> the driver merges k rows per
+    partition (O(k * partitions) driver state — VERDICT r2 item 7 replaced
+    the full per-customer aggregate materialization).  Local top-k is exact
+    because a customer's rows co-locate: any global top-k member is in its
+    partition's top-k under the same (total desc, custkey asc) order."""
+    from ..stages.util import partition_groupby
+
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -121,12 +156,33 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
         )
         return g.rename_columns(["o_custkey", "total"])
 
-    totals = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("total", alias_name="total"))
-        .to_pandas()
-    )
+    schema = pa.schema([("o_custkey", pa.int64()), ("total", pa.float64())])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = b["total"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        cks, tps = ck[order], tp[order]
+        starts = np.flatnonzero(np.r_[True, cks[1:] != cks[:-1]])
+        totals = np.add.reduceat(tps, starts)
+        keys = cks[starts]
+        o2 = np.lexsort((keys, -totals))[:k]
+        return pa.table(
+            {
+                "o_custkey": pa.array(keys[o2], pa.int64()),
+                "total": pa.array(totals[o2], pa.float64()),
+            }
+        )
+
+    totals = partition_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        local_topk,
+        schema,
+        num_partitions=num_partitions,
+    ).to_pandas()
     totals = totals.sort_values(["total", "o_custkey"], ascending=[False, True]).head(k)
     totals["total"] = totals["total"].round(2)
     return pa.Table.from_pandas(totals.reset_index(drop=True), preserve_index=False)
@@ -377,7 +433,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pa.Table:
     shuffle moves at most k rows per (batch, segment)."""
     from ..stages.util import partition_groupby
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _dim_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     ck = cust["c_custkey"].to_numpy().astype(np.int64)
     order = np.argsort(ck)
     ref = ray.put((ck[order], cust["c_mktsegment"].to_numpy()[order]))
@@ -406,6 +462,14 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pa.Table:
 
     def to_seg_topk(b: pa.Table) -> pa.Table:
         keys_sorted, segs_sorted = ray.get(ref)
+        if len(keys_sorted) == 0:  # empty dimension -> empty inner join
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
         keys = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.minimum(np.searchsorted(keys_sorted, keys), len(keys_sorted) - 1)
         found = keys_sorted[pos] == keys  # inner-join semantics
@@ -442,7 +506,10 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pa.Table:
         to_seg_topk, batch_format="pyarrow"
     )
     out = partition_groupby(mapped, ["c_mktsegment"], kernel, schema)
-    pdf = out.to_pandas().sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True)
+    pdf = _ensure_cols(
+        out.to_pandas(), ["c_mktsegment", "o_orderkey", "o_totalprice", "rnk"]
+    )
+    pdf = pdf.sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -562,20 +629,35 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     dimensions are small), broadcast once via ``ray.put``, and applied as a
     vectorised searchsorted inside ``map_batches`` — the fact table streams,
     nothing shuffles except one partial row per (nation, batch)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = _dim_pandas(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _dim_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
     nk = nat["n_nationkey"].to_numpy().astype(np.int64)
     norder = np.argsort(nk)
     nk_sorted, names_sorted = nk[norder], nat["n_name"].to_numpy()[norder]
     ck = cust["c_custkey"].to_numpy().astype(np.int64)
     cn = cust["c_nationkey"].to_numpy().astype(np.int64)
     corder = np.argsort(ck)
-    # compose customer -> nation name (every c_nationkey resolves in nation)
-    npos = np.minimum(np.searchsorted(nk_sorted, cn[corder]), len(nk_sorted) - 1)
-    ref = ray.put((ck[corder], names_sorted[npos]))
+    # compose customer -> nation name (every c_nationkey resolves in nation);
+    # an empty dimension on either hop composes to an empty lookup
+    if len(nk_sorted) and len(ck):
+        npos = np.minimum(np.searchsorted(nk_sorted, cn[corder]), len(nk_sorted) - 1)
+        nmatch = nk_sorted[npos] == cn[corder]
+        ref = ray.put((ck[corder][nmatch], names_sorted[npos[nmatch]]))
+    else:
+        ref = ray.put((np.zeros(0, np.int64), np.zeros(0, object)))
+
+    _EMPTY_NAT = pa.table(
+        {
+            "n_name": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         keys_sorted, names = ray.get(ref)
+        if len(keys_sorted) == 0:
+            return _EMPTY_NAT
         keys = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.minimum(np.searchsorted(keys_sorted, keys), len(keys_sorted) - 1)
         found = keys_sorted[pos] == keys  # inner-join semantics
@@ -595,6 +677,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
         .to_pandas()
     )
+    out = _ensure_cols(out, ["n_name", "revenue", "n_orders"])
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
     out = out.sort_values("n_name").reset_index(drop=True)

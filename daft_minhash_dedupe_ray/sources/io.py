@@ -65,6 +65,11 @@ def partitioned_save(
     Returns the written manifest."""
     n_rows = ds.count()
     n_parts = target_partitions(n_rows, chunk_size, max_partitions)
+    if os.path.exists(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        raise FileExistsError(
+            f"partitioned_save target {path!r} already contains parquet files — "
+            "stale files would be blessed into the manifest; remove them first"
+        )
     os.makedirs(path, exist_ok=True)
     ds.repartition(min(n_parts, max(1, n_rows))).write_parquet(path, compression="snappy")
     manifest = {
@@ -247,19 +252,45 @@ def shuffle_export(
     shards = partition_groupby_prekeyed(
         keyed, order_shard, out_schema, n_shards * sub_shards
     )
-    os.makedirs(path, exist_ok=True)
-    shards.write_parquet(path, partition_cols=["shard", "sub"])
+    # refuse a dirty target: stale parquet from a previous export (different
+    # seed / shard count) would be blessed into the layout by _SUCCESS and
+    # streamed back mixed with the new rows.  Write into a tmp sibling and
+    # atomically rename, mirroring CheckpointManager.save.
+    import glob as _glob
+    import shutil as _shutil
+
+    if os.path.exists(path) and os.listdir(path):
+        raise FileExistsError(
+            f"shuffle_export target {path!r} is not empty — remove it (or "
+            "export to a fresh directory) first"
+        )
+    tmp = path.rstrip("/") + ".inprogress"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shards.write_parquet(tmp, partition_cols=["shard", "sub"])
+    # row count from the written files' parquet footers — the dataset was
+    # just consumed by write_parquet; a ds.count() here would re-execute the
+    # whole upstream pipeline a second time
+    import pyarrow.parquet as _pq
+
+    rows = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True)
+    )
     manifest = {
         "n_shards": n_shards,
         "sub_shards": sub_shards,
         "seed": seed,
-        "rows": ds.count(),
+        "rows": rows,
         "written_at": time.time(),
     }
-    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
-    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("")
+    if os.path.exists(path):
+        os.rmdir(path)  # empty (checked above for parquet; rmdir errors otherwise)
+    os.replace(tmp, path)
     return manifest
 
 

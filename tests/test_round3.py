@@ -1,0 +1,298 @@
+"""Round-3 additions: per-run cluster validation, robustness guards from
+the round-2 advice (dirty export targets, shared-filesystem index probes,
+empty dimension tables), the span-removal broadcast size gate, and the
+consolidated driver queries."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(n=60, seed=3):
+    rng = np.random.RandomState(seed)
+    words = np.array([f"w{i}" for i in range(50)])
+    texts = [" ".join(words[rng.choice(50, 12)]) for _ in range(n)]
+    # plant near-dups
+    for i in range(0, n // 3, 3):
+        texts[i + 1] = texts[i]
+    return pa.table(
+        {"doc_id": pa.array(np.arange(n), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+# ------------------------------------------------------------ validation
+
+
+def test_validate_clusters_passes_on_real_run(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.pipelines.dedupe import (
+        MinHashDedupePipeline,
+        validate_clusters,
+    )
+
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    pipe = MinHashDedupePipeline(cfg)
+    ds = rd.from_arrow(_docs_table(90))
+    prepped = pipe.prep(ds)
+    edges = pipe.edges(prepped).materialize()
+    assign = pipe.assignments(edges, num_actors=2)
+    v = validate_clusters(edges, assign)
+    assert v["validated"] and v["passed"], v
+    assert v["n_clustered_nodes"] > 0
+
+
+def test_validate_clusters_detects_corruption(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.pipelines.dedupe import (
+        MinHashDedupePipeline,
+        validate_clusters,
+    )
+
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    pipe = MinHashDedupePipeline(cfg)
+    ds = rd.from_arrow(_docs_table(90))
+    edges = pipe.edges(pipe.prep(ds)).materialize()
+    assign = pipe.assignments(edges, num_actors=2)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        reps = b["rep"].to_numpy(zero_copy_only=False).copy()
+        if len(reps):
+            reps[0] += 1  # break one representative
+        return pa.table({"u": b["u"], "rep": pa.array(reps, b["rep"].type)})
+
+    bad = assign.map_batches(corrupt, batch_format="pyarrow")
+    v = validate_clusters(edges, bad)
+    assert v["validated"] and not v["passed"]
+
+
+def test_validate_clusters_skips_above_cap(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.pipelines.dedupe import validate_clusters
+
+    edges = rd.from_arrow(
+        pa.table({"u": pa.array([1, 2], pa.uint64()), "v": pa.array([2, 3], pa.uint64())})
+    )
+    assign = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.uint64()), "rep": pa.array([], pa.uint64())})
+    )
+    v = validate_clusters(edges, assign, max_edges=1)
+    assert not v["validated"] and "max_edges" in v["reason"]
+
+
+def test_cli_validate_flag(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.cli import main
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(400, seed=11, with_images=False)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src, row_group_size=4096)
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input", src,
+            "--output", out_dir,
+            "--index-col", "image_id",
+            "--content-col", "caption",
+            "--phash-col", "phash",
+            "--num-perm", "64",
+            "--validate",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(f"{out_dir}/_SUCCESS")
+
+
+# ------------------------------------------------------------ io guards
+
+
+def test_shuffle_export_refuses_dirty_target(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.sources.io import shuffle_export
+
+    ds = rd.from_arrow(_docs_table(40))
+    target = str(tmp_path / "exp")
+    m = shuffle_export(ds, target, n_shards=2, seed=1)
+    assert m["rows"] == 40
+    assert os.path.exists(f"{target}/_SUCCESS")
+    with pytest.raises(FileExistsError):
+        shuffle_export(ds, target, n_shards=4, seed=2)
+
+
+def test_shuffle_export_manifest_rows_from_footers(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.sources.io import read_shuffled, shuffle_export
+
+    ds = rd.from_arrow(_docs_table(64))
+    target = str(tmp_path / "exp2")
+    m = shuffle_export(ds, target, n_shards=4, seed=7, sub_shards=2)
+    assert m["rows"] == 64
+    assert read_shuffled(target).count() == 64
+
+
+def test_partitioned_save_refuses_dirty_target(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.sources.io import partitioned_save
+
+    ds = rd.from_arrow(_docs_table(20))
+    target = str(tmp_path / "psave")
+    partitioned_save(ds, target)
+    with pytest.raises(FileExistsError):
+        partitioned_save(ds, target)
+
+
+# ------------------------------------------------- incremental index guards
+
+
+def test_indexed_dedupe_raises_on_missing_partition(ray_session, tmp_path):
+    import shutil
+
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_corpus_index,
+        incremental_dedupe_indexed,
+    )
+
+    t = _docs_table(80)
+    corpus = rd.from_arrow(t.slice(0, 40))
+    wave = rd.from_arrow(t.slice(40))
+    idx = str(tmp_path / "cidx")
+    meta = build_corpus_index(corpus, idx, num_partitions=4)
+    # simulate a worker that cannot see one recorded partition (non-shared fs)
+    victim = next(iter(meta["parts"]))
+    shutil.rmtree(os.path.join(idx, f"part={int(victim):05d}"))
+    with pytest.raises(Exception) as ei:
+        incremental_dedupe_indexed(wave, idx, text_col="text", id_col="doc_id").count()
+    assert "shared filesystem" in str(ei.value) or "FileNotFoundError" in str(ei.value)
+
+
+def test_band_index_requires_success_marker(ray_session, tmp_path):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_band_index,
+        incremental_near_dedupe_indexed,
+    )
+
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    t = _docs_table(60)
+    idx = str(tmp_path / "bidx")
+    build_band_index(rd.from_arrow(t.slice(0, 30)), idx, cfg)
+    os.remove(os.path.join(idx, "_SUCCESS"))
+    with pytest.raises(FileNotFoundError):
+        incremental_near_dedupe_indexed(rd.from_arrow(t.slice(30)), idx, cfg)
+
+
+# ------------------------------------------------- empty dimension guards
+
+
+def test_broadcast_joins_with_empty_dimension(ray_session, tmp_path, monkeypatch):
+    """segment_revenue / top_orders_per_segment / revenue_by_nation return
+    clean empty inner-join results when a dimension table is empty."""
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_mktsegment": pa.array([], pa.string()),
+                "c_nationkey": pa.array([], pa.int64()),
+            }
+        ),
+        f"{sf}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([], pa.int64()),
+                "n_name": pa.array([], pa.string()),
+            }
+        ),
+        f"{sf}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([10, 20, 30], pa.int64()),
+                "o_totalprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    assert len(R.segment_revenue(sf)) == 0
+    assert len(R.top_orders_per_segment(sf)) == 0
+    assert len(R.revenue_by_nation(sf)) == 0
+
+
+# ------------------------------------------------- span broadcast gate
+
+
+def test_remove_dup_spans_auto_gate_cogroup(ray_session, monkeypatch):
+    """Force the directory over the gate: auto mode must take the cogroup
+    path and still produce the broadcast path's exact output."""
+    import ray.data as rd
+
+    import daft_minhash_dedupe_ray.functions.span_dedupe as sd
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta " * 3,
+        "alpha beta gamma delta epsilon zeta eta theta " * 3 + "unique tail one",
+        "completely different content with no long repeats at all here",
+    ]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(texts)})
+    want = (
+        sd.remove_dup_spans(rd.from_arrow(t), min_len=30, broadcast=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(sd, "DIRECTORY_BROADCAST_LIMIT", 0)
+    got = (
+        sd.remove_dup_spans(rd.from_arrow(t), min_len=30)  # auto -> cogroup
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+# ------------------------------------------------- consolidated queries
+
+
+def test_token_count_profile_matches_parts(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    prof = m.queries()["token_count_profile"](sf).to_pandas().sort_values("doc_id")
+    tc = m._token_counts(sf).to_pandas().sort_values("doc_id")
+    bc = m._bpe_token_counts(sf).to_pandas().sort_values("doc_id")
+    dc = m._distinct_token_counts(sf).to_pandas().sort_values("doc_id")
+    assert (prof["n_tokens"].to_numpy() == tc["n_tokens"].to_numpy()).all()
+    assert (prof["n_bpe_tokens"].to_numpy() == bc["n_bpe_tokens"].to_numpy()).all()
+    assert (
+        prof["n_distinct_tokens"].to_numpy() == dc["n_distinct_tokens"].to_numpy()
+    ).all()
