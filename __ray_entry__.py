@@ -1214,12 +1214,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
             ),
             u AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
-            bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+                  HAVING count(*) >= 2),  -- min_count pruning (CCNet-style)
             v AS (SELECT count(*) AS vv FROM u),
             scored AS (
-                SELECT g.doc_id, -avg(ln((bc.cb + 1.0) / (u.cu + 1.0 * v.vv))) AS s
+                SELECT g.doc_id,
+                       -avg(ln((coalesce(bc.cb, 0) + 1.0) / (u.cu + 1.0 * v.vv))) AS s
                 FROM bg g
-                JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+                LEFT JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
                 JOIN u ON u.w = g.w1
                 CROSS JOIN v
                 GROUP BY g.doc_id
@@ -1245,12 +1247,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
             ),
             u AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
-            bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+                  HAVING count(*) >= 2),  -- min_count pruning (CCNet-style)
             v AS (SELECT count(*) AS vv FROM u),
             scored0 AS (
-                SELECT g.doc_id, -avg(ln((bc.cb + 1.0) / (u.cu + 1.0 * v.vv))) AS s
+                SELECT g.doc_id,
+                       -avg(ln((coalesce(bc.cb, 0) + 1.0) / (u.cu + 1.0 * v.vv))) AS s
                 FROM bg g
-                JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+                LEFT JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
                 JOIN u ON u.w = g.w1
                 CROSS JOIN v
                 GROUP BY g.doc_id

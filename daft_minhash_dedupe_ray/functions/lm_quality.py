@@ -103,10 +103,19 @@ def _count_reduce(tab: pa.Table) -> pa.Table:
     )
 
 
-def train_bigram_counts(ds, text_col: str = "text", num_partitions: int = 16):
+def train_bigram_counts(
+    ds, text_col: str = "text", num_partitions: int = 16, min_count: int = 2
+):
     """Global (hash -> count) tables for unigrams and bigrams, plus the
     exact vocabulary size V.  Returns (uni_h, uni_c, bi_h, bi_c, V) sorted
-    numpy arrays (driver-side; vocabulary-bounded)."""
+    numpy arrays (driver-side).
+
+    CCNet-style pruning: BIGRAM entries with count < ``min_count`` are
+    dropped from the broadcast table (they score as unseen, cb = 0 — the
+    add-k smoothing math is unchanged).  Hapax bigrams are the bulk of the
+    table at corpus scale (5.9M entries at sf0.01 -> multi-GB broadcast at
+    100 TB), while unigrams and the exact V stay intact, so the context
+    denominators are exact.  ``min_count=1`` disables pruning."""
     partials = ds.map_batches(
         functools.partial(_count_partial, text_col=text_col), batch_format="pyarrow"
     )
@@ -121,6 +130,9 @@ def train_bigram_counts(ds, text_col: str = "text", num_partitions: int = 16):
     u = tab["uni"].to_numpy(zero_copy_only=False)
     uh, uc = h[u], c[u]
     bh, bc = h[~u], c[~u]
+    if min_count > 1:
+        keep = bc >= min_count
+        bh, bc = bh[keep], bc[keep]
     ou, ob = np.argsort(uh), np.argsort(bh)
     return uh[ou], uc[ou], bh[ob], bc[ob], int(len(uh))
 
@@ -131,11 +143,12 @@ def lm_quality_scores(
     text_col: str = "text",
     k: float = 1.0,
     num_partitions: int = 16,
+    min_count: int = 2,
 ):
     """Per-doc mean negative log-likelihood under the corpus bigram LM.
     Returns ``(id_col, lm_score)`` — higher = more surprising text (the
     filtering gate drops the high tail)."""
-    model = train_bigram_counts(ds, text_col, num_partitions)
+    model = train_bigram_counts(ds, text_col, num_partitions, min_count)
     model_ref = ray.put(model)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -174,6 +187,7 @@ def lm_quality_filter(
     text_col: str = "text",
     k: float = 1.0,
     num_partitions: int = 16,
+    min_count: int = 2,
 ):
     """Perplexity-tail gate: keep docs whose LM score is <= the exact corpus
     ``q``-quantile (``quantile_disc`` semantics: sorted value at index
@@ -185,7 +199,7 @@ def lm_quality_filter(
     whose cumulative counts give the cutoff on the driver.  Scores
     materialize once (two consumers: the histogram and the filter) as an
     ``(id, float)`` table — 16 bytes/row."""
-    scores = lm_quality_scores(ds, id_col, text_col, k, num_partitions).materialize()
+    scores = lm_quality_scores(ds, id_col, text_col, k, num_partitions, min_count).materialize()
 
     HIST_SCHEMA = pa.schema([("v", pa.float64()), ("c", pa.int64())])
 

@@ -23,8 +23,9 @@ def _ds(ray_session, texts):
     return rd.from_arrow(t).repartition(3)
 
 
-def _oracle(texts, k=1.0):
-    """Pure-python add-k bigram LM over the same corpus."""
+def _oracle(texts, k=1.0, min_count=2):
+    """Pure-python add-k bigram LM over the same corpus (bigram entries
+    below min_count pruned to unseen, matching train_bigram_counts)."""
     import collections
 
     uni, bi = collections.Counter(), collections.Counter()
@@ -32,6 +33,7 @@ def _oracle(texts, k=1.0):
         ws = t.split()
         uni.update(ws)
         bi.update(zip(ws, ws[1:]))
+    bi = collections.Counter({g: c for g, c in bi.items() if c >= min_count})
     V = len(uni)
     out = []
     for t in texts:
@@ -70,11 +72,14 @@ def test_gibberish_scores_worse_than_common_text(ray_session):
 
 def test_train_counts_exact(ray_session):
     texts = ["a b a", "b a"]
-    uh, uc, bh, bc, V = train_bigram_counts(_ds(ray_session, texts))
+    uh, uc, bh, bc, V = train_bigram_counts(_ds(ray_session, texts), min_count=1)
     assert V == 2  # {a, b}
     assert sorted(uc.tolist()) == [2, 3]  # a x3, b x2
     # bigrams: (a,b) x1, (b,a) x2
     assert sorted(bc.tolist()) == [1, 2]
+    # default pruning drops the hapax bigram (a,b), keeps (b,a) x2
+    _, _, bh2, bc2, _ = train_bigram_counts(_ds(ray_session, texts))
+    assert bc2.tolist() == [2]
 
 
 def test_quantile_filter_matches_python(ray_session):
