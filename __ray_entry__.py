@@ -171,6 +171,39 @@ def _token_count_profile(sf_dir: str):
     )
 
 
+def _extract_text_blocks(sf_dir: str):
+    """Raw-crawl ingest front-end (reference B1-B5): HTTP-header strip +
+    RE2 HTML block extraction + explode, over deterministically synthesised
+    crawl records (headers + HTML wrapped around each document's text on
+    BOTH sides — the transform under test is the extraction).  SQL-checked:
+    pyarrow and DuckDB share RE2, so the exact kernel chain replays."""
+    import pyarrow.compute as pc
+
+    from daft_minhash_dedupe_ray.functions.ingest import preprocess_crawl_text
+
+    def synth(b: pa.Table) -> pa.Table:
+        n = len(b)
+        did = pc.cast(b["doc_id"], pa.string())
+        payload = pc.binary_join_element_wise(
+            pa.array(["HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><head><title>Doc "] * n),
+            did,
+            pa.array(["</title><script>var x = 1;</script></head><body><h1>Heading "] * n),
+            did,
+            pa.array(["</h1><p>"] * n),
+            b["text"],
+            pa.array(["</p><!-- hidden --><div>tail "] * n),
+            did,
+            pa.array(["</div></body></html>"] * n),
+            pa.array([""] * n),
+        )
+        return pa.table({"record_id": b["doc_id"], "payload": payload})
+
+    ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
+    out = preprocess_crawl_text(ds.map_batches(synth, batch_format="pyarrow"))
+    pdf = out.to_pandas().sort_values(["record_id", "block_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _quality_repetition_scores(sf_dir: str):
     """Heuristic quality features + Gopher repetition signals in one pass —
     consolidates quality_scores / repetition_scores for the driver cap.
@@ -959,8 +992,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
         "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
         "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
-        # ---------------- past the driver cap: rows-only extras whose exact
-        # oracles live in tests/, plus the unconsolidated counter variants
+        # ---------------- past the driver cap: the crawl-ingest adapter
+        # (SQL parity also asserted locally in tests/test_round3.py),
+        # rows-only extras whose exact oracles live in tests/, and the
+        # unconsolidated counter variants
+        "extract_text_blocks": _extract_text_blocks,  # SQL-checked (RE2 parity)
         "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # rows-only (parity test)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "token_counts": _token_counts,  # SQL-checked (consolidated into token_count_profile)
@@ -1186,6 +1222,74 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN rep r USING (doc_id)
             LEFT JOIN tt USING (doc_id)
+        """,
+        "lang_id_docs": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(coalesce(text, '')),
+                        'the|and|ing|ion|ed | th|er | of|to ')) AS s_en,
+                    len(regexp_extract_all(lower(coalesce(text, '')),
+                        'der|die|und|sch|ein|ich|en | de|ung')) AS s_de,
+                    len(regexp_extract_all(lower(coalesce(text, '')),
+                        'les|des|ent|que| de|ion|eur| la|ais')) AS s_fr,
+                    len(regexp_extract_all(lower(coalesce(text, '')),
+                        'los|las| de|que|ión|ado| la|es |nte')) AS s_es
+                FROM documents)
+            SELECT doc_id, CASE
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "extract_text_blocks": r"""
+            WITH rec AS (
+                SELECT doc_id AS record_id,
+                       'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                       'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+                       '<html><head><title>Doc ' || doc_id ||
+                       '</title><script>var x = 1;</script></head><body><h1>Heading ' ||
+                       doc_id || '</h1><p>' || text ||
+                       '</p><!-- hidden --><div>tail ' || doc_id ||
+                       '</div></body></html>' AS payload
+                FROM documents),
+            body AS (
+                SELECT record_id,
+                       string_split(payload || chr(13)||chr(10)||chr(13)||chr(10),
+                                    chr(13)||chr(10)||chr(13)||chr(10))[2] AS b
+                FROM rec),
+            ext AS (
+                SELECT record_id,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                        regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(b,
+                          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                          '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+                          '(?s)<!--.*?-->', ' ', 'g'),
+                          '(?i)</?(?:p|h[1-6]|li|div|section|article|main|title|blockquote|td|th|pre|code|figcaption|caption|summary|ul|ol|table|tr|br|head|body|html)(?:\s[^>]*)?>', chr(10), 'g'),
+                          '<[^>]+>', ' ', 'g'),
+                          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                          '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '),
+                          '[ \t\r\f\v]+', ' ', 'g'),
+                          ' ?\n ?', chr(10), 'g'),
+                          '\n+', chr(10), 'g'),
+                          '^\n|\n$', '', 'g') AS cleaned
+                FROM body),
+            blocks AS (
+                SELECT record_id,
+                       unnest(string_split(cleaned, chr(10))) AS block_text,
+                       CAST(generate_subscripts(string_split(cleaned, chr(10)), 1) - 1
+                            AS BIGINT) AS block_idx
+                FROM ext)
+            SELECT record_id,
+                   record_id || '-' || block_idx AS block_id,
+                   block_idx,
+                   block_text
+            FROM blocks WHERE block_text <> ''
+            ORDER BY record_id, block_idx
         """,
         "quality_filter_docs": r"""
             WITH tok AS (

@@ -1,0 +1,157 @@
+"""Raw-crawl text ingest front-end (reference §2.B1-B5).
+
+The reference preprocesses Common Crawl WARC records before dedupe
+(``workload/minhash_dedupe.py:22-75``): keep ``text/html`` payloads, strip
+the HTTP header block (split on the first CRLFCRLF), parse the HTML
+(selectolax) dropping ``script``/``style``/``noscript``, extract text
+blocks from block-level tags, explode one row per block with
+``block_id = record_id + "-" + idx``.
+
+This module re-expresses that front-end Ray-Data-native and fully
+vectorised: no HTML parser is installable here, so extraction is a chain
+of RE2 kernels (``pyarrow.compute.replace_substring_regex``) — and because
+DuckDB's ``regexp_replace`` is the SAME RE2, the whole transform is
+SQL-replicable and sits under the driver's hash-match gate (the
+``extract_text_blocks`` query), unlike a parser it would only approximate.
+
+Stages (all zero-copy Arrow ``map_batches``; the explode follows the
+flatten-inside-map_batches pattern of ``stages/signature.py``):
+
+1. ``strip_http_headers``    — body after the first ``\\r\\n\\r\\n``, else "".
+2. ``extract_blocks_column`` — drop script/style/noscript/comments, turn
+   block-level tags into newlines, strip remaining tags, decode the common
+   entities, collapse whitespace.
+3. ``explode_blocks``        — one row per non-empty block with its index.
+
+``preprocess_crawl_text`` composes them: Dataset with (record_id, payload)
+-> Dataset of (record_id, block_id, block_text).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# block-level tags whose boundaries delimit text blocks (reference tag list,
+# minus the attribute-selector entries an RE2 chain cannot express)
+_BLOCK_TAGS = (
+    "p|h[1-6]|li|div|section|article|main|title|blockquote|td|th|pre|code|"
+    "figcaption|caption|summary|ul|ol|table|tr|br|head|body|html"
+)
+# (pattern, replacement) chain — keep in EXACT sync with the SQL oracle in
+# __ray_entry__.oracle_sql()["extract_text_blocks"]
+RE_CHAIN: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<noscript[^>]*>.*?</noscript>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (rf"(?i)</?(?:{_BLOCK_TAGS})(?:\s[^>]*)?>", "\n"),
+    (r"<[^>]+>", " "),
+]
+ENTITIES = [
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+]
+
+
+def strip_http_headers_array(arr: pa.Array) -> pa.Array:
+    """Segment between the first and second CRLFCRLF; '' when no
+    header/body split exists.  Exactly ``x.split CRLFCRLF [1]``-or-''
+    (reference ``remove_http_headers`` — note the reference TRUNCATES the
+    body at the next blank line too).  A sentinel CRLFCRLF is appended so
+    element 1 always exists: no header -> ['payload', ''] -> ''."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.fill_null(arr, "")
+    s = pc.binary_join_element_wise(s, "", "\r\n\r\n")  # append sentinel
+    parts = pc.split_pattern(s, pattern="\r\n\r\n")
+    out = pc.list_element(parts, 1)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def extract_blocks_array(arr: pa.Array) -> pa.Array:
+    """HTML -> newline-delimited text blocks (one string per document;
+    block boundaries are single ``\\n``)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.fill_null(arr, "")
+    for pat, rep in RE_CHAIN:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    for ent, ch in ENTITIES:
+        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    # collapse intra-block whitespace, then squeeze blank blocks away
+    s = pc.replace_substring_regex(s, pattern=r"[ \t\r\f\v]+", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r" ?\n ?", replacement="\n")
+    s = pc.replace_substring_regex(s, pattern=r"\n+", replacement="\n")
+    s = pc.replace_substring_regex(s, pattern=r"^\n|\n$", replacement="")
+    return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+
+
+def explode_blocks(batch: pa.Table, record_col: str, blocks_col: str) -> pa.Table:
+    """One row per non-empty block: (record_col, block_id, block_idx,
+    block_text) with ``block_id = record_id + '-' + block_idx`` (reference
+    id synthesis)."""
+    blocks = batch[blocks_col]
+    if isinstance(blocks, pa.ChunkedArray):
+        blocks = blocks.combine_chunks()
+    splits = pc.split_pattern(pc.fill_null(blocks, ""), pattern="\n")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    offs = splits.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(splits)
+    n_per_row = np.diff(offs)
+    row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_per_row)
+    # per-row block indices: global arange minus each row's start offset
+    blk_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], n_per_row)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    row_idx, blk_idx = row_idx[keep], blk_idx[keep]
+    flat = flat.filter(pa.array(keep))
+    rec = batch[record_col].take(pa.array(row_idx))
+    block_id = pc.binary_join_element_wise(
+        pc.cast(rec, pa.string()),
+        pc.cast(pa.array(blk_idx, pa.int64()), pa.string()),
+        "-",
+    )
+    return pa.table(
+        {
+            record_col: rec,
+            "block_id": block_id,
+            "block_idx": pa.array(blk_idx, pa.int64()),
+            "block_text": flat,
+        }
+    )
+
+
+def preprocess_crawl_text(
+    ds,
+    record_col: str = "record_id",
+    payload_col: str = "payload",
+    payload_type_col: str | None = None,
+    strip_headers: bool = True,
+):
+    """Dataset of raw crawl records -> Dataset of (record_id, block_id,
+    block_idx, block_text) rows, one per extracted text block — the
+    reference's ``preprocess_common_crawl_html`` re-expressed as stateless
+    vectorised ``map_batches`` (every kernel is an Arrow RE2 pass; no
+    Python row loop, no parser state)."""
+
+    def step(batch: pa.Table) -> pa.Table:
+        if payload_type_col is not None:
+            mask = pc.equal(pc.fill_null(batch[payload_type_col], ""), "text/html")
+            batch = batch.filter(mask)
+        payload = batch[payload_col]
+        if pa.types.is_binary(payload.type) or pa.types.is_large_binary(payload.type):
+            payload = pc.cast(payload, pa.string())  # raises on invalid UTF-8
+        body = strip_http_headers_array(payload) if strip_headers else payload
+        blocks = extract_blocks_array(body)
+        keyed = pa.table({record_col: batch[record_col], "__blocks__": blocks})
+        return explode_blocks(keyed, record_col, "__blocks__")
+
+    return ds.map_batches(step, batch_format="pyarrow")

@@ -277,6 +277,84 @@ def test_remove_dup_spans_auto_gate_cogroup(ray_session, monkeypatch):
     assert got.equals(want)
 
 
+# ------------------------------------------------- crawl-text ingest
+
+
+def test_ingest_extracts_blocks(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.ingest import preprocess_crawl_text
+
+    payloads = [
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        "<html><head><title>T</title><script>var x;</script>"
+        "<style>p{}</style></head><body><h1>H</h1><p>one &amp; two</p>"
+        "<!-- no --><noscript>skip</noscript><div>tail</div></body></html>",
+        "no header split at all",  # -> no blocks
+        "HTTP/1.1 200 OK\r\n\r\n<p>solo</p>",
+    ]
+    t = pa.table(
+        {
+            "record_id": pa.array([10, 11, 12], pa.int64()),
+            "payload": pa.array(payloads),
+        }
+    )
+    out = (
+        preprocess_crawl_text(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["record_id", "block_idx"])
+    )
+    by_rec = {r: g["block_text"].tolist() for r, g in out.groupby("record_id")}
+    assert by_rec[10] == ["T", "H", "one & two", "tail"]
+    assert 11 not in by_rec  # header-less payload contributes nothing
+    assert by_rec[12] == ["solo"]
+    assert out[out.record_id == 10]["block_id"].tolist() == [
+        "10-0", "10-1", "10-2", "10-3",
+    ]
+
+
+def test_ingest_payload_type_filter_and_binary(ray_session):
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.ingest import preprocess_crawl_text
+
+    t = pa.table(
+        {
+            "record_id": pa.array([1, 2], pa.int64()),
+            "ptype": pa.array(["text/html", "application/pdf"]),
+            "payload": pa.array(
+                [b"HTTP/1.1 200 OK\r\n\r\n<p>kept</p>", b"HTTP/1.1 200 OK\r\n\r\n<p>dropped</p>"],
+                pa.binary(),
+            ),
+        }
+    )
+    out = preprocess_crawl_text(
+        rd.from_arrow(t), payload_type_col="ptype"
+    ).to_pandas()
+    assert out["block_text"].tolist() == ["kept"]
+
+
+def test_ingest_sql_parity_duckdb(ray_session):
+    """The registered extract_text_blocks query hash-matches its DuckDB
+    oracle locally (pyarrow RE2 chain == DuckDB RE2 chain)."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    mine = m.queries()["extract_text_blocks"](sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = con.sql(m.oracle_sql()["extract_text_blocks"]).df()
+    mine = mine.sort_values(["record_id", "block_idx"]).reset_index(drop=True)
+    want = want.sort_values(["record_id", "block_idx"]).reset_index(drop=True)
+    assert len(mine) == len(want) and len(mine) > 0
+    assert (mine["block_text"].to_numpy() == want["block_text"].to_numpy()).all()
+    assert (mine["block_id"].to_numpy() == want["block_id"].to_numpy()).all()
+
+
 # ------------------------------------------------- consolidated queries
 
 
