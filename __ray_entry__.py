@@ -438,8 +438,10 @@ def _incremental_dedupe_indexed_docs(sf_dir: str):
 def _incremental_near_dedupe_docs(sf_dir: str):
     """Near-dup ingest-wave dedupe vs a corpus snapshot (MinHash banding,
     one cogroup exchange, wave-bounded anti-filter).  Even doc_ids play the
-    corpus, odd the wave.  Rows-only (MinHash not SQL-expressible); planted
-    recall oracle in tests/test_incremental.py."""
+    corpus, odd the wave.  SQL-checked: the seeded MinHash permutations and
+    band keys are reproduced bit-exactly in DuckDB
+    (sql_oracle.incremental_near_keep_sql); planted recall oracle in
+    tests/test_incremental.py."""
     import pyarrow.compute as pc_
 
     from daft_minhash_dedupe_ray.functions.incremental import incremental_near_dedupe
@@ -502,9 +504,9 @@ def _split_docs(sf_dir: str):
 def _mix_sources_docs(sf_dir: str):
     """Weighted corpus mixture (epoch up/down-sampling by source):
     src0/src1 down-sampled, src2 doubled, src3 x2.5, everything else kept.
-    Rows-only (hash-Bernoulli draw is not SQL-expressible); rate /
-    determinism / multiplicity invariants are oracle-tested in
-    tests/test_mixing.py."""
+    SQL-checked: the splitmix64 hash-Bernoulli draw is reproduced exactly in
+    DuckDB (sql_oracle.mix_sources_sql); rate / determinism / multiplicity
+    invariants also oracle-tested in tests/test_mixing.py."""
     from daft_minhash_dedupe_ray.functions.mixing import mix_sources
 
     ds = _read_docs(sf_dir).select_columns(["doc_id", "source"])
@@ -515,8 +517,9 @@ def _mix_sources_docs(sf_dir: str):
 
 def _shuffle_export_docs(sf_dir: str):
     """Deterministic seeded global shuffle + sharded parquet export (epoch
-    layout).  Rows-only (placement hash not SQL-expressible); permutation /
-    determinism / balance invariants are oracle-tested in tests/test_io.py.
+    layout).  SQL-checked: the splitmix64 shard placement is reproduced in
+    DuckDB (sql_oracle.shuffle_shard_sql); permutation / determinism /
+    balance invariants also oracle-tested in tests/test_io.py.
     Returns the (doc_id, shard) placement map."""
     import tempfile
 
@@ -563,13 +566,17 @@ def _remove_dup_spans_any_docs(sf_dir: str):
 
 def _pack_sequences_docs(sf_dir: str):
     """Concat-and-chunk sequence packing into 256-token training sequences.
-    Rows-only (partition-local greedy layout is not SQL-expressible); token
-    conservation / fullness invariants are oracle-tested in
+    SQL-checked: the hash-partitioned prefix-sum layout is reproduced with
+    window functions in DuckDB (sql_oracle.pack_sequences_sql); token
+    conservation / fullness invariants also oracle-tested in
     tests/test_packing.py."""
     from daft_minhash_dedupe_ray.functions.packing import pack_sequences
 
     ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
     out = pack_sequences(ds, max_tokens=256).to_pandas()
+    # signed view of the u64 sequence ids: one integer type on both sides of
+    # the driver's comparator (its uint normalisation is one-sided)
+    out["seq_id"] = out["seq_id"].to_numpy().astype("uint64").view("int64")
     return pa.Table.from_pandas(
         out.sort_values(["doc_id", "tok_start"]).reset_index(drop=True), preserve_index=False
     )
@@ -577,12 +584,14 @@ def _pack_sequences_docs(sf_dir: str):
 
 def _packed_sequence_texts(sf_dir: str):
     """Materialised 256-token training sequences (pack layout -> actual
-    token blocks).  Rows-only; token-conservation / fullness oracles in
-    tests/test_packing.py."""
+    token blocks).  SQL-checked: reconstruction via list_slice + string_agg
+    in DuckDB (sql_oracle.packed_texts_sql); token-conservation / fullness
+    oracles in tests/test_packing.py."""
     from daft_minhash_dedupe_ray.functions.packing import materialize_sequences
 
     ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
     out = materialize_sequences(ds, max_tokens=256).to_pandas()
+    out["seq_id"] = out["seq_id"].to_numpy().astype("uint64").view("int64")
     return pa.Table.from_pandas(
         out.sort_values("seq_id").reset_index(drop=True), preserve_index=False
     )
@@ -939,7 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tests/ come last and may fall past the cap.
     return {
         # ---- tier 1: image+caption flagship + multimodal surfaces
-        "minhash_dedupe_docs": _minhash_dedupe_docs,  # rows-only (recall oracle in tests/)
+        "minhash_dedupe_docs": _minhash_dedupe_docs,  # SQL-checked (full MinHash+LSH+CC in DuckDB, sql_oracle.py)
         "image_dedupe_synth": _image_dedupe_synth,  # rows-only (e2e oracle in tests/)
         "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # rows-only (planted oracle in tests/)
         "image_stats_synth": _image_stats_synth,
@@ -952,7 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
         "incremental_dedupe_indexed_docs": _incremental_dedupe_indexed_docs,  # SQL-checked (Bloom-pruned hash index)
-        "incremental_near_dedupe_docs": _incremental_near_dedupe_docs,  # rows-only (planted oracle in tests/)
+        "incremental_near_dedupe_docs": _incremental_near_dedupe_docs,  # SQL-checked (band-share anti-join oracle)
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
@@ -960,10 +969,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedupe": _embedding_dedupe,  # SQL-checked (recursive-CTE CC oracle)
         "ann_topk": _ann_topk,  # SQL-checked
         "ivf_topk_exact": _ivf_topk_exact,  # SQL-checked (full probe == exact)
-        "simhash_dedupe_docs": _simhash_dedupe_docs,  # rows-only
+        "simhash_dedupe_docs": _simhash_dedupe_docs,  # SQL-checked (Hamming<=k CC oracle)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
-        "lang_id_docs": _lang_id_docs,  # rows-only (heuristic model)
-        "doc_fingerprints": _fingerprints,  # rows-only (hash-based)
+        "lang_id_docs": _lang_id_docs,  # SQL-checked (n-gram heuristic reproduced in SQL)
+        "pack_sequences_docs": _pack_sequences_docs,  # SQL-checked (prefix-sum layout oracle)
         # ---- tier 3: relational operator surface (SQL-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.segment_revenue,
@@ -997,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only extras whose exact oracles live in tests/, and the
         # unconsolidated counter variants
         "extract_text_blocks": _extract_text_blocks,  # SQL-checked (RE2 parity)
+        "doc_fingerprints": _fingerprints,  # rows-only (blake2b content hash — not SQL-expressible)
         "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # rows-only (parity test)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "token_counts": _token_counts,  # SQL-checked (consolidated into token_count_profile)
@@ -1006,17 +1016,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _repetition_scores,  # SQL-checked (consolidated)
         "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
         "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
-        "pack_sequences_docs": _pack_sequences_docs,  # rows-only (invariant oracle in tests/)
-        "packed_sequence_texts": _packed_sequence_texts,  # rows-only (invariant oracle in tests/)
+        "packed_sequence_texts": _packed_sequence_texts,  # SQL-checked (sequence reconstruction oracle)
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
-        "shuffle_export_docs": _shuffle_export_docs,  # rows-only (invariant oracle in tests/)
-        "mix_sources_docs": _mix_sources_docs,  # rows-only (invariant oracle in tests/)
+        "shuffle_export_docs": _shuffle_export_docs,  # SQL-checked (splitmix64 placement oracle)
+        "mix_sources_docs": _mix_sources_docs,  # SQL-checked (hash-Bernoulli draw oracle)
         "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # hash-kernel oracles are generated (splitmix64 / byte-poly / MinHash
+    # permutation constants baked into the SQL text); every generator is
+    # validated bit-for-bit vs the numpy kernels in tests/test_sql_oracle.py
+    from daft_minhash_dedupe_ray import sql_oracle as _so
+
     return {
+        # flagship + hash-kernel dedupe family
+        "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
+        "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),
+        "incremental_near_dedupe_docs": _so.incremental_near_keep_sql(),
+        # training-data assembly family
+        "mix_sources_docs": _so.mix_sources_sql(
+            {"src0": 0.5, "src1": 0.0, "src2": 2.0, "src3": 2.5}, seed=7
+        ),
+        "shuffle_export_docs": _so.shuffle_shard_sql(n_shards=8, seed=13),
+        "pack_sequences_docs": _so.pack_sequences_sql(max_tokens=256),
+        "packed_sequence_texts": _so.packed_texts_sql(max_tokens=256),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

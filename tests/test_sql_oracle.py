@@ -1,0 +1,153 @@
+"""Bit-exactness of the DuckDB SQL hash-kernel generators vs the numpy
+kernels (sql_oracle.py).  Pure DuckDB + numpy — no Ray — so these stay fast;
+the end-to-end query-vs-oracle comparison runs in the driver's correctness
+gate and scripts/check_correctness.py."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray import sql_oracle as so
+from daft_minhash_dedupe_ray.hashing import (
+    band_keys,
+    make_permutations,
+    minhash_signatures,
+    shingle_hashes,
+    simhash64,
+    splitmix64,
+    token_hashes_flat,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "hello world",
+    "",
+    "   ",
+    "a b c d e f g h i j k l m n o p",
+    "single",
+    "x y z w v repeated x y z w v repeated",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE TABLE documents AS SELECT * FROM "
+        "(SELECT unnest(?) AS doc_id, unnest(?) AS text)",
+        [list(range(len(TEXTS))), TEXTS],
+    )
+    return c
+
+
+def test_sql_splitmix64_bit_exact(con):
+    q = so.chain_select(
+        "SELECT CAST(range AS UBIGINT) AS x FROM range(0, 2000)",
+        so.sm64_steps("x", "h", "t"),
+    )
+    got = con.execute(f"SELECT h FROM {q} q ORDER BY x").fetchnumpy()["h"]
+    ref = splitmix64(np.arange(2000, dtype=np.uint64))
+    assert np.array_equal(got.astype(np.uint64), ref)
+
+
+def test_sql_token_hashes_bit_exact(con):
+    th = so.token_hash_select(so.tokens_select())
+    r = con.execute(f"SELECT doc_id, pos, tokh FROM {th} t ORDER BY doc_id, pos").fetchnumpy()
+    flat_ref, counts = token_hashes_flat(pa.array(TEXTS))
+    assert np.array_equal(np.bincount(r["doc_id"], minlength=len(TEXTS)), counts)
+    assert np.array_equal(r["tokh"].astype(np.uint64), flat_ref)
+
+
+@pytest.mark.parametrize("ngram", [1, 3, 5])
+def test_sql_shingles_bit_exact(con, ngram):
+    q = so.shingles_select(so.tokens_select(), ngram)
+    r = con.execute(f"SELECT doc_id, sh FROM {q} s ORDER BY doc_id, sh").fetchnumpy()
+    flat, offs = shingle_hashes(TEXTS, ngram)
+    ref = sorted(
+        (d, int(h)) for d in range(len(TEXTS)) for h in flat[offs[d] : offs[d + 1]]
+    )
+    got = sorted(zip(r["doc_id"].tolist(), r["sh"].astype(np.uint64).tolist()))
+    assert ref == got
+
+
+def test_sql_band_keys_bit_exact(con):
+    B, R, seed = 8, 8, 42
+    q = so.lsh_bands_select(threshold=0.7, num_perm=64, ngram=5, seed=seed)
+    r = con.execute(f"SELECT doc_id, bk FROM {q} b ORDER BY doc_id, bk").fetchnumpy()
+    flat, offs = shingle_hashes(TEXTS, 5)
+    a, b = make_permutations(64, seed)
+    sig, has = minhash_signatures(flat, offs, a, b)
+    bk = band_keys(sig, B, R)
+    ref = sorted(
+        (d, int(k)) for d in np.flatnonzero(has) for k in bk[d]
+    )
+    got = sorted(zip(r["doc_id"].tolist(), r["bk"].astype(np.uint64).tolist()))
+    assert ref == got
+    # docs without shingles emit no band keys (has_sig semantics)
+    assert set(r["doc_id"].tolist()) == set(np.flatnonzero(has).tolist())
+
+
+def test_sql_simhash_keep_runs_and_dedupes(con):
+    out = con.execute(so.simhash_cc_keep_sql(max_hamming=3)).df()
+    sims = simhash64(TEXTS, ngram_size=1)
+    # doc 7 is an exact dup of doc 0 (Hamming 0) -> exactly one survives
+    assert (sims[0] == sims[7]) and 0 in out["doc_id"].values and 7 not in out["doc_id"].values
+
+
+def test_sql_minhash_keep_drops_exact_dup(con):
+    out = con.execute(so.minhash_cc_keep_sql()).df()
+    assert 0 in out["doc_id"].values and 7 not in out["doc_id"].values
+    # empty docs emit no bands and survive as singletons
+    assert 2 in out["doc_id"].values and 3 in out["doc_id"].values
+
+
+def test_sql_mix_sources_copies(con):
+    c2 = duckdb.connect()
+    c2.execute(
+        "CREATE TABLE documents AS SELECT * FROM (SELECT unnest(?) AS doc_id, unnest(?) AS source)",
+        [list(range(100)), [f"src{i % 4}" for i in range(100)]],
+    )
+    weights = {"src0": 0.5, "src1": 0.0, "src2": 2.0, "src3": 2.5}
+    out = c2.execute(so.mix_sources_sql(weights, seed=7)).df()
+    from daft_minhash_dedupe_ray.hashing import splitmix64 as sm
+
+    h = sm(np.arange(100, dtype=np.uint64) ^ np.uint64(7))
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    w = np.array([weights[f"src{i % 4}"] for i in range(100)])
+    copies = np.floor(w).astype(int) + (u < (w - np.floor(w)))
+    got = out.groupby("doc_id").size().reindex(range(100), fill_value=0).to_numpy()
+    assert np.array_equal(got, copies)
+
+
+def test_sql_shuffle_shard_placement(con):
+    out = con.execute(so.shuffle_shard_sql(8, 13, table="(SELECT range AS doc_id FROM range(0, 500))")).df()
+    ref = (splitmix64(np.arange(500, dtype=np.uint64) ^ np.uint64(13)) % np.uint64(8)).astype(np.int64)
+    assert np.array_equal(out.sort_values("doc_id")["shard"].to_numpy(), ref)
+
+
+def test_sql_pack_layout_token_conservation(con):
+    out = con.execute(so.pack_sequences_sql(max_tokens=4)).df()
+    _, counts = token_hashes_flat(pa.array(TEXTS))
+    per_doc = out.groupby("doc_id").apply(
+        lambda g: int((g["tok_end"] - g["tok_start"]).sum()), include_groups=False
+    )
+    for d in range(len(TEXTS)):
+        assert per_doc.get(d, 0) == counts[d]
+    # fragments tile each doc without gaps
+    for d, g in out.groupby("doc_id"):
+        g = g.sort_values("tok_start")
+        assert g["tok_start"].iloc[0] == 0
+        assert (g["tok_start"].iloc[1:].to_numpy() == g["tok_end"].iloc[:-1].to_numpy()).all()
+
+
+def test_sql_packed_texts_reconstruction(con):
+    out = con.execute(so.packed_texts_sql(max_tokens=4)).df()
+    # every token of every doc appears exactly once across sequences
+    all_toks = " ".join(t for t in out.sort_values("seq_id")["text"] if t).split()
+    ref_toks = [tok for t in TEXTS for tok in t.split()]
+    assert sorted(all_toks) == sorted(ref_toks)
+    assert int(out["n_tokens"].sum()) == len(ref_toks)
