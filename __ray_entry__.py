@@ -622,8 +622,10 @@ def _quality_filter_docs(sf_dir: str):
 
 def _semantic_dedupe_docs(sf_dir: str):
     """SemDeDup-style semantic dedupe over raw text: hash-embedder actor
-    pool -> cosine pair graph -> union-find -> min-id survivors.  Rows-only
-    (hash embedder not SQL-expressible); planted-cluster oracle in
+    pool -> cosine pair graph -> union-find -> min-id survivors.
+    SQL-checked: the feature-hashing embedder (incl. float32 storage
+    rounding) and the full cosine pair graph are reproduced in DuckDB
+    (sql_oracle.semantic_dedupe_sql); planted-cluster oracle also in
     tests/test_corpus_ops.py."""
     from daft_minhash_dedupe_ray.functions.embed import semantic_dedupe
 
@@ -766,32 +768,76 @@ def _ivf_topk(sf_dir: str):
 
 def _image_dedupe_synth(sf_dir: str):
     """Flagship image+caption dedupe on the deterministic synthetic table
-    (BASELINE.json input_hint shape) — rows-only; the exact oracle for it
-    lives in tests/test_pipeline_e2e.py."""
+    (BASELINE.json input_hint shape) — rows-only (the SURVIVOR choice is by
+    hashed node id, blake2b, not SQL-expressible; the cluster PARTITION is
+    SQL-checked by image_clusters_synth); the exact e2e oracle lives in
+    tests/test_pipeline_e2e.py."""
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
     from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
-    from daft_minhash_dedupe_ray.synth import generate_table
+    from daft_minhash_dedupe_ray.synth import cached_table_path
 
-    t = generate_table(2000, seed=42, with_images=False)
-    out = MinHashDedupePipeline(NORTH_STAR_CONFIG)(rd.from_arrow(t), num_actors=4)
+    ds = rd.read_parquet(cached_table_path(2000, seed=42))
+    out = MinHashDedupePipeline(NORTH_STAR_CONFIG)(ds, num_actors=4)
     pdf = out.select_columns(["image_id"]).to_pandas().sort_values("image_id")
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _image_clusters_synth(sf_dir: str):
+    """Cluster-assignment parity for the flagship image+caption pipeline:
+    every connected component of the caption-band UNION pHash candidate
+    graph reported as (lexicographically smallest member, size) — the
+    north-rule's 'cluster assignments match' surfaced at the driver's hash
+    gate.  SQL-checked (sql_oracle.image_clusters_sql reads the same
+    persisted parquet)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+    from daft_minhash_dedupe_ray.hashing import hash64_str_array
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    path = cached_table_path(2000, seed=42)
+    ds = rd.read_parquet(path)
+    _, assign, _ = MinHashDedupePipeline(NORTH_STAR_CONFIG).run_with_report(
+        ds, num_actors=4
+    )
+    import pyarrow.parquet as pq_
+
+    ids = pq_.read_table(path, columns=["image_id"])["image_id"].to_pylist()
+    node_of = hash64_str_array(ids)
+    apdf = assign.to_pandas()  # (u, rep) — clustered nodes only, small
+    rep_of = dict(zip(apdf["u"].astype("uint64"), apdf["rep"].astype("uint64")))
+    import collections
+
+    members = collections.defaultdict(list)
+    for img, node in zip(ids, node_of):
+        members[rep_of.get(int(node), int(node))].append(img)
+    out = sorted((min(m), len(m)) for m in members.values())
+    return pa.table(
+        {
+            "cluster_rep": pa.array([r for r, _ in out], pa.string()),
+            "n_members": pa.array([n for _, n in out], pa.int64()),
+        }
+    )
 
 
 def _image_wave_dedupe_synth(sf_dir: str):
     """Image-tier ingest-wave near-dup dedupe vs a corpus snapshot: caption
     LSH bands + pHash Hamming-verified buckets across the wave/corpus
-    boundary.  Rows-only; planted per-path recall oracle in
+    boundary.  SQL-checked: the drop set needs no representative choice, so
+    the full caption-band OR Hamming<=k match is reproduced in DuckDB
+    (sql_oracle.image_wave_keep_sql); planted per-path recall oracle in
     tests/test_incremental.py."""
+    import pyarrow.parquet as pq_
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
     from daft_minhash_dedupe_ray.functions.incremental import incremental_image_near_dedupe
-    from daft_minhash_dedupe_ray.synth import generate_table
+    from daft_minhash_dedupe_ray.synth import cached_table_path
 
-    t = generate_table(2000, seed=42, with_images=False)
+    t = pq_.read_table(cached_table_path(2000, seed=42))
     corpus = rd.from_arrow(t.slice(0, 1000))
     wave = rd.from_arrow(t.slice(1000))
     out = incremental_image_near_dedupe(wave, corpus, NORTH_STAR_CONFIG)
@@ -949,8 +995,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- tier 1: image+caption flagship + multimodal surfaces
         "minhash_dedupe_docs": _minhash_dedupe_docs,  # SQL-checked (full MinHash+LSH+CC in DuckDB, sql_oracle.py)
-        "image_dedupe_synth": _image_dedupe_synth,  # rows-only (e2e oracle in tests/)
-        "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # rows-only (planted oracle in tests/)
+        "image_dedupe_synth": _image_dedupe_synth,  # rows-only (e2e oracle in tests/; partition checked below)
+        "image_clusters_synth": _image_clusters_synth,  # SQL-checked (cluster-assignment parity)
+        "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # SQL-checked (band OR Hamming drop set)
         "image_stats_synth": _image_stats_synth,
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,
         "video_dedupe_synth": _video_dedupe_synth,
@@ -970,7 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,  # SQL-checked
         "ivf_topk_exact": _ivf_topk_exact,  # SQL-checked (full probe == exact)
         "simhash_dedupe_docs": _simhash_dedupe_docs,  # SQL-checked (Hamming<=k CC oracle)
-        "semantic_dedupe_docs": _semantic_dedupe_docs,  # rows-only (SemDeDup composition)
+        "semantic_dedupe_docs": _semantic_dedupe_docs,  # SQL-checked (embedder + cosine CC oracle)
         "lang_id_docs": _lang_id_docs,  # SQL-checked (n-gram heuristic reproduced in SQL)
         "pack_sequences_docs": _pack_sequences_docs,  # SQL-checked (prefix-sum layout oracle)
         # ---- tier 3: relational operator surface (SQL-checked)
@@ -1000,11 +1047,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_per_lang": _distinct_tokens_per_lang,  # SQL-checked
         "quality_filter_docs": _quality_filter_docs,  # SQL-checked (exact corpus quantile gate)
         "remove_dup_spans_docs": _remove_dup_spans_docs,  # SQL-checked (ExactSubstr span removal)
-        "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
         # ---------------- past the driver cap: the crawl-ingest adapter
         # (SQL parity also asserted locally in tests/test_round3.py),
         # rows-only extras whose exact oracles live in tests/, and the
         # unconsolidated counter variants
+        "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
         "extract_text_blocks": _extract_text_blocks,  # SQL-checked (RE2 parity)
         "doc_fingerprints": _fingerprints,  # rows-only (blake2b content hash — not SQL-expressible)
         "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # rows-only (parity test)
@@ -1029,12 +1076,18 @@ def oracle_sql() -> dict[str, str]:
     # permutation constants baked into the SQL text); every generator is
     # validated bit-for-bit vs the numpy kernels in tests/test_sql_oracle.py
     from daft_minhash_dedupe_ray import sql_oracle as _so
+    from daft_minhash_dedupe_ray.synth import cached_table_path as _ctp
 
+    _ns_path = _ctp(2000, seed=42)  # idempotent; same file the queries read
     return {
+        # flagship north-star job over the persisted input_hint-shaped table
+        "image_clusters_synth": _so.image_clusters_sql(_ns_path),
+        "image_wave_dedupe_synth": _so.image_wave_keep_sql(_ns_path, n_corpus=1000),
         # flagship + hash-kernel dedupe family
         "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
         "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),
         "incremental_near_dedupe_docs": _so.incremental_near_keep_sql(),
+        "semantic_dedupe_docs": _so.semantic_dedupe_sql(threshold=0.9, dim=128),
         # training-data assembly family
         "mix_sources_docs": _so.mix_sources_sql(
             {"src0": 0.5, "src1": 0.0, "src2": 2.0, "src3": 2.5}, seed=7

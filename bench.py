@@ -128,11 +128,29 @@ def run_bench() -> dict:
     n_min = max(1, int(os.environ.get("GRAFT_HEADLINE_SAMPLES", "3")))
     n_max = max(n_min, int(os.environ.get("GRAFT_HEADLINE_MAX_SAMPLES", "8")))
     budget_s = float(os.environ.get("GRAFT_HEADLINE_BUDGET_S", "300"))
+    # Probe-GATE each sample: the host's bandwidth oscillates 1-26 GB/s on a
+    # ~minute timescale (CLAUDE.md); a sample started at 0.9 GB/s burns 5
+    # minutes to record a 6x-degraded number (r3: 309s vs 74s in the same
+    # invocation).  Waiting out a dead window costs seconds instead.  One
+    # shared wait budget for the whole bench; if the host never recovers we
+    # sample anyway and the recorded probes are the audit trail.
+    gate_gbs = float(os.environ.get("GRAFT_MEMBW_GATE_GBS", "7"))
+    wait_left = float(os.environ.get("GRAFT_MEMBW_WAIT_S", "150"))
+
+    def gated_probe() -> float:
+        nonlocal wait_left
+        p = host_membw_gbs(3)
+        while p < gate_gbs and wait_left > 0:
+            time.sleep(10)
+            wait_left -= 10
+            p = host_membw_gbs(3)
+        return p
+
     samples: list[float] = []
     sample_membw: list[float] = []
     t_bench0 = time.perf_counter()
     while True:
-        sample_membw.append(host_membw_gbs(3))
+        sample_membw.append(gated_probe())
         t0 = time.perf_counter()
         pipe = MinHashDedupePipeline(NORTH_STAR_CONFIG)
         ds = rd.read_parquet(img_path)
@@ -171,7 +189,9 @@ def run_bench() -> dict:
             **headline_detail,
         }
 
-    # --- secondary pipelines over the sf dir
+    # --- secondary pipelines over the sf dir (same probe gate: one dead
+    # window inflates every secondary uniformly, see BENCH_r03 notes)
+    gated_probe()
     t0 = time.perf_counter()
     MinHashDedupePipeline(
         DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)

@@ -70,15 +70,25 @@ def sm64_steps(x: str, out: str, tag: str) -> list[tuple[str, str]]:
 
 
 def chain_select(inner: str, steps: list[tuple[str, str]]) -> str:
-    """Wrap subquery ``inner`` in one nested SELECT per (name, expr) step,
-    then strip the ``__``-prefixed temporaries."""
-    q = f"({inner})"
-    for name, expr in steps:
-        q = f"(SELECT *, {expr} AS {name} FROM {q})"
+    """Wrap subquery ``inner`` in one column-adding step per (name, expr),
+    then strip the ``__``-prefixed temporaries.  Emitted as a FLAT local
+    WITH-chain (``(WITH c0 AS ..., c1 AS (SELECT *, e FROM c0) ... )``):
+    nesting one subquery per step blew DuckDB's parser past its memory
+    guard at ~240 steps (the 16x8 band fold).  CTE names are scoped to this
+    subquery; nested chains shadow harmlessly."""
+    if not steps:
+        return f"({inner})"
+    tag = steps[0][0].strip("_")
+    src = inner if inner.lstrip().startswith("(") else f"(SELECT * FROM ({inner}) __src)"
+    parts = [f"__cs_{tag}_0 AS (SELECT * FROM {src} __b)"]
+    prev = f"__cs_{tag}_0"
+    for i, (name, expr) in enumerate(steps, 1):
+        cur = f"__cs_{tag}_{i}"
+        parts.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cur
     tmp = [n for n, _ in steps if n.startswith("__")]
-    if tmp:
-        q = f"(SELECT * EXCLUDE ({', '.join(tmp)}) FROM {q})"
-    return q
+    final = f"SELECT * EXCLUDE ({', '.join(tmp)}) FROM {prev}" if tmp else f"SELECT * FROM {prev}"
+    return f"(WITH {', '.join(parts)} {final})"
 
 
 def poly_fold_expr(tok: str) -> str:
@@ -104,7 +114,7 @@ def tokens_select(table: str = "documents", id_col: str = "doc_id", text_col: st
     """Subquery producing ``(id_col, pos, tok)`` — one row per whitespace
     token occurrence, 1-based position, empty docs contribute nothing."""
     return (
-        f"(SELECT {id_col}, "
+        f"(SELECT {id_col} AS doc_id, "
         f"unnest(range(1, len(regexp_split_to_array(trim({text_col}), '\\s+')) + 1)) AS pos, "
         f"unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok "
         f"FROM {table} WHERE trim({text_col}) <> '')"
@@ -186,29 +196,53 @@ def lsh_bands_select(
     ngram: int = 5,
     seed: int = 42,
     table: str = "documents",
+    bands: int | None = None,
+    rows: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> str:
     """Subquery producing ``(doc_id, bk)`` — one row per caption LSH band
-    key, exactly the engine's ``hashing.band_keys`` over 64-perm MinHash
-    signatures (docs without shingles emit no rows, mirroring ``has_sig``)."""
+    key, exactly the engine's ``hashing.band_keys`` over ``num_perm``-perm
+    MinHash signatures (docs without shingles emit no rows, mirroring
+    ``has_sig``).  ``bands``/``rows`` mirror the config's explicit override
+    path (e.g. NORTH_STAR_CONFIG's 16x8); default derives from
+    ``optimal_param(threshold, num_perm)``."""
     from .config import optimal_param
 
-    bands, rows = optimal_param(threshold, num_perm)
+    if bands is None or rows is None:
+        bands, rows = optimal_param(threshold, num_perm)
     a_c, b_c = _perm_constants(num_perm, seed)
-    sh = shingles_select(tokens_select(table), ngram)
+    sh = shingles_select(tokens_select(table, id_col=id_col, text_col=text_col), ngram)
     sig_cols = ", ".join(
         f"min((sh * {a_c[p]} + {b_c[p]}) % 4294967291) AS s{p}"
         for p in range(bands * rows)
     )
     sig = f"(SELECT doc_id, {sig_cols} FROM {sh} s GROUP BY doc_id)"
-    # band key b: splitmix64(fold of seeds[b] over the band's R sig values)
-    steps: list[tuple[str, str]] = []
+    # band key b: splitmix64(fold of seeds[b] over the band's R sig values).
+    # Two statement-size traps here (both hit in round 3): a nested R-deep
+    # Horner doubles per level (1.2 MB SQL, minutes of binding), and carrying
+    # all num_perm sig columns through ~240 chained steps costs the binder
+    # layers x columns.  So: one list_reduce fold per band (single layer),
+    # project away the sig columns, THEN chain the sm64 steps over the
+    # compact (doc_id, f0..fB) table.
+    mul_acc = (
+        f"(((acc % 4294967296) * {_POLY_P}) + "
+        f"((((acc // 4294967296) * {_POLY_P}) % 4294967296) * 4294967296)) "
+        f"% 18446744073709551616"
+    )
+    fold_cols = []
     for bd in range(bands):
         seed_b = (bd * _GAMMA + _KIND_CAPTION) % _MOD64
-        acc = str(seed_b)
-        terms = [f"s{bd * rows + j}" for j in range(rows)]
-        acc = _horner_expr([acc] + terms)
-        steps.extend(sm64_steps(acc, f"k{bd}", f"b{bd}"))
-    keyed = chain_select(f"SELECT * FROM {sig} sg", steps)
+        elems = ", ".join(f"CAST(s{bd * rows + j} AS HUGEINT)" for j in range(rows))
+        fold_cols.append(
+            f"CAST(list_reduce(list_prepend(CAST({seed_b} AS HUGEINT), [{elems}]), "
+            f"(acc, x) -> ({mul_acc} + x) % 18446744073709551616) AS UBIGINT) AS f{bd}"
+        )
+    folds = f"(SELECT doc_id, {', '.join(fold_cols)} FROM {sig} sg)"
+    steps: list[tuple[str, str]] = []
+    for bd in range(bands):
+        steps.extend(sm64_steps(f"f{bd}", f"k{bd}", f"b{bd}"))
+    keyed = chain_select(f"SELECT * FROM {folds} fq", steps)
     band_list = ", ".join(f"k{bd}" for bd in range(bands))
     return f"(SELECT doc_id, unnest([{band_list}]) AS bk FROM {keyed})"
 
@@ -227,13 +261,13 @@ def minhash_cc_keep_sql(
     (pipelines/dedupe.py; band math hashing.py:213-293)."""
     bands_q = lsh_bands_select(threshold, num_perm, ngram, seed, table)
     return f"""
-        WITH RECURSIVE bandrows AS (SELECT * FROM {bands_q} bq),
-        grp AS (SELECT bk, min(doc_id) AS mn FROM bandrows GROUP BY bk),
-        edge AS (
+        WITH RECURSIVE bandrows AS MATERIALIZED (SELECT * FROM {bands_q} bq),
+        grp AS MATERIALIZED (SELECT bk, min(doc_id) AS mn FROM bandrows GROUP BY bk),
+        edge AS MATERIALIZED (
             SELECT DISTINCT g.mn AS u, b.doc_id AS v
             FROM bandrows b JOIN grp g USING (bk) WHERE b.doc_id <> g.mn
         ),
-        sym AS (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
         reach(u, v) AS (
             SELECT u, v FROM sym
             UNION
@@ -262,8 +296,8 @@ def incremental_near_keep_sql(
     without shingles are always kept."""
     bands_q = lsh_bands_select(threshold, num_perm, ngram, seed, table)
     return f"""
-        WITH bands AS (SELECT * FROM {bands_q} bq),
-        hits AS (
+        WITH bands AS MATERIALIZED (SELECT * FROM {bands_q} bq),
+        hits AS MATERIALIZED (
             SELECT DISTINCT w.doc_id
             FROM bands w JOIN bands c USING (bk)
             WHERE w.doc_id % 2 = 1 AND c.doc_id % 2 = 0
@@ -271,6 +305,116 @@ def incremental_near_keep_sql(
         SELECT d.doc_id FROM {table} d
         WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
         ORDER BY d.doc_id
+    """
+
+
+def image_union_edges_cte(
+    parquet_path: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    rows: int = 8,
+    ngram: int = 5,
+    seed: int = 42,
+    phash_max_hamming: int = 3,
+) -> str:
+    """CTE body text (``imgs``, ``cbands``, ``edge``) for the flagship
+    image+caption candidate graph over a persisted synthetic table
+    (input_hint schema): caption LSH band-share pairs UNION pHash
+    Hamming<=k pairs.  Valid because the engine's 4 pHash sub-bands recall
+    every pair within Hamming<4 by pigeonhole and cross-payload reps are
+    Hamming-verified (stages/candidates.py:117-150)."""
+    cbands = lsh_bands_select(
+        num_perm=num_perm,
+        ngram=ngram,
+        seed=seed,
+        bands=bands,
+        rows=rows,
+        table="imgs",
+        id_col="image_id",
+        text_col="caption",
+    )
+    return f"""
+        imgs AS MATERIALIZED (SELECT image_id, caption, phash FROM read_parquet('{parquet_path}')),
+        cbands AS MATERIALIZED (SELECT doc_id AS image_id, bk FROM {cbands} cb),
+        edge AS MATERIALIZED (
+            SELECT DISTINCT a.image_id AS u, b.image_id AS v
+            FROM cbands a JOIN cbands b ON a.bk = b.bk AND a.image_id < b.image_id
+            UNION
+            SELECT a.image_id AS u, b.image_id AS v
+            FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= {phash_max_hamming}
+        )
+    """
+
+
+def image_clusters_sql(parquet_path: str, **kw) -> str:
+    """Cluster-assignment parity oracle for the flagship image+caption
+    pipeline: connected components of the caption-band UNION pHash graph,
+    each cluster reported as (its lexicographically smallest member, size).
+    Representative *selection* inside the engine is by hashed node id
+    (blake2b — not SQL-expressible), but the PARTITION into clusters is
+    hash-independent, so this checks exactly the north-rule's 'cluster
+    assignments match' at the driver's hash gate."""
+    edges = image_union_edges_cte(parquet_path, **kw)
+    return f"""
+        WITH RECURSIVE {edges},
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        comp AS (
+            SELECT i.image_id,
+                   least(i.image_id, coalesce(min(r.v), i.image_id)) AS rep
+            FROM imgs i LEFT JOIN reach r ON r.u = i.image_id
+            GROUP BY i.image_id
+        )
+        SELECT rep AS cluster_rep, count(*) AS n_members
+        FROM comp GROUP BY rep ORDER BY rep
+    """
+
+
+def image_wave_keep_sql(parquet_path: str, n_corpus: int, **kw) -> str:
+    """Oracle for ``incremental_image_near_dedupe`` on the persisted synth
+    table: rows [0, n_corpus) play the corpus, the rest the wave; a wave row
+    is dropped iff it shares a caption band with any corpus row OR is within
+    ``phash_max_hamming`` bits of any corpus pHash (the shared-sub-band
+    precondition is implied by pigeonhole at 4 bands)."""
+    kw.setdefault("phash_max_hamming", 3)
+    ham = kw["phash_max_hamming"]
+    cbands = lsh_bands_select(
+        num_perm=kw.get("num_perm", 128),
+        ngram=kw.get("ngram", 5),
+        seed=kw.get("seed", 42),
+        bands=kw.get("bands", 16),
+        rows=kw.get("rows", 8),
+        table="imgs",
+        id_col="image_id",
+        text_col="caption",
+    )
+    return f"""
+        WITH imgs AS MATERIALIZED (
+            SELECT image_id, caption, phash,
+                   CAST(substr(image_id, 5) AS BIGINT) AS rid
+            FROM read_parquet('{parquet_path}')
+        ),
+        cbands AS MATERIALIZED (SELECT doc_id AS image_id, bk FROM {cbands} cb),
+        tagged AS MATERIALIZED (SELECT image_id, phash, rid < {n_corpus} AS is_corpus FROM imgs),
+        hit AS MATERIALIZED (
+            SELECT DISTINCT w.image_id
+            FROM cbands wb JOIN tagged w ON w.image_id = wb.image_id AND NOT w.is_corpus
+            JOIN cbands cb2 ON cb2.bk = wb.bk
+            JOIN tagged c ON c.image_id = cb2.image_id AND c.is_corpus
+            UNION
+            SELECT DISTINCT w.image_id
+            FROM tagged w JOIN tagged c
+              ON NOT w.is_corpus AND c.is_corpus
+             AND bit_count(xor(w.phash, c.phash)) <= {ham}
+        )
+        SELECT image_id FROM tagged
+        WHERE NOT is_corpus AND image_id NOT IN (SELECT image_id FROM hit)
+        ORDER BY image_id
     """
 
 
@@ -297,14 +441,14 @@ def simhash_cc_keep_sql(max_hamming: int = 3, table: str = "documents") -> str:
         for j in range(64)
     )
     return f"""
-        WITH RECURSIVE votes AS (
+        WITH RECURSIVE votes AS MATERIALIZED (
             SELECT doc_id, count(*) AS n, {s_cols} FROM {wide} w GROUP BY doc_id
         ),
-        sh AS (
+        sh AS MATERIALIZED (
             SELECT d.doc_id, coalesce(({bit_sum}), 0) AS simhash
             FROM {table} d LEFT JOIN votes v ON d.doc_id = v.doc_id
         ),
-        edge AS (
+        edge AS MATERIALIZED (
             SELECT a.doc_id AS u, b.doc_id AS v
             FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
@@ -313,6 +457,80 @@ def simhash_cc_keep_sql(max_hamming: int = 3, table: str = "documents") -> str:
             SELECT u, v FROM edge
             UNION
             SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        rep AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+            FROM {table} d LEFT JOIN reach r ON r.u = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id FROM rep WHERE rep = doc_id ORDER BY doc_id
+    """
+
+
+def semantic_dedupe_sql(
+    threshold: float = 0.9,
+    dim: int = 128,
+    embed_seed: int = 0x5EED,
+    table: str = "documents",
+) -> str:
+    """Oracle for ``functions.embed.semantic_dedupe``: the feature-hashing
+    embedder (signed unigram + 2-gram counts, L2-normalised, float32
+    storage), full cosine>=threshold pair graph, connected components, keep
+    min-id representatives.  Float32 storage rounding is reproduced with
+    ``CAST(... AS FLOAT)``; all similarity arithmetic is float64 on both
+    sides (functions/similarity.py:27-44)."""
+    import numpy as np
+
+    from .hashing import splitmix64
+
+    mix = splitmix64(np.arange(2, dtype=np.uint64) ^ np.uint64(embed_seed))
+    toks = tokens_select(table)
+    th = token_hash_select(toks)
+    gram_fold = addmod64(mulmod64("a.tokh", _POLY_P), "b.tokh")
+    grams = chain_select(
+        f"SELECT a.doc_id, {gram_fold} AS gf FROM {th} a "
+        f"JOIN {th} b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1",
+        sm64_steps("gf", "gramh", "gr"),
+    )
+    feats = (
+        f"(SELECT doc_id, xor(tokh, CAST({int(mix[0])} AS UBIGINT)) AS fx FROM {th} u "
+        f"UNION ALL "
+        f"SELECT doc_id, xor(gramh, CAST({int(mix[1])} AS UBIGINT)) AS fx FROM {grams} g)"
+    )
+    hashed = chain_select(f"SELECT * FROM {feats} f", sm64_steps("fx", "h", "fh"))
+    return f"""
+        WITH RECURSIVE contrib AS MATERIALIZED (
+            SELECT doc_id, CAST(h % {dim} AS INT) AS idx,
+                   CASE WHEN (h >> 63) & 1 = 1 THEN -1.0 ELSE 1.0 END AS s
+            FROM {hashed} q
+        ),
+        vec AS MATERIALIZED (
+            SELECT doc_id, idx, CAST(sum(s) AS DOUBLE) AS val
+            FROM contrib GROUP BY doc_id, idx HAVING sum(s) <> 0
+        ),
+        nrm AS MATERIALIZED (SELECT doc_id, sqrt(sum(val * val)) AS n1 FROM vec GROUP BY doc_id),
+        v32 AS MATERIALIZED (
+            SELECT v.doc_id, v.idx,
+                   CAST(CAST(v.val / greatest(n.n1, 1e-12) AS FLOAT) AS DOUBLE) AS f
+            FROM vec v JOIN nrm n USING (doc_id)
+        ),
+        n2 AS MATERIALIZED (SELECT doc_id, greatest(sqrt(sum(f * f)), 1e-12) AS nn FROM v32 GROUP BY doc_id),
+        dots AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v, sum(a.f * b.f) AS dp
+            FROM v32 a JOIN v32 b ON a.idx = b.idx AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edge0 AS MATERIALIZED (
+            SELECT d.u, d.v FROM dots d
+            JOIN n2 na ON na.doc_id = d.u JOIN n2 nb ON nb.doc_id = d.v
+            WHERE d.dp / (na.nn * nb.nn) >= {threshold}
+        ),
+        sym AS MATERIALIZED (SELECT u, v FROM edge0 UNION SELECT v, u FROM edge0),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v <> r.u
         ),
         rep AS (
             SELECT d.doc_id,
@@ -342,7 +560,7 @@ def mix_sources_sql(
         sm64_steps("hx", "h", "mx"),
     )
     return f"""
-        WITH drawn AS (
+        WITH drawn AS MATERIALIZED (
             SELECT doc_id, source,
                    CAST(floor(w) AS BIGINT)
                    + CASE WHEN CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 < w - floor(w)
@@ -384,27 +602,27 @@ def _pack_layout_cte(max_tokens: int, num_partitions: int, table: str) -> str:
     )
     parted = chain_select(counted, steps)
     return f"""
-        parts AS (
+        parts AS MATERIALIZED (
             SELECT doc_id, n_tokens, CAST(h2p % {num_partitions} AS BIGINT) AS part
             FROM (SELECT * EXCLUDE (h1p) FROM {parted}) q
         ),
-        laid AS (
+        laid AS MATERIALIZED (
             SELECT *, CAST(coalesce(sum(n_tokens) OVER (
                         PARTITION BY part ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
                    min(doc_id) OVER (PARTITION BY part) AS part_min
             FROM parts
         ),
-        spans AS (
+        spans AS MATERIALIZED (
             SELECT *, cum // {max_tokens} AS first_k,
                    CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // {max_tokens}
                         ELSE cum // {max_tokens} END AS last_k
             FROM laid
         ),
-        frags0 AS (
+        frags0 AS MATERIALIZED (
             SELECT *, unnest(range(first_k, last_k + 1)) AS k FROM spans
         ),
-        frags AS (
+        frags AS MATERIALIZED (
             SELECT part, doc_id, n_tokens, part_min, k,
                    greatest(k * {max_tokens} - cum, 0) AS lo,
                    greatest(least((k + 1) * {max_tokens} - cum, n_tokens),
@@ -444,8 +662,8 @@ def packed_texts_sql(
     seqed = chain_select("SELECT * FROM frags", base_steps + sid_steps)
     return f"""
         WITH {layout},
-        keyed AS (SELECT * EXCLUDE (hbase) FROM {seqed}),
-        texts AS (
+        keyed AS MATERIALIZED (SELECT * EXCLUDE (hbase) FROM {seqed}),
+        texts AS MATERIALIZED (
             SELECT k.seq_id, k.doc_id, k.lo, k.hi,
                    array_to_string(list_slice(
                        list_filter(regexp_split_to_array(trim(d.text), '\\s+'), t -> t <> ''),

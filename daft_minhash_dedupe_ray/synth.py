@@ -279,3 +279,26 @@ def write_table(
     t = generate_table(n_rows, seed=seed, with_images=with_images)
     pq.write_table(t, path, compression="snappy", row_group_size=row_group_size)
     return path
+
+
+def cached_table_path(
+    n_rows: int,
+    seed: int = 42,
+    with_images: bool = False,
+    cache_dir: str = "/tmp/graft_synth_cache",
+) -> str:
+    """Idempotently persist the deterministic synthetic table and return its
+    path.  Registered queries AND their DuckDB oracles read this same file,
+    so the correctness gate compares the engine and SQL over byte-identical
+    input (write-then-rename keeps concurrent callers safe)."""
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    p = os.path.join(
+        cache_dir, f"oracle_ns_{n_rows}_{seed}{'_img' if with_images else ''}.parquet"
+    )
+    if not os.path.exists(p):
+        tmp = f"{p}.tmp.{os.getpid()}"
+        write_table(tmp, n_rows, seed=seed, with_images=with_images)
+        os.replace(tmp, p)
+    return p

@@ -105,6 +105,128 @@ def test_sql_minhash_keep_drops_exact_dup(con):
     assert 2 in out["doc_id"].values and 3 in out["doc_id"].values
 
 
+def test_sql_semantic_dedupe_matches_embedder(con):
+    """Full SQL SemDeDup oracle vs the in-process embedder + numpy cosine +
+    union-find reference on a corpus with planted exact and permuted dups."""
+    from daft_minhash_dedupe_ray.functions.embed import HashingEmbedder
+    from daft_minhash_dedupe_ray.functions.similarity import _normalize_rows
+
+    texts = TEXTS + ["quick the brown fox dog jumps lazy the over"]
+    c2 = duckdb.connect()
+    c2.execute(
+        "CREATE TABLE documents AS SELECT * FROM (SELECT unnest(?) AS doc_id, unnest(?) AS text)",
+        [list(range(len(texts))), texts],
+    )
+    emb = HashingEmbedder(dim=128)(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+    nv = _normalize_rows(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
+    sims = nv @ nv.T
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if sims[i, j] >= 0.9:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    ref_keep = sorted(d for d in range(len(texts)) if find(d) == d)
+    got = c2.execute(so.semantic_dedupe_sql(threshold=0.9, dim=128)).df()["doc_id"].tolist()
+    assert got == ref_keep
+    assert len(ref_keep) < len(texts)  # the planted dups actually collapsed
+
+
+def test_sql_image_clusters_match_union_graph():
+    """image_clusters_sql == numpy CC over caption-band UNION pHash graph
+    on the persisted synthetic table (small n, fresh cache entry)."""
+    from collections import defaultdict
+
+    from daft_minhash_dedupe_ray.hashing import hamming_distance64
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    path = cached_table_path(300, seed=42)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    caps, ids = t["caption"].to_pylist(), t["image_id"].to_pylist()
+    ph = t["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    flat, offs = shingle_hashes(caps, 5)
+    a, b = make_permutations(128, 42)
+    sig, has = minhash_signatures(flat, offs, a, b)
+    bk = band_keys(sig, 16, 8)
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(u, v):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+
+    bybk = defaultdict(list)
+    for d, k in zip(np.repeat(np.flatnonzero(has), 16), bk[has].reshape(-1)):
+        bybk[int(k)].append(int(d))
+    for mem in bybk.values():
+        for m in mem[1:]:
+            union(mem[0], m)
+    for i in range(len(ids)):
+        d = hamming_distance64(np.full(len(ids) - i - 1, ph[i], np.uint64), ph[i + 1 :])
+        for j in np.flatnonzero(d <= 3):
+            union(i, i + 1 + j)
+    comp = defaultdict(list)
+    for i in range(len(ids)):
+        comp[find(i)].append(ids[i])
+    ref = sorted((min(m), len(m)) for m in comp.values())
+    out = duckdb.connect().execute(so.image_clusters_sql(path)).df()
+    assert list(zip(out["cluster_rep"], out["n_members"])) == ref
+    assert any(n > 1 for _, n in ref)  # planted dups collapsed
+
+
+def test_sql_image_wave_keep_semantics():
+    """image_wave_keep_sql drops exactly the wave rows with a corpus caption
+    band match or a corpus pHash within Hamming<=3."""
+    from collections import defaultdict
+
+    from daft_minhash_dedupe_ray.hashing import hamming_distance64
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    path = cached_table_path(300, seed=42)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    caps, ids = t["caption"].to_pylist(), t["image_id"].to_pylist()
+    ph = t["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    n_corpus = 150
+    flat, offs = shingle_hashes(caps, 5)
+    a, b = make_permutations(128, 42)
+    sig, has = minhash_signatures(flat, offs, a, b)
+    bk = band_keys(sig, 16, 8)
+    corpus_keys = {
+        int(k) for d in np.flatnonzero(has) if d < n_corpus for k in bk[d]
+    }
+    keep = []
+    for w in range(n_corpus, len(ids)):
+        band_hit = has[w] and any(int(k) in corpus_keys for k in bk[w])
+        ham_hit = bool(
+            (hamming_distance64(np.full(n_corpus, ph[w], np.uint64), ph[:n_corpus]) <= 3).any()
+        )
+        if not band_hit and not ham_hit:
+            keep.append(ids[w])
+    out = duckdb.connect().execute(so.image_wave_keep_sql(path, n_corpus=n_corpus)).df()
+    assert out["image_id"].tolist() == sorted(keep)
+    assert len(keep) < len(ids) - n_corpus  # something was actually dropped
+
+
 def test_sql_mix_sources_copies(con):
     c2 = duckdb.connect()
     c2.execute(
