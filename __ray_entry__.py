@@ -489,9 +489,10 @@ def _incremental_near_dedupe_indexed_docs(sf_dir: str):
 
 def _split_docs(sf_dir: str):
     """Leakage-safe deterministic train/val/test split (content-hash keyed:
-    identical texts always share a split).  Rows-only (the split hash is not
-    SQL-expressible); co-location/determinism invariants are oracle-tested
-    in tests/test_corpus_ops.py."""
+    identical texts always share a split).  SQL-checked — the position-mixed
+    token-hash content key and the float64 edge ladder are reproduced
+    bit-exactly in DuckDB (sql_oracle.split_docs_sql); co-location /
+    determinism invariants are also oracle-tested in tests/test_corpus_ops.py."""
     from daft_minhash_dedupe_ray.functions.textops import assign_splits
 
     ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
@@ -847,17 +848,23 @@ def _image_wave_dedupe_synth(sf_dir: str):
 
 def _image_stats_synth(sf_dir: str):
     """Multimodal plumbing: decode + feature-extract over the binary payload
-    column (actor pool, small batches) — rows-only."""
+    column (actor pool, small batches).  SQL-checked — the oracle parses the
+    same P6 PPM blobs inside DuckDB (sql_oracle.image_stats_sql) and the
+    exact integer pixel moments px_sum/px_sumsq must hash-match."""
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.functions.multimodal import ImageDecodeStage
-    from daft_minhash_dedupe_ray.synth import generate_table
+    from daft_minhash_dedupe_ray.synth import cached_table_path
 
-    t = generate_table(300, seed=42, with_images=True)
-    ds = rd.from_arrow(t).map_batches(
+    ds = rd.read_parquet(cached_table_path(300, seed=42, with_images=True))
+    ds = ds.map_batches(
         ImageDecodeStage, concurrency=2, batch_size=64, batch_format="pyarrow"
     )
-    pdf = ds.select_columns(["image_id", "decode_ok"]).to_pandas().sort_values("image_id")
+    pdf = (
+        ds.select_columns(["image_id", "px_sum", "px_sumsq"])
+        .to_pandas()
+        .sort_values("image_id")
+    )
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
@@ -998,7 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedupe_synth": _image_dedupe_synth,  # rows-only (e2e oracle in tests/; partition checked below)
         "image_clusters_synth": _image_clusters_synth,  # SQL-checked (cluster-assignment parity)
         "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # SQL-checked (band OR Hamming drop set)
-        "image_stats_synth": _image_stats_synth,
+        "image_stats_synth": _image_stats_synth,  # SQL-checked (DuckDB PPM blob decode parity)
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,
         "video_dedupe_synth": _video_dedupe_synth,
         "audio_dedupe_synth": _audio_dedupe_synth,
@@ -1067,7 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
         "shuffle_export_docs": _shuffle_export_docs,  # SQL-checked (splitmix64 placement oracle)
         "mix_sources_docs": _mix_sources_docs,  # SQL-checked (hash-Bernoulli draw oracle)
-        "split_docs": _split_docs,  # rows-only (leakage-safe content-hash split)
+        "split_docs": _split_docs,  # SQL-checked (content-key + edge-ladder oracle)
     }
 
 
@@ -1083,12 +1090,17 @@ def oracle_sql() -> dict[str, str]:
         # flagship north-star job over the persisted input_hint-shaped table
         "image_clusters_synth": _so.image_clusters_sql(_ns_path),
         "image_wave_dedupe_synth": _so.image_wave_keep_sql(_ns_path, n_corpus=1000),
+        # decoded-pixel parity: DuckDB parses the P6 PPM payload itself
+        "image_stats_synth": _so.image_stats_sql(
+            _ctp(300, seed=42, with_images=True)
+        ),
         # flagship + hash-kernel dedupe family
         "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
         "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),
         "incremental_near_dedupe_docs": _so.incremental_near_keep_sql(),
         "semantic_dedupe_docs": _so.semantic_dedupe_sql(threshold=0.9, dim=128),
         # training-data assembly family
+        "split_docs": _so.split_docs_sql(),
         "mix_sources_docs": _so.mix_sources_sql(
             {"src0": 0.5, "src1": 0.0, "src2": 2.0, "src3": 2.5}, seed=7
         ),

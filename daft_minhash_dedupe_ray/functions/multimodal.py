@@ -39,8 +39,9 @@ class ImageDecodeStage:
     """Actor-pool stage: binary column -> decoded stats columns.
 
     Emits per-row: decode_ok (false for unsupported fmts rather than
-    failing the batch), mean_luma, px_std — the pattern for any
-    feature-extraction head."""
+    failing the batch), mean_luma, px_std, plus the exact integer moments
+    px_sum / px_sumsq (bit-comparable against a SQL oracle decoding the
+    same blob) — the pattern for any feature-extraction head."""
 
     def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt") -> None:
         self.bytes_col = bytes_col
@@ -52,16 +53,23 @@ class ImageDecodeStage:
         ok = np.zeros(len(blobs), bool)
         luma = np.zeros(len(blobs), np.float64)
         std = np.zeros(len(blobs), np.float64)
+        psum = np.zeros(len(blobs), np.int64)
+        psumsq = np.zeros(len(blobs), np.int64)
         for i, (d, f) in enumerate(zip(blobs, fmts)):
             if f not in _SUPPORTED or d is None:
                 continue
-            px = decode_image(d, f).astype(np.float64)
+            px = decode_image(d, f).astype(np.int64).ravel()
             ok[i] = True
-            luma[i] = px.mean()
-            std[i] = px.std()
+            psum[i] = px.sum()
+            psumsq[i] = (px * px).sum()
+            n = px.size
+            luma[i] = psum[i] / n
+            std[i] = np.sqrt(max(0.0, psumsq[i] / n - luma[i] ** 2))
         batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
         batch = batch.append_column("mean_luma", pa.array(luma, pa.float64()))
         batch = batch.append_column("px_std", pa.array(std, pa.float64()))
+        batch = batch.append_column("px_sum", pa.array(psum, pa.int64()))
+        batch = batch.append_column("px_sumsq", pa.array(psumsq, pa.int64()))
         return batch
 
 

@@ -630,7 +630,7 @@ def assign_splits(
     cluster representative column instead of raw text."""
     import functools
 
-    from ..hashing import hash64_str_array, splitmix64
+    from ..hashing import content_keys
 
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     names = list(fractions)
@@ -642,7 +642,7 @@ def assign_splits(
     edges = (bounds * float(2**64)).astype(np.float64)
 
     def tag(b: pa.Table, names, edges, seed) -> pa.Table:
-        h = splitmix64(hash64_str_array(b[by].to_pylist()) ^ np.uint64(seed))
+        h = content_keys(b[by], seed)
         idx = np.searchsorted(edges, h.astype(np.float64), side="right")
         idx = np.minimum(idx, len(names) - 1)
         lab = pa.DictionaryArray.from_arrays(

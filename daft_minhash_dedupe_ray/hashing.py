@@ -210,6 +210,30 @@ def _segment_aranges(lengths: np.ndarray) -> np.ndarray:
     return out - np.cumsum(resets)
 
 
+def content_keys(texts, seed: int = 0) -> np.ndarray:
+    """Order-sensitive 64-bit content key per document, fully vectorised and
+    SQL-expressible (``sql_oracle.split_docs_sql``)::
+
+        key = splitmix64(seed ^ (sum_i splitmix64(tok_hash_i ^ i) mod 2**64))
+
+    where ``tok_hash_i`` are ``token_hashes_flat`` values and ``i`` the
+    0-based token position.  Identical texts always collide (the property
+    leakage-safe splitting needs); tokenisation follows ``str.split()``
+    semantics, so keys are whitespace-normalised.  Empty/None docs key to
+    ``splitmix64(seed)``.  Replaces the per-row blake2b loop that predated
+    it (not vectorisable, not SQL-checkable)."""
+    flat, counts = token_hashes_flat(texts)
+    nz = counts > 0
+    idx = _segment_aranges(counts[nz])  # zero-length segments break aranges
+    with np.errstate(over="ignore"):
+        mixed = splitmix64(flat ^ idx.astype(np.uint64))
+        sums = np.zeros(len(counts), dtype=np.uint64)
+        if mixed.size:
+            starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+            sums[nz] = np.add.reduceat(mixed, starts)
+        return splitmix64(sums ^ np.uint64(seed))
+
+
 def minhash_signatures(
     flat_shingles: np.ndarray,
     offsets: np.ndarray,

@@ -676,3 +676,75 @@ def packed_texts_sql(
                CAST(sum(n_toks) AS BIGINT) AS n_tokens
         FROM texts GROUP BY seq_id ORDER BY 1
     """
+
+
+def image_stats_sql(parquet_path: str) -> str:
+    """Decoded-pixel parity oracle for ``functions.multimodal.ImageDecodeStage``:
+    parses the P6 PPM payload *inside DuckDB* (hex() the blob, skip the
+    'P6\\n{w} {h}\\n255\\n' header, convert 8 raw bytes per 16-hex-char chunk
+    via '0x'||substr cast, extract bytes with shift/mask) and emits the exact
+    integer pixel moments px_sum / px_sumsq.  A ragged tail chunk is safe:
+    the cast right-aligns, the high bytes are zero, and both moments are
+    position-independent.  Bit-exact vs the engine's numpy decode."""
+    bsum = " + ".join(f"((x >> {8 * k}) & 255)" for k in range(8))
+    bsq = " + ".join(f"(((x >> {8 * k}) & 255) * ((x >> {8 * k}) & 255))" for k in range(8))
+    return f"""
+        WITH src AS MATERIALIZED (
+            SELECT image_id, hex("bytes") AS hx,
+                   3 + strlen(CAST(w AS VARCHAR)) + 1
+                     + strlen(CAST(h AS VARCHAR)) + 1 + 4 AS hdr,
+                   w * h * 3 AS nb
+            FROM read_parquet('{parquet_path}')
+            WHERE fmt = 'ppm' AND "bytes" IS NOT NULL
+        ),
+        chunks AS (
+            SELECT image_id,
+                   CAST('0x' || substring(hx, CAST(1 + 2 * hdr + 16 * j AS BIGINT), 16)
+                        AS UBIGINT) AS x
+            FROM src, unnest(range((nb + 7) // 8)) AS u(j)
+        )
+        SELECT image_id,
+               CAST(sum({bsum}) AS BIGINT) AS px_sum,
+               CAST(sum({bsq}) AS BIGINT) AS px_sumsq
+        FROM chunks GROUP BY image_id ORDER BY image_id
+    """
+
+
+def split_docs_sql(
+    fractions: dict[str, float] | None = None,
+    seed: int = 0x5917,
+    table: str = "documents",
+) -> str:
+    """Oracle for ``functions.textops.assign_splits``: the content key is
+    ``splitmix64(seed ^ (sum_i splitmix64(tokh_i ^ i) mod 2**64))`` (i =
+    0-based token position), mapped onto the cumulative-fraction edges with
+    the engine's exact float64 semantics (u64 -> DOUBLE cast, then
+    ``searchsorted(side='right')`` == a ``hf < edge`` CASE ladder; the edge
+    constants are baked at full repr precision)."""
+    import numpy as np
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(fractions)
+    edges = (np.cumsum([fractions[n] for n in names]) * float(2**64)).astype(np.float64)
+    toks = token_hash_select(tokens_select(table))
+    mixed = chain_select(
+        f"SELECT doc_id, tokh, pos FROM {toks} __t",
+        sm64_steps("xor(tokh, CAST(pos - 1 AS UBIGINT))", "m", "sp"),
+    )
+    keyed = chain_select(
+        f"""SELECT d.doc_id, coalesce(s.tsum, CAST(0 AS UBIGINT)) AS tsum
+            FROM {table} d LEFT JOIN (
+                SELECT doc_id,
+                       CAST(sum(CAST(m AS HUGEINT)) % 18446744073709551616 AS UBIGINT) AS tsum
+                FROM {mixed} __m GROUP BY doc_id
+            ) s USING (doc_id)""",
+        sm64_steps(f"xor(tsum, CAST({seed} AS UBIGINT))", "key", "sk"),
+    )
+    ladder = " ".join(
+        f"WHEN CAST(key AS DOUBLE) < {e!r} THEN '{n}'"
+        for n, e in zip(names[:-1], edges[:-1])
+    )
+    return f"""
+        SELECT doc_id, CASE {ladder} ELSE '{names[-1]}' END AS split
+        FROM {keyed} __k ORDER BY doc_id
+    """

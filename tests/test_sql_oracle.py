@@ -273,3 +273,47 @@ def test_sql_packed_texts_reconstruction(con):
     ref_toks = [tok for t in TEXTS for tok in t.split()]
     assert sorted(all_toks) == sorted(ref_toks)
     assert int(out["n_tokens"].sum()) == len(ref_toks)
+
+
+def test_sql_image_stats_blob_decode_bit_exact():
+    """image_stats_sql parses the raw P6 PPM blob inside DuckDB and must
+    reproduce the engine decode's exact integer pixel moments (small n,
+    real pixels)."""
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.synth import cached_table_path, ppm_decode
+
+    path = cached_table_path(120, seed=7, with_images=True)
+    t = pq.read_table(path, columns=["image_id", "bytes"])
+    truth = {}
+    for iid, blob in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+        px = ppm_decode(blob).astype(np.int64).ravel()
+        truth[iid] = (int(px.sum()), int((px * px).sum()))
+    rows = duckdb.sql(so.image_stats_sql(path)).fetchall()
+    assert len(rows) == len(truth)
+    for iid, s, ss in rows:
+        assert truth[iid] == (s, ss)
+
+
+def test_sql_split_docs_key_and_ladder_bit_exact(con):
+    """split_docs_sql == content_keys + searchsorted edge ladder on
+    adversarial texts (dups, empty, None, whitespace runs)."""
+    from daft_minhash_dedupe_ray.hashing import content_keys
+
+    texts = ["a b c", "a b c", "c b a", "", None, "  x   y ", "q", "a"] + [
+        f"tok{i} tok{i + 1} shared suffix words" for i in range(40)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    con.register("split_probe", t)
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    names = list(fr)
+    edges = (np.cumsum([fr[n] for n in names]) * float(2**64)).astype(np.float64)
+    keys = content_keys(t["text"], seed=0x5917)
+    idx = np.minimum(np.searchsorted(edges, keys.astype(np.float64), side="right"), 2)
+    expect = [names[i] for i in idx]
+    rows = sorted(con.sql(so.split_docs_sql(fr, table="split_probe")).fetchall())
+    assert [r[1] for r in rows] == expect
+    assert expect[0] == expect[1]  # identical texts co-locate
