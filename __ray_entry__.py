@@ -461,8 +461,9 @@ def _incremental_near_dedupe_docs(sf_dir: str):
 def _incremental_near_dedupe_indexed_docs(sf_dir: str):
     """Same wave-vs-corpus near-dup semantics as incremental_near_dedupe_docs
     but through the persisted hash-range band index (Bloom-pruned probes).
-    Rows-only; equivalence with the direct path is asserted in
-    tests/test_incremental.py."""
+    SQL-checked against the direct path's DuckDB oracle (Bloom pruning only
+    ever admits extra probes, so the drop set is identical); path
+    equivalence is also asserted in tests/test_incremental.py."""
     import tempfile
 
     import pyarrow.compute as pc_
@@ -932,22 +933,24 @@ def _cdc_dedupe_synth(sf_dir: str):
 
 
 def _audio_stats_synth(sf_dir: str):
-    """Audio plumbing: WAV/PCM16 decode + feature extraction (duration, rms,
-    zcr, spectral centroid) over the binary payload column — rows-only
-    (features are hash/FFT-based, not SQL-expressible)."""
+    """Audio plumbing: WAV/PCM16 decode + feature extraction over the binary
+    payload column.  SQL-checked — the oracle parses the RIFF/PCM16 blobs
+    inside DuckDB (sql_oracle.audio_stats_sql) and the exact integer sample
+    moments n_samples/sample_sum/sample_sumsq must hash-match (non-wav and
+    null payloads carry zero moments on both sides)."""
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.functions.audio import (
         AudioFeatureStage,
-        synth_audio_table,
+        cached_audio_path,
     )
 
-    t = synth_audio_table(300, seed=42)
-    ds = rd.from_arrow(t).map_batches(
+    ds = rd.read_parquet(cached_audio_path(300, seed=42))
+    ds = ds.map_batches(
         AudioFeatureStage, concurrency=2, batch_size=64, batch_format="pyarrow"
     )
     pdf = (
-        ds.select_columns(["audio_id", "decode_ok", "duration_s", "rms"])
+        ds.select_columns(["audio_id", "n_samples", "sample_sum", "sample_sumsq"])
         .to_pandas()
         .sort_values("audio_id")
     )
@@ -1009,7 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,
         "video_dedupe_synth": _video_dedupe_synth,
         "audio_dedupe_synth": _audio_dedupe_synth,
-        "audio_stats_synth": _audio_stats_synth,
+        "audio_stats_synth": _audio_stats_synth,  # SQL-checked (DuckDB RIFF/PCM16 decode parity)
         "cdc_dedupe_synth": _cdc_dedupe_synth,
         # ---- tier 2: dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
@@ -1061,7 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
         "extract_text_blocks": _extract_text_blocks,  # SQL-checked (RE2 parity)
         "doc_fingerprints": _fingerprints,  # rows-only (blake2b content hash — not SQL-expressible)
-        "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # rows-only (parity test)
+        "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # SQL-checked (shares the direct-path oracle)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "token_counts": _token_counts,  # SQL-checked (consolidated into token_count_profile)
         "bpe_token_counts": _bpe_token_counts,  # SQL-checked (consolidated)
@@ -1083,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
     # permutation constants baked into the SQL text); every generator is
     # validated bit-for-bit vs the numpy kernels in tests/test_sql_oracle.py
     from daft_minhash_dedupe_ray import sql_oracle as _so
+    from daft_minhash_dedupe_ray.functions.audio import cached_audio_path as _cap
     from daft_minhash_dedupe_ray.synth import cached_table_path as _ctp
 
     _ns_path = _ctp(2000, seed=42)  # idempotent; same file the queries read
@@ -1090,14 +1094,19 @@ def oracle_sql() -> dict[str, str]:
         # flagship north-star job over the persisted input_hint-shaped table
         "image_clusters_synth": _so.image_clusters_sql(_ns_path),
         "image_wave_dedupe_synth": _so.image_wave_keep_sql(_ns_path, n_corpus=1000),
-        # decoded-pixel parity: DuckDB parses the P6 PPM payload itself
+        # decoded-payload parity: DuckDB parses the P6 PPM / RIFF PCM16 blobs
         "image_stats_synth": _so.image_stats_sql(
             _ctp(300, seed=42, with_images=True)
         ),
+        "audio_stats_synth": _so.audio_stats_sql(_cap(300, seed=42)),
         # flagship + hash-kernel dedupe family
         "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
         "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),
         "incremental_near_dedupe_docs": _so.incremental_near_keep_sql(),
+        # the persisted-band-index path computes the identical drop set
+        # (Bloom pruning only ever admits extra probes), so it shares the
+        # direct path's oracle; path equivalence is also asserted in tests
+        "incremental_near_dedupe_indexed_docs": _so.incremental_near_keep_sql(),
         "semantic_dedupe_docs": _so.semantic_dedupe_sql(threshold=0.9, dim=128),
         # training-data assembly family
         "split_docs": _so.split_docs_sql(),

@@ -108,12 +108,19 @@ class AudioFeatureStage:
         rms = np.zeros(n, np.float64)
         zcr = np.zeros(n, np.float64)
         cent = np.zeros(n, np.float64)
+        nsamp = np.zeros(n, np.int64)
+        ssum = np.zeros(n, np.int64)
+        ssumsq = np.zeros(n, np.int64)
         for i, (d, f) in enumerate(zip(blobs, fmts)):
             if f not in _SUPPORTED or d is None:
                 continue
             s, sr = decode_audio(d, f)
             if len(s) == 0:
                 continue
+            s64 = s.astype(np.int64)
+            nsamp[i] = s64.size
+            ssum[i] = s64.sum()
+            ssumsq[i] = (s64 * s64).sum()
             x = s.astype(np.float64) / 32768.0
             ok[i] = True
             dur[i] = len(x) / sr
@@ -130,6 +137,12 @@ class AudioFeatureStage:
             ("rms", np.round(rms, 6), pa.float64()),
             ("zcr", np.round(zcr, 6), pa.float64()),
             ("spectral_centroid_hz", np.round(cent, 3), pa.float64()),
+            # exact integer sample moments — bit-comparable against a SQL
+            # oracle decoding the same RIFF/PCM16 payload (sql_oracle
+            # .audio_stats_sql)
+            ("n_samples", nsamp, pa.int64()),
+            ("sample_sum", ssum, pa.int64()),
+            ("sample_sumsq", ssumsq, pa.int64()),
         ):
             batch = batch.append_column(name, pa.array(arr, typ))
         return batch
@@ -284,6 +297,34 @@ def synth_audio_table(n: int, seed: int = 42, sample_rate: int = 8_000) -> pa.Ta
             "sample_rate": pa.array(rates, pa.int32()),
         }
     )
+
+
+def cached_audio_path(
+    n: int,
+    seed: int = 42,
+    sample_rate: int = 8_000,
+    cache_dir: str = "/tmp/graft_synth_cache",
+) -> str:
+    """Idempotently persist ``synth_audio_table`` output and return its path
+    — the registered audio queries and their DuckDB oracles read this same
+    file so the correctness gate compares byte-identical payloads (mirrors
+    ``synth.cached_table_path``; write-then-rename keeps concurrent callers
+    safe)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    p = os.path.join(cache_dir, f"oracle_audio_{n}_{seed}_{sample_rate}.parquet")
+    if not os.path.exists(p):
+        tmp = f"{p}.tmp.{os.getpid()}"
+        pq.write_table(
+            synth_audio_table(n, seed=seed, sample_rate=sample_rate),
+            tmp,
+            row_group_size=16384,
+        )
+        os.replace(tmp, p)
+    return p
 
 
 def synth_audio_table_with_dups(

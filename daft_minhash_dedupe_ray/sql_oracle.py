@@ -748,3 +748,63 @@ def split_docs_sql(
         SELECT doc_id, CASE {ladder} ELSE '{names[-1]}' END AS split
         FROM {keyed} __k ORDER BY doc_id
     """
+
+
+def audio_stats_sql(parquet_path: str) -> str:
+    """Decoded-sample parity oracle for ``functions.audio.AudioFeatureStage``:
+    parses the RIFF/WAVE PCM16 payload *inside DuckDB* — locate the 'data'
+    chunk tag in hex ('64617461'), read its little-endian u32 size, then
+    convert 8 raw bytes per 16-hex-char chunk and extract 4 LE int16 samples
+    via shift/mask + sign fold — and emits the exact integer sample moments
+    n_samples / sample_sum / sample_sumsq.  Tail chunks are rpad'ed with
+    zero bytes (zero-valued samples contribute nothing to either moment).
+    Non-wav / null payloads carry zero moments, matching the engine's
+    decode_ok=false rows."""
+
+    def _byte(j: int) -> str:
+        return f"((x >> {8 * (7 - j)}) & 255)"
+
+    samp = []
+    for m in range(4):
+        u = f"CAST({_byte(2 * m)} + 256*{_byte(2 * m + 1)} AS BIGINT)"
+        samp.append(f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)")
+    ssum = " + ".join(samp)
+    ssq = " + ".join(f"({e})*({e})" for e in samp)
+    return f"""
+        WITH audio_src AS MATERIALIZED (
+            SELECT audio_id, hex("bytes") AS hx,
+                   position('64617461' IN hex("bytes")) AS dpos
+            FROM read_parquet('{parquet_path}')
+            WHERE fmt = 'wav' AND "bytes" IS NOT NULL
+        ),
+        sized AS MATERIALIZED (
+            SELECT audio_id, hx, dpos,
+                   CAST('0x' || substring(hx, dpos + 8, 8) AS UBIGINT) AS szbe
+            FROM audio_src WHERE dpos > 0
+        ),
+        nb_t AS MATERIALIZED (
+            SELECT audio_id, hx, dpos,
+                   CAST(((szbe >> 24) & 255) + 256*((szbe >> 16) & 255)
+                        + 65536*((szbe >> 8) & 255)
+                        + 16777216*(szbe & 255) AS BIGINT) AS nb
+            FROM sized
+        ),
+        chunks AS (
+            SELECT audio_id, nb,
+                   CAST('0x' || rpad(substring(hx,
+                        CAST(dpos + 16 + 16*j AS BIGINT), 16), 16, '0')
+                        AS UBIGINT) AS x
+            FROM nb_t, unnest(range((nb + 7) // 8)) AS u(j)
+        ),
+        moms AS (
+            SELECT audio_id, CAST(max(nb) // 2 AS BIGINT) AS n_samples,
+                   CAST(sum({ssum}) AS BIGINT) AS sample_sum,
+                   CAST(sum({ssq}) AS BIGINT) AS sample_sumsq
+            FROM chunks GROUP BY audio_id
+        )
+        SELECT a.audio_id, coalesce(m.n_samples, 0) AS n_samples,
+               coalesce(m.sample_sum, 0) AS sample_sum,
+               coalesce(m.sample_sumsq, 0) AS sample_sumsq
+        FROM read_parquet('{parquet_path}') a
+        LEFT JOIN moms m USING (audio_id) ORDER BY a.audio_id
+    """

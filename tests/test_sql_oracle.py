@@ -317,3 +317,27 @@ def test_sql_split_docs_key_and_ladder_bit_exact(con):
     rows = sorted(con.sql(so.split_docs_sql(fr, table="split_probe")).fetchall())
     assert [r[1] for r in rows] == expect
     assert expect[0] == expect[1]  # identical texts co-locate
+
+
+def test_sql_audio_stats_wav_decode_bit_exact():
+    """audio_stats_sql parses the RIFF/PCM16 blob inside DuckDB and must
+    reproduce the engine decode's exact integer sample moments, including
+    zero moments for non-wav / null payloads."""
+    from daft_minhash_dedupe_ray.functions.audio import cached_audio_path, wav_decode
+    import pyarrow.parquet as pq
+
+    path = cached_audio_path(90, seed=3)
+    t = pq.read_table(path)
+    truth = {}
+    for aid, blob, fmt in zip(
+        t["audio_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        if fmt != "wav" or blob is None:
+            truth[aid] = (0, 0, 0)
+            continue
+        s = wav_decode(blob)[0].astype(np.int64)
+        truth[aid] = (len(s), int(s.sum()), int((s * s).sum()))
+    rows = duckdb.sql(so.audio_stats_sql(path)).fetchall()
+    assert len(rows) == len(truth)
+    for aid, *moms in rows:
+        assert truth[aid] == tuple(moms)
