@@ -279,9 +279,22 @@ def _lang_id_docs(sf_dir: str):
 
 
 def _fingerprints(sf_dir: str):
+    """Document fingerprints: exact content key + min-hash 1-gram sketch.
+    SQL-checked — both hash kernels are reproduced bit-exactly in DuckDB
+    (sql_oracle.doc_fingerprints_sql); emitted as signed i64 on both sides
+    (driver-comparator convention)."""
     import functools
 
+    import pyarrow.compute as pc_
+
     from daft_minhash_dedupe_ray.functions.textops import fingerprint_batch, rolling_fingerprint_batch
+
+    def _sign(b: pa.Table) -> pa.Table:
+        for col in ("fingerprint", "doc_fingerprint"):
+            i = b.column_names.index(col)
+            arr = b[col].to_numpy(zero_copy_only=False).astype(np.uint64).view(np.int64)
+            b = b.set_column(i, col, pa.array(arr, pa.int64()))
+        return b
 
     ds = _read_docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(
@@ -290,6 +303,7 @@ def _fingerprints(sf_dir: str):
     ds = ds.map_batches(
         functools.partial(rolling_fingerprint_batch, text_col="text"), batch_format="pyarrow"
     )
+    ds = ds.map_batches(_sign, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "fingerprint", "doc_fingerprint"])
 
 
@@ -1063,7 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unconsolidated counter variants
         "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
         "extract_text_blocks": _extract_text_blocks,  # SQL-checked (RE2 parity)
-        "doc_fingerprints": _fingerprints,  # rows-only (blake2b content hash — not SQL-expressible)
+        "doc_fingerprints": _fingerprints,  # SQL-checked (content-key + min-hash sketch oracle)
         "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # SQL-checked (shares the direct-path oracle)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
         "token_counts": _token_counts,  # SQL-checked (consolidated into token_count_profile)
@@ -1110,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedupe_docs": _so.semantic_dedupe_sql(threshold=0.9, dim=128),
         # training-data assembly family
         "split_docs": _so.split_docs_sql(),
+        "doc_fingerprints": _so.doc_fingerprints_sql(),
         "mix_sources_docs": _so.mix_sources_sql(
             {"src0": 0.5, "src1": 0.0, "src2": 2.0, "src3": 2.5}, seed=7
         ),

@@ -174,9 +174,13 @@ def top_tokens(ds, k: int = 20, text_col: str = "text", num_partitions: int = 64
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit content fingerprint of the raw text (stable hash64) — the basis
-    for exact dedup and for per-partition lineage metrics."""
-    h = hash64_str_array(batch[text_col].to_pylist())
+    """64-bit content fingerprint of the text (``hashing.content_keys``:
+    order-sensitive position-mixed token-hash key — whitespace-normalised,
+    fully vectorised, SQL-checkable) — the basis for exact dedup and for
+    per-partition lineage metrics."""
+    from ..hashing import content_keys
+
+    h = content_keys(batch[text_col], seed=0)
     return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
 
 
@@ -542,21 +546,22 @@ def repetition_scores_batch(batch: pa.Table, id_col: str = "doc_id", text_col: s
 def rolling_fingerprint_batch(
     batch: pa.Table, text_col: str = "text", window: int = 16
 ) -> pa.Table:
-    """Winnowing-style document fingerprint: min of rolling-window hashes of
-    the token-hash sequence — robust to small edits at either end."""
+    """Min-hash document fingerprint: the minimum of the mixed 1-gram token
+    hashes — robust to small edits anywhere in the doc (unchanged iff the
+    minimising token survives).  Equivalent to the min over rolling-window
+    minima for ANY window size (every element lies in some window), so the
+    windowed formulation reduces to one ``np.minimum.reduceat`` per batch;
+    ``window`` is kept for API compatibility.  SQL-checked
+    (sql_oracle.doc_fingerprints_sql)."""
     from ..hashing import shingle_hashes
 
     flat, offsets = shingle_hashes(batch[text_col].to_pylist(), 1)
     mixed = splitmix64(flat)
+    counts = np.diff(offsets)
     out = np.zeros(len(batch), dtype=np.uint64)
-    for i in range(len(batch)):
-        seg = mixed[offsets[i] : offsets[i + 1]]
-        if len(seg) == 0:
-            out[i] = 0
-            continue
-        w = min(window, len(seg))
-        roll = np.lib.stride_tricks.sliding_window_view(seg, w)
-        out[i] = roll.min(axis=1).min()
+    nz = counts > 0
+    if mixed.size:
+        out[nz] = np.minimum.reduceat(mixed, offsets[:-1][nz])
     return batch.append_column("doc_fingerprint", pa.array(out, pa.uint64()))
 
 

@@ -710,6 +710,48 @@ def image_stats_sql(parquet_path: str) -> str:
     """
 
 
+def content_keys_select(table: str, seed: int) -> str:
+    """Subquery producing ``(doc_id, key)`` — the engine's
+    ``hashing.content_keys`` value: ``splitmix64(seed ^ (sum_i
+    splitmix64(tokh_i ^ i) mod 2**64))`` with i the 0-based token position;
+    empty docs key to ``splitmix64(seed)``."""
+    toks = token_hash_select(tokens_select(table))
+    mixed = chain_select(
+        f"SELECT doc_id, tokh, pos FROM {toks} __t",
+        sm64_steps("xor(tokh, CAST(pos - 1 AS UBIGINT))", "m", "sp"),
+    )
+    keyed = chain_select(
+        f"""SELECT d.doc_id, coalesce(s.tsum, CAST(0 AS UBIGINT)) AS tsum
+            FROM {table} d LEFT JOIN (
+                SELECT doc_id,
+                       CAST(sum(CAST(m AS HUGEINT)) % 18446744073709551616 AS UBIGINT) AS tsum
+                FROM {mixed} __m GROUP BY doc_id
+            ) s USING (doc_id)""",
+        sm64_steps(f"xor(tsum, CAST({seed} AS UBIGINT))", "key", "sk"),
+    )
+    return f"(SELECT doc_id, key FROM {keyed} __ck)"
+
+
+def doc_fingerprints_sql(table: str = "documents") -> str:
+    """Oracle for the ``doc_fingerprints`` query: ``fingerprint`` is the
+    content key (``content_keys_select`` at seed 0) and ``doc_fingerprint``
+    the min over splitmix64-mixed 1-gram shingle hashes (0 for empty docs)
+    — both reinterpreted as signed i64 to match the driver comparator's
+    uint64 -> int64 cast of the engine output."""
+    ck = content_keys_select(table, 0)
+    sh = shingles_select(tokens_select(table), 1)
+    mixed = chain_select(f"SELECT doc_id, sh FROM {sh} __s", sm64_steps("sh", "m", "fp"))
+    return f"""
+        WITH ck AS MATERIALIZED (SELECT * FROM {ck} __c),
+        mins AS MATERIALIZED (
+            SELECT doc_id, min(m) AS mn FROM {mixed} __m GROUP BY doc_id
+        )
+        SELECT ck.doc_id, {signed64("ck.key")} AS fingerprint,
+               {signed64("coalesce(mins.mn, CAST(0 AS UBIGINT))")} AS doc_fingerprint
+        FROM ck LEFT JOIN mins USING (doc_id) ORDER BY ck.doc_id
+    """
+
+
 def split_docs_sql(
     fractions: dict[str, float] | None = None,
     seed: int = 0x5917,
@@ -726,20 +768,7 @@ def split_docs_sql(
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     names = list(fractions)
     edges = (np.cumsum([fractions[n] for n in names]) * float(2**64)).astype(np.float64)
-    toks = token_hash_select(tokens_select(table))
-    mixed = chain_select(
-        f"SELECT doc_id, tokh, pos FROM {toks} __t",
-        sm64_steps("xor(tokh, CAST(pos - 1 AS UBIGINT))", "m", "sp"),
-    )
-    keyed = chain_select(
-        f"""SELECT d.doc_id, coalesce(s.tsum, CAST(0 AS UBIGINT)) AS tsum
-            FROM {table} d LEFT JOIN (
-                SELECT doc_id,
-                       CAST(sum(CAST(m AS HUGEINT)) % 18446744073709551616 AS UBIGINT) AS tsum
-                FROM {mixed} __m GROUP BY doc_id
-            ) s USING (doc_id)""",
-        sm64_steps(f"xor(tsum, CAST({seed} AS UBIGINT))", "key", "sk"),
-    )
+    keyed = content_keys_select(table, seed)
     ladder = " ".join(
         f"WHEN CAST(key AS DOUBLE) < {e!r} THEN '{n}'"
         for n, e in zip(names[:-1], edges[:-1])

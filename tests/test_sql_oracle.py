@@ -341,3 +341,27 @@ def test_sql_audio_stats_wav_decode_bit_exact():
     assert len(rows) == len(truth)
     for aid, *moms in rows:
         assert truth[aid] == tuple(moms)
+
+
+def test_sql_doc_fingerprints_bit_exact(con):
+    """doc_fingerprints_sql == content_keys + min-of-mixed-1-gram-hashes on
+    adversarial texts (dups, empty, whitespace runs, singletons)."""
+    from daft_minhash_dedupe_ray.functions.textops import (
+        fingerprint_batch,
+        rolling_fingerprint_batch,
+    )
+
+    texts = ["a b c", "a b c", "c b a", "", "  pad  ", "solo"] + [
+        f"w{i} w{i + 1} w{i + 2} common tail" for i in range(30)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    con.register("fp_probe", t)
+    b = rolling_fingerprint_batch(fingerprint_batch(t))
+    want_fp = b["fingerprint"].to_numpy().astype(np.uint64).view(np.int64)
+    want_mn = b["doc_fingerprint"].to_numpy().astype(np.uint64).view(np.int64)
+    rows = sorted(con.sql(so.doc_fingerprints_sql("fp_probe")).fetchall())
+    assert [r[1] for r in rows] == want_fp.tolist()
+    assert [r[2] for r in rows] == want_mn.tolist()
