@@ -933,6 +933,51 @@ def _video_dedupe_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _image_dhash_clusters_synth(sf_dir: str):
+    """Cluster-assignment parity for pixel-side dHash near-dup dedupe:
+    connected components of the banded-then-Hamming-verified dHash graph,
+    reported as (lexicographically smallest member, size).  SQL-checked —
+    the oracle computes the dHash FROM THE RAW PPM BYTES inside DuckDB
+    (sql_oracle.image_dhash_clusters_sql); banding+verify == semantic
+    Hamming<=6 by pigeonhole (6 flips leave >=2 of 8 bands intact)."""
+    import collections
+
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.multimodal import image_fingerprint_candidates
+    from daft_minhash_dedupe_ray.hashing import hash64_str_array
+    from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    import pyarrow.parquet as pq_
+
+    path = cached_table_path(300, seed=42, with_images=True)
+    cfg = DedupeConfig(
+        index_col="image_id",
+        content_col="bytes",
+        phash_col=None,
+        phash_max_hamming=6,
+        phash_bands=8,
+    )
+    edges = image_fingerprint_candidates(rd.read_parquet(path), cfg)
+    assign = cluster_edges(edges, num_actors=2)
+    ids = pq_.read_table(path, columns=["image_id"])["image_id"].to_pylist()
+    node_of = hash64_str_array(ids)
+    apdf = assign.to_pandas()
+    rep_of = dict(zip(apdf["u"].astype("uint64"), apdf["rep"].astype("uint64")))
+    members = collections.defaultdict(list)
+    for img, node in zip(ids, node_of):
+        members[rep_of.get(int(node), int(node))].append(img)
+    out = sorted((min(m), len(m)) for m in members.values())
+    return pa.table(
+        {
+            "cluster_rep": pa.array([r for r, _ in out], pa.string()),
+            "n_members": pa.array([n for _, n in out], pa.int64()),
+        }
+    )
+
+
 def _cdc_dedupe_synth(sf_dir: str):
     """Content-defined-chunking storage dedupe over the synthetic image
     payloads (gear-hash CDC, chunk-hash keyed exchange) — rows-only; the
@@ -1023,7 +1068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_clusters_synth": _image_clusters_synth,  # SQL-checked (cluster-assignment parity)
         "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # SQL-checked (band OR Hamming drop set)
         "image_stats_synth": _image_stats_synth,  # SQL-checked (DuckDB PPM blob decode parity)
-        "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,
+        "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,  # rows-only (survivor choice is blake2b)
+        "image_dhash_clusters_synth": _image_dhash_clusters_synth,  # SQL-checked (dHash computed from raw bytes in DuckDB)
         "video_dedupe_synth": _video_dedupe_synth,
         "audio_dedupe_synth": _audio_dedupe_synth,
         "audio_stats_synth": _audio_stats_synth,  # SQL-checked (DuckDB RIFF/PCM16 decode parity)
@@ -1113,6 +1159,9 @@ def oracle_sql() -> dict[str, str]:
             _ctp(300, seed=42, with_images=True)
         ),
         "audio_stats_synth": _so.audio_stats_sql(_cap(300, seed=42)),
+        "image_dhash_clusters_synth": _so.image_dhash_clusters_sql(
+            _ctp(300, seed=42, with_images=True)
+        ),
         # flagship + hash-kernel dedupe family
         "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
         "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),

@@ -160,11 +160,27 @@ def _gray_block_resize(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray
 
 
 def dhash64(pixels: np.ndarray) -> int:
-    """64-bit difference hash: 9x8 block means, bit = left pixel brighter
+    """64-bit difference hash: 9x8 block means, bit = left block brighter
     than its right neighbour (row-gradient signs — robust to global
-    brightness/contrast shifts, cheaper than the DCT pHash)."""
-    small = _gray_block_resize(pixels, 8, 9)
-    bits = (small[:, :-1] > small[:, 1:]).reshape(-1)
+    brightness/contrast shifts, cheaper than the DCT pHash).
+
+    The block-mean comparison is done in EXACT integer arithmetic
+    (cross-multiplied RGB block sums), not on float means: float cumsum
+    noise must never decide a bit on an exact tie — the hash stays
+    deterministic under summation-order changes and is bit-reproducible by
+    the DuckDB oracle (sql_oracle.dhash_select)."""
+    h, w, _ = pixels.shape
+    yi = np.linspace(0, h, 9).astype(int)
+    xi = np.linspace(0, w, 10).astype(int)
+    ys, ye = yi[:-1], np.minimum(np.maximum(yi[1:], yi[:-1] + 1), h)
+    xs, xe = xi[:-1], np.minimum(np.maximum(xi[1:], xi[:-1] + 1), w)
+    cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+    flat = pixels.astype(np.int64).sum(axis=2)  # per-pixel RGB sum, exact
+    np.cumsum(np.cumsum(flat, axis=0), axis=1, out=cs[1:, 1:])
+    s = cs[np.ix_(ye, xe)] - cs[np.ix_(ys, xe)] - cs[np.ix_(ye, xs)] + cs[np.ix_(ys, xs)]
+    area = np.maximum((ye - ys)[:, None] * (xe - xs)[None, :], 1)
+    # s_l/a_l > s_r/a_r  <=>  s_l*a_r > s_r*a_l  (exact in int64)
+    bits = (s[:, :-1] * area[:, 1:] > s[:, 1:] * area[:, :-1]).reshape(-1)
     return int(np.packbits(bits).view(">u8")[0])
 
 

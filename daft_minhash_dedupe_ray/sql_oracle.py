@@ -837,3 +837,110 @@ def audio_stats_sql(parquet_path: str) -> str:
         FROM read_parquet('{parquet_path}') a
         LEFT JOIN moms m USING (audio_id) ORDER BY a.audio_id
     """
+
+
+def dhash_select(parquet_path: str, img_w: int = 32, img_h: int = 32) -> str:
+    """Subquery producing ``(image_id, dh)`` — the engine's
+    ``multimodal.dhash64`` over the P6 PPM payload, computed entirely in
+    DuckDB: decode bytes via the hex-chunk trick, integer RGB block sums on
+    the baked (h -> 9 rows, w -> 10 cols) linspace grid, then the
+    cross-multiplied exact block-mean comparisons packed MSB-first.  The
+    grid constants are baked for (img_w, img_h), the synth table's fixed
+    dims."""
+    import numpy as np
+
+    yi = np.linspace(0, img_h, 9).astype(int)
+    xi = np.linspace(0, img_w, 10).astype(int)
+    yw, xw = np.diff(yi), np.diff(xi)
+    assert (yw > 0).all() and (xw > 0).all(), "image too small for an 8x9 grid"
+
+    def ladder(bounds, var: str) -> str:
+        cl = " ".join(
+            f"WHEN {var} < {int(bounds[i + 1])} THEN {i}" for i in range(len(bounds) - 2)
+        )
+        return f"(CASE {cl} ELSE {len(bounds) - 2} END)"
+
+    by_expr = ladder(yi, f"((bidx // 3) // {img_w})")
+    bx_expr = ladder(xi, f"((bidx // 3) % {img_w})")
+    # cross-multiplied comparison S_l * area_r > S_r * area_l; the y-extent
+    # is identical for both sides of a row comparison, so only x-widths
+    # remain
+    xw_r = " ".join(f"WHEN {c} THEN {int(xw[c + 1])}" for c in range(8))
+    xw_l = " ".join(f"WHEN {c} THEN {int(xw[c])}" for c in range(8))
+    return f"""
+        (WITH __dh_src AS MATERIALIZED (
+            SELECT image_id, hex("bytes") AS hx,
+                   3 + strlen(CAST(w AS VARCHAR)) + 1
+                     + strlen(CAST(h AS VARCHAR)) + 1 + 4 AS hdr,
+                   w * h * 3 AS nb
+            FROM read_parquet('{parquet_path}')
+            WHERE fmt = 'ppm' AND "bytes" IS NOT NULL
+        ),
+        __dh_chunks AS (
+            SELECT image_id, nb, j,
+                   CAST('0x' || substring(hx, CAST(1 + 2*hdr + 16*j AS BIGINT), 16)
+                        AS UBIGINT) AS x
+            FROM __dh_src, unnest(range((nb + 7) // 8)) AS u(j)
+        ),
+        __dh_pix AS (
+            SELECT image_id, CAST(8*j + k AS BIGINT) AS bidx,
+                   CAST((x >> CAST(8*(7 - k) AS UBIGINT)) & 255 AS BIGINT) AS val, nb
+            FROM __dh_chunks, unnest(range(8)) AS kk(k)
+            WHERE 8*j + k < nb
+        ),
+        __dh_blocks AS MATERIALIZED (
+            SELECT image_id, {by_expr} AS by, {bx_expr} AS bx, sum(val) AS s
+            FROM __dh_pix GROUP BY 1, 2, 3
+        ),
+        __dh_cmp AS (
+            SELECT l.image_id, l.by, l.bx AS c,
+                   CASE WHEN l.s * (CASE l.bx {xw_r} END)
+                         > r.s * (CASE l.bx {xw_l} END)
+                        THEN 1 ELSE 0 END AS bit
+            FROM __dh_blocks l JOIN __dh_blocks r
+              ON l.image_id = r.image_id AND l.by = r.by AND r.bx = l.bx + 1
+            WHERE l.bx < 8
+        )
+        SELECT image_id,
+               CAST(sum(CAST(bit AS HUGEINT)
+                        * (CAST(1 AS HUGEINT) << (63 - (by*8 + c)))) AS UBIGINT) AS dh
+        FROM __dh_cmp GROUP BY image_id)
+    """
+
+
+def image_dhash_clusters_sql(
+    parquet_path: str,
+    max_hamming: int = 6,
+    img_w: int = 32,
+    img_h: int = 32,
+) -> str:
+    """Cluster-assignment parity oracle for pixel-side dHash near-dup
+    dedupe: connected components of the Hamming<=k pair graph over dHashes
+    computed FROM THE RAW PPM BYTES inside DuckDB, each cluster reported as
+    (lexicographically smallest member, size).  Valid vs the engine's
+    band-then-verify path by pigeonhole: k < phash_bands flipped bits always
+    leave an intact band, so banding + Hamming verification == the semantic
+    Hamming<=k graph."""
+    dh = dhash_select(parquet_path, img_w=img_w, img_h=img_h)
+    return f"""
+        WITH RECURSIVE dhs AS MATERIALIZED (SELECT * FROM {dh} __d),
+        edge AS MATERIALIZED (
+            SELECT a.image_id AS u, b.image_id AS v
+            FROM dhs a JOIN dhs b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+        ),
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        comp AS (
+            SELECT i.image_id,
+                   least(i.image_id, coalesce(min(r.v), i.image_id)) AS rep
+            FROM dhs i LEFT JOIN reach r ON r.u = i.image_id
+            GROUP BY i.image_id
+        )
+        SELECT rep AS cluster_rep, count(*) AS n_members
+        FROM comp GROUP BY rep ORDER BY rep
+    """

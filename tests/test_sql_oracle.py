@@ -365,3 +365,25 @@ def test_sql_doc_fingerprints_bit_exact(con):
     rows = sorted(con.sql(so.doc_fingerprints_sql("fp_probe")).fetchall())
     assert [r[1] for r in rows] == want_fp.tolist()
     assert [r[2] for r in rows] == want_mn.tolist()
+
+
+def test_sql_dhash_from_raw_bytes_bit_exact():
+    """dhash_select reproduces multimodal.dhash64 bit-for-bit from the raw
+    PPM payload (integer cross-multiplied block-mean comparisons on both
+    sides — float noise never decides a tie)."""
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.functions.multimodal import dhash64
+    from daft_minhash_dedupe_ray.synth import cached_table_path, ppm_decode
+
+    path = cached_table_path(120, seed=7, with_images=True)
+    t = pq.read_table(path, columns=["image_id", "bytes"])
+    truth = {
+        iid: dhash64(ppm_decode(blob))
+        for iid, blob in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist())
+    }
+    rows = duckdb.sql(
+        f"SELECT * FROM {so.dhash_select(path)} q ORDER BY image_id"
+    ).fetchall()
+    assert len(rows) == len(truth)
+    assert all(truth[iid] == dh for iid, dh in rows)
