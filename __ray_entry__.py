@@ -980,15 +980,18 @@ def _image_dhash_clusters_synth(sf_dir: str):
 
 def _cdc_dedupe_synth(sf_dir: str):
     """Content-defined-chunking storage dedupe over the synthetic image
-    payloads (gear-hash CDC, chunk-hash keyed exchange) — rows-only; the
-    exact chunking/ratio oracles live in tests/test_cdc.py."""
+    payloads (gear-hash CDC, chunk-hash keyed exchange).  SQL-checked — the
+    oracle re-runs the gear-hash chunker inside DuckDB over the same raw
+    blobs (sql_oracle.cdc_stats_sql: low-bits rolling hash via window lags,
+    chunk identity by literal content); exact chunking/ratio oracles also
+    live in tests/test_cdc.py."""
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.functions.cdc import cdc_dedupe_stats
-    from daft_minhash_dedupe_ray.synth import generate_table
+    from daft_minhash_dedupe_ray.synth import cached_table_path
 
-    t = generate_table(300, seed=42, with_images=True)
-    return cdc_dedupe_stats(rd.from_arrow(t), bytes_col="bytes", id_col="image_id")
+    ds = rd.read_parquet(cached_table_path(300, seed=42, with_images=True))
+    return cdc_dedupe_stats(ds, bytes_col="bytes", id_col="image_id")
 
 
 def _audio_stats_synth(sf_dir: str):
@@ -1073,7 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dedupe_synth": _video_dedupe_synth,
         "audio_dedupe_synth": _audio_dedupe_synth,
         "audio_stats_synth": _audio_stats_synth,  # SQL-checked (DuckDB RIFF/PCM16 decode parity)
-        "cdc_dedupe_synth": _cdc_dedupe_synth,
+        "cdc_dedupe_synth": _cdc_dedupe_synth,  # SQL-checked (gear-hash chunker re-run in DuckDB)
         # ---- tier 2: dedup / similarity family
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
@@ -1162,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_clusters_synth": _so.image_dhash_clusters_sql(
             _ctp(300, seed=42, with_images=True)
         ),
+        "cdc_dedupe_synth": _so.cdc_stats_sql(_ctp(300, seed=42, with_images=True)),
         # flagship + hash-kernel dedupe family
         "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
         "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),

@@ -944,3 +944,85 @@ def image_dhash_clusters_sql(
         SELECT rep AS cluster_rep, count(*) AS n_members
         FROM comp GROUP BY rep ORDER BY rep
     """
+
+
+def cdc_stats_sql(parquet_path: str, mask_bits: int = 11, id_col: str = "image_id") -> str:
+    """Oracle for ``functions.cdc.cdc_dedupe_stats``: the gear-hash CDC
+    chunker reproduced inside DuckDB.  Key reduction: a cut tests
+    ``h & (2**mask_bits - 1) == 0``, and every rolling-hash term shifted by
+    ``t >= mask_bits`` vanishes mod ``2**mask_bits`` — so only the low
+    ``mask_bits`` gear bits and ``mask_bits`` window lags are needed (11
+    instead of 64).  Candidates within 64 bytes of a row start are dropped
+    (the engine's window-crossing guard), row ends always cut, and chunk
+    identity is the literal content (hex substring) — strictly stronger
+    than the engine's blake2b-64 equality proxy, same partition.  Valid
+    while every payload is <= max_chunk (8192 — the synth blobs are ~3KB),
+    where the engine's oversized-gap splitting can never trigger."""
+    import numpy as np
+
+    from .hashing import splitmix64 as _sm  # engine gear table, low bits
+
+    gear = _sm(np.arange(256, dtype=np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+    g11 = (gear & np.uint64((1 << mask_bits) - 1)).astype(np.int64)
+    gear_vals = ", ".join(f"({i}, {int(g11[i])})" for i in range(256))
+    mod = 1 << mask_bits
+    terms = []
+    for t in range(mask_bits):
+        lagv = "g" if t == 0 else f"lag(g, {t}) OVER w"
+        terms.append(f"(({lagv} * {1 << t}) % {mod})")
+    hsum = " + ".join(terms)
+    return f"""
+        WITH cdc_src AS MATERIALIZED (
+            SELECT {id_col} AS rid, hex("bytes") AS hx,
+                   strlen(hex("bytes")) // 2 AS nb
+            FROM read_parquet('{parquet_path}') WHERE "bytes" IS NOT NULL
+        ),
+        c8 AS (
+            SELECT rid, nb, j, hx,
+                   CAST('0x' || rpad(substring(hx, CAST(1 + 16*j AS BIGINT), 16),
+                                     16, '0') AS UBIGINT) AS x
+            FROM cdc_src, unnest(range((nb + 7) // 8)) AS u(j)
+        ),
+        byts AS (
+            SELECT rid, CAST(8*j + k AS BIGINT) AS bidx,
+                   CAST((x >> CAST(8*(7 - k) AS UBIGINT)) & 255 AS BIGINT) AS b, nb
+            FROM c8, unnest(range(8)) AS kk(k)
+            WHERE 8*j + k < nb
+        ),
+        gv AS (
+            SELECT rid, bidx, nb, gt.g
+            FROM byts JOIN (VALUES {gear_vals}) AS gt(b, g) USING (b)
+        ),
+        cands AS (
+            SELECT rid, bidx + 1 AS e, nb, ({hsum}) % {mod} AS hlow
+            FROM gv WINDOW w AS (PARTITION BY rid ORDER BY bidx)
+        ),
+        cuts AS (
+            SELECT rid, e FROM cands WHERE hlow = 0 AND e >= 64 AND e < nb
+            UNION ALL
+            SELECT rid, nb AS e FROM cdc_src WHERE nb > 0
+        ),
+        spans AS (
+            SELECT c.rid,
+                   coalesce(lag(c.e) OVER (PARTITION BY c.rid ORDER BY c.e), 0) AS s,
+                   c.e
+            FROM cuts c
+        ),
+        cdc_chunks AS MATERIALIZED (
+            SELECT sp.rid, sp.e - sp.s AS clen,
+                   substring(src.hx, CAST(1 + 2*sp.s AS BIGINT),
+                             CAST(2*(sp.e - sp.s) AS BIGINT)) AS content
+            FROM spans sp JOIN cdc_src src ON sp.rid = src.rid
+        ),
+        uniq AS (
+            SELECT content, min(clen) AS clen, count(*) AS n
+            FROM cdc_chunks GROUP BY content
+        )
+        SELECT CAST(sum(clen * n) AS BIGINT) AS total_bytes,
+               CAST(sum(n) AS BIGINT) AS total_chunks,
+               CAST(count(*) AS BIGINT) AS unique_chunks,
+               CAST(sum(clen) AS BIGINT) AS unique_bytes,
+               round(CAST(sum(clen) AS DOUBLE)
+                     / greatest(CAST(sum(clen * n) AS BIGINT), 1), 6) AS dedup_ratio
+        FROM uniq
+    """

@@ -387,3 +387,50 @@ def test_sql_dhash_from_raw_bytes_bit_exact():
     ).fetchall()
     assert len(rows) == len(truth)
     assert all(truth[iid] == dh for iid, dh in rows)
+
+
+def test_sql_cdc_stats_bit_exact(con):
+    """cdc_stats_sql reproduces the gear-hash chunker: identical cut
+    positions (low-bits window-lag rolling hash) and identical dedupe stats
+    on blobs with planted shared regions and shifts."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.functions.cdc import (
+        cdc_chunk_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, 5000, dtype=np.uint8).tobytes()
+    blobs = [
+        base,
+        base,  # exact dup
+        b"\x00" * 37 + base,  # shifted copy: interior chunks re-align
+        base[:2500] + rng.randint(0, 256, 2500, dtype=np.uint8).tobytes(),
+        rng.randint(0, 256, 64, dtype=np.uint8).tobytes(),  # single chunk
+        None,
+        b"",
+    ]
+    t = pa.table(
+        {
+            "image_id": pa.array([f"b{i}" for i in range(len(blobs))], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+        }
+    )
+    # engine truth (no Ray needed: chunk one batch, reduce in pandas)
+    ch = cdc_chunk_batch(t).to_pandas()
+    g = ch.groupby("chunk_hash")["chunk_len"].agg(["sum", "count", "min"])
+    want = (
+        int(g["sum"].sum()),
+        int(g["count"].sum()),
+        len(g),
+        int(g["min"].sum()),
+        round(float(g["min"].sum()) / max(int(g["sum"].sum()), 1), 6),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "blobs.parquet")
+        pq.write_table(t, p)
+        got = duckdb.sql(so.cdc_stats_sql(p)).fetchone()
+    assert tuple(got) == want
