@@ -913,22 +913,25 @@ def _image_dedupe_dhash_synth(sf_dir: str):
 
 def _video_dedupe_synth(sf_dir: str):
     """Temporal video near-dup removal over the synthetic rawv fixture
-    (frame dHash shingles -> MinHash banding -> cluster -> merge) —
-    rows-only; planted trim+noise recall >=0.95 asserted in
-    tests/test_video.py."""
+    (frame dHash shingles -> MinHash banding -> cluster -> merge).
+    SQL-checked END-TO-END — the oracle decodes the rawv frames, recomputes
+    every per-frame dHash, the seeded MinHash/LSH bands and the connected
+    components inside DuckDB (sql_oracle.video_keep_sql; survivor = min
+    video_id because integer node ids hash to themselves); planted
+    trim+noise recall >=0.95 also asserted in tests/test_video.py."""
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.config import DedupeConfig
     from daft_minhash_dedupe_ray.functions.video import (
-        synth_video_table_with_dups,
+        cached_video_path,
         video_dedupe,
     )
 
-    t, _pairs = synth_video_table_with_dups(120, seed=21, dup_rate=0.3)
     cfg = DedupeConfig(
         index_col="video_id", content_col="bytes", phash_col=None, threshold=0.2
     )
-    out = video_dedupe(rd.from_arrow(t), cfg, every_n=1, num_actors=2)
+    ds = rd.read_parquet(cached_video_path(120, seed=21, dup_rate=0.3))
+    out = video_dedupe(ds, cfg, every_n=1, num_actors=2)
     pdf = out.select_columns(["video_id"]).to_pandas().sort_values("video_id")
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
@@ -1073,7 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats_synth": _image_stats_synth,  # SQL-checked (DuckDB PPM blob decode parity)
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,  # rows-only (survivor choice is blake2b)
         "image_dhash_clusters_synth": _image_dhash_clusters_synth,  # SQL-checked (dHash computed from raw bytes in DuckDB)
-        "video_dedupe_synth": _video_dedupe_synth,
+        "video_dedupe_synth": _video_dedupe_synth,  # SQL-checked (rawv decode + dHash + LSH + CC in DuckDB)
         "audio_dedupe_synth": _audio_dedupe_synth,
         "audio_stats_synth": _audio_stats_synth,  # SQL-checked (DuckDB RIFF/PCM16 decode parity)
         "cdc_dedupe_synth": _cdc_dedupe_synth,  # SQL-checked (gear-hash chunker re-run in DuckDB)
@@ -1150,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
     # validated bit-for-bit vs the numpy kernels in tests/test_sql_oracle.py
     from daft_minhash_dedupe_ray import sql_oracle as _so
     from daft_minhash_dedupe_ray.functions.audio import cached_audio_path as _cap
+    from daft_minhash_dedupe_ray.functions.video import cached_video_path as _cvp
     from daft_minhash_dedupe_ray.synth import cached_table_path as _ctp
 
     _ns_path = _ctp(2000, seed=42)  # idempotent; same file the queries read
@@ -1166,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
             _ctp(300, seed=42, with_images=True)
         ),
         "cdc_dedupe_synth": _so.cdc_stats_sql(_ctp(300, seed=42, with_images=True)),
+        "video_dedupe_synth": _so.video_keep_sql(_cvp(120, seed=21, dup_rate=0.3), 24, 18),
         # flagship + hash-kernel dedupe family
         "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
         "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),

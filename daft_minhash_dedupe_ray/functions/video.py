@@ -325,3 +325,27 @@ def synth_video_table_with_dups(
         }
     )
     return pa.concat_tables([base, dup]), pairs
+
+
+def cached_video_path(
+    n: int,
+    seed: int = 21,
+    dup_rate: float = 0.3,
+    cache_dir: str = "/tmp/graft_synth_cache",
+) -> str:
+    """Idempotently persist the ``synth_video_table_with_dups`` fixture and
+    return its path — the registered video queries and their DuckDB oracles
+    read this same file so the correctness gate compares byte-identical
+    payloads (mirrors ``synth.cached_table_path``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    p = os.path.join(cache_dir, f"oracle_video_{n}_{seed}_{int(dup_rate * 100)}.parquet")
+    if not os.path.exists(p):
+        tmp = f"{p}.tmp.{os.getpid()}"
+        t, _pairs = synth_video_table_with_dups(n, seed=seed, dup_rate=dup_rate)
+        pq.write_table(t, tmp, row_group_size=16384)
+        os.replace(tmp, p)
+    return p

@@ -211,13 +211,23 @@ def lsh_bands_select(
 
     if bands is None or rows is None:
         bands, rows = optimal_param(threshold, num_perm)
-    a_c, b_c = _perm_constants(num_perm, seed)
     sh = shingles_select(tokens_select(table, id_col=id_col, text_col=text_col), ngram)
+    return bands_from_shingles_select(sh, num_perm, bands, rows, seed)
+
+
+def bands_from_shingles_select(
+    shingles_sub: str, num_perm: int, bands: int, rows: int, seed: int
+) -> str:
+    """Subquery mapping ``shingles_sub`` (doc_id, sh) — 32-bit shingle
+    values — to ``(doc_id, bk)``: one row per LSH band key, exactly the
+    engine's ``minhash_signatures`` + ``band_keys`` (docs absent from
+    ``shingles_sub`` emit no rows, mirroring ``has_sig``)."""
+    a_c, b_c = _perm_constants(num_perm, seed)
     sig_cols = ", ".join(
         f"min((sh * {a_c[p]} + {b_c[p]}) % 4294967291) AS s{p}"
         for p in range(bands * rows)
     )
-    sig = f"(SELECT doc_id, {sig_cols} FROM {sh} s GROUP BY doc_id)"
+    sig = f"(SELECT doc_id, {sig_cols} FROM {shingles_sub} s GROUP BY doc_id)"
     # band key b: splitmix64(fold of seeds[b] over the band's R sig values).
     # Two statement-size traps here (both hit in round 3): a nested R-deep
     # Horner doubles per level (1.2 MB SQL, minutes of binding), and carrying
@@ -1025,4 +1035,126 @@ def cdc_stats_sql(parquet_path: str, mask_bits: int = 11, id_col: str = "image_i
                round(CAST(sum(clen) AS DOUBLE)
                      / greatest(CAST(sum(clen * n) AS BIGINT), 1), 6) AS dedup_ratio
         FROM uniq
+    """
+
+
+def video_frame_dhash_select(
+    parquet_path: str, frame_w: int, frame_h: int, id_col: str = "video_id"
+) -> str:
+    """Subquery producing ``(video_id, fidx, dh)`` — the engine's per-frame
+    ``dhash64`` over the rawv payload, computed inside DuckDB: the body
+    starts after the first newline (hex '0A'; the ASCII header cannot
+    alias it mid-byte — no header byte is 0x?0 followed by 0xA?), each
+    frame is ``frame_w*frame_h*3`` bytes, and the block grid / exact
+    cross-multiplied comparisons mirror ``dhash_select``.  Non-rawv / null
+    payloads emit nothing."""
+    import numpy as np
+
+    fb = frame_w * frame_h * 3
+    yi = np.linspace(0, frame_h, 9).astype(int)
+    xi = np.linspace(0, frame_w, 10).astype(int)
+    assert (np.diff(yi) > 0).all() and (np.diff(xi) > 0).all(), "frame too small"
+    xw = np.diff(xi)
+
+    def ladder(bounds, var: str) -> str:
+        cl = " ".join(
+            f"WHEN {var} < {int(bounds[i + 1])} THEN {i}" for i in range(len(bounds) - 2)
+        )
+        return f"(CASE {cl} ELSE {len(bounds) - 2} END)"
+
+    by_expr = ladder(yi, f"(((bidx % {fb}) // 3) // {frame_w})")
+    bx_expr = ladder(xi, f"(((bidx % {fb}) // 3) % {frame_w})")
+    xw_r = " ".join(f"WHEN {c} THEN {int(xw[c + 1])}" for c in range(8))
+    xw_l = " ".join(f"WHEN {c} THEN {int(xw[c])}" for c in range(8))
+    return f"""
+        (WITH __vd_src AS MATERIALIZED (
+            SELECT {id_col} AS video_id, hex("bytes") AS hx,
+                   (position('0A' IN hex("bytes")) + 1) // 2 AS bstart,
+                   strlen(hex("bytes")) // 2 AS ntot
+            FROM read_parquet('{parquet_path}')
+            WHERE fmt = 'rawv' AND "bytes" IS NOT NULL
+        ),
+        __vd_chunks AS (
+            SELECT video_id, ntot - bstart AS nb, j,
+                   CAST('0x' || rpad(substring(hx, CAST(1 + 2*bstart + 16*j AS BIGINT), 16),
+                                     16, '0') AS UBIGINT) AS x
+            FROM __vd_src, unnest(range((ntot - bstart + 7) // 8)) AS u(j)
+        ),
+        __vd_pix AS (
+            SELECT video_id, CAST(8*j + k AS BIGINT) AS bidx,
+                   CAST((x >> CAST(8*(7 - k) AS UBIGINT)) & 255 AS BIGINT) AS val, nb
+            FROM __vd_chunks, unnest(range(8)) AS kk(k)
+            WHERE 8*j + k < nb
+        ),
+        __vd_blocks AS MATERIALIZED (
+            SELECT video_id, bidx // {fb} AS fidx,
+                   {by_expr} AS by, {bx_expr} AS bx, sum(val) AS s
+            FROM __vd_pix GROUP BY 1, 2, 3, 4
+        ),
+        __vd_cmp AS (
+            SELECT l.video_id, l.fidx, l.by, l.bx AS c,
+                   CASE WHEN l.s * (CASE l.bx {xw_r} END)
+                         > r.s * (CASE l.bx {xw_l} END)
+                        THEN 1 ELSE 0 END AS bit
+            FROM __vd_blocks l JOIN __vd_blocks r
+              ON l.video_id = r.video_id AND l.fidx = r.fidx
+                 AND l.by = r.by AND r.bx = l.bx + 1
+            WHERE l.bx < 8
+        )
+        SELECT video_id, fidx,
+               CAST(sum(CAST(bit AS HUGEINT)
+                        * (CAST(1 AS HUGEINT) << (63 - (by*8 + c)))) AS UBIGINT) AS dh
+        FROM __vd_cmp GROUP BY video_id, fidx)
+    """
+
+
+def video_keep_sql(
+    parquet_path: str,
+    frame_w: int,
+    frame_h: int,
+    threshold: float = 0.2,
+    num_perm: int = 64,
+    seed: int = 42,
+    id_col: str = "video_id",
+) -> str:
+    """Oracle for ``functions.video.video_dedupe`` (every_n=1, 1-gram
+    temporal shingles): per-frame dHashes computed FROM THE RAW rawv BYTES,
+    shingles = distinct ``splitmix64(dh) >> 32`` per video, the engine's
+    seeded MinHash/LSH banding (``bands_from_shingles_select``), band-share
+    edges, recursive-CTE connected components, survivor = min video_id per
+    component (the union-find rep IS the min u64 node id, and integer ids
+    hash to themselves).  Videos with no frames (non-rawv, null) emit no
+    bands and are always kept."""
+    from .config import optimal_param
+
+    bands, rows = optimal_param(threshold, num_perm)
+    dhs = video_frame_dhash_select(parquet_path, frame_w, frame_h, id_col=id_col)
+    sh_mixed = chain_select(
+        f"SELECT video_id, dh FROM {dhs} __v", sm64_steps("dh", "m", "vs")
+    )
+    shingles = (
+        f"(SELECT DISTINCT video_id AS doc_id, (m >> 32) AS sh FROM {sh_mixed} __m)"
+    )
+    # the engine draws make_permutations(bands*rows) — when optimal_param
+    # uses fewer than num_perm permutations (b*r <= num_perm search), the
+    # constant stream differs from a num_perm draw, so bake exactly b*r
+    bandq = bands_from_shingles_select(shingles, bands * rows, bands, rows, seed)
+    return f"""
+        WITH RECURSIVE vbands AS MATERIALIZED (SELECT * FROM {bandq} bq),
+        edge AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM vbands a JOIN vbands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        rep AS (
+            SELECT u, least(u, min(v)) AS rep FROM reach GROUP BY u
+        )
+        SELECT t.{id_col} AS video_id FROM read_parquet('{parquet_path}') t
+        WHERE t.{id_col} NOT IN (SELECT u FROM rep WHERE u <> rep)
+        ORDER BY video_id
     """

@@ -434,3 +434,23 @@ def test_sql_cdc_stats_bit_exact(con):
         pq.write_table(t, p)
         got = duckdb.sql(so.cdc_stats_sql(p)).fetchone()
     assert tuple(got) == want
+
+
+def test_sql_video_keep_end_to_end():
+    """video_keep_sql == video_dedupe survivor set on a small fixture with
+    planted trimmed+noisy duplicates (frame dHash, MinHash bands and CC all
+    recomputed from the raw rawv bytes inside DuckDB)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.video import cached_video_path, video_dedupe
+
+    path = cached_video_path(40, seed=5, dup_rate=0.4)
+    cfg = DedupeConfig(
+        index_col="video_id", content_col="bytes", phash_col=None, threshold=0.2
+    )
+    out = video_dedupe(rd.read_parquet(path), cfg, every_n=1, num_actors=2)
+    eng = sorted(out.select_columns(["video_id"]).to_pandas()["video_id"].tolist())
+    ora = [r[0] for r in duckdb.sql(so.video_keep_sql(path, 24, 18)).fetchall()]
+    assert eng == ora
+    assert len(ora) < 40 + 16  # some planted dups must collapse
