@@ -655,8 +655,9 @@ def _semantic_dedupe_docs(sf_dir: str):
 def _embed_ann_topk(sf_dir: str):
     """Composition showcase: deterministic feature-hashed text embeddings
     (actor-pool inference stage) -> brute-force cosine top-k against doc 0.
-    Rows-only (the embedding is hash-based, not SQL-expressible); embedding
-    semantics are oracle-tested in tests/test_corpus_ops.py."""
+    SQL-checked — the oracle rebuilds the feature-hashing embedder and the
+    exact cosine top-k in DuckDB (sql_oracle.embed_ann_topk_sql); embedding
+    semantics are also oracle-tested in tests/test_corpus_ops.py."""
     import numpy as np
 
     from daft_minhash_dedupe_ray.functions.embed import embed_documents
@@ -784,9 +785,11 @@ def _ivf_topk(sf_dir: str):
 
 def _image_dedupe_synth(sf_dir: str):
     """Flagship image+caption dedupe on the deterministic synthetic table
-    (BASELINE.json input_hint shape) — rows-only (the SURVIVOR choice is by
-    hashed node id, blake2b, not SQL-expressible; the cluster PARTITION is
-    SQL-checked by image_clusters_synth); the exact e2e oracle lives in
+    (BASELINE.json input_hint shape).  SQL-checked END-TO-END — the oracle
+    reproduces caption MinHash/LSH bands, pHash Hamming pairs, connected
+    components AND the min-node-hash survivor choice in DuckDB
+    (sql_oracle.image_dedupe_keep_sql; node ids are SQL-expressible since
+    hashing.id_hash64_str_array); the exact e2e oracle also lives in
     tests/test_pipeline_e2e.py."""
     import ray.data as rd
 
@@ -810,7 +813,7 @@ def _image_clusters_synth(sf_dir: str):
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
-    from daft_minhash_dedupe_ray.hashing import hash64_str_array
+    from daft_minhash_dedupe_ray.hashing import id_hash64_str_array
     from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
     from daft_minhash_dedupe_ray.synth import cached_table_path
 
@@ -822,7 +825,7 @@ def _image_clusters_synth(sf_dir: str):
     import pyarrow.parquet as pq_
 
     ids = pq_.read_table(path, columns=["image_id"])["image_id"].to_pylist()
-    node_of = hash64_str_array(ids)
+    node_of = id_hash64_str_array(ids)
     apdf = assign.to_pandas()  # (u, rep) — clustered nodes only, small
     rep_of = dict(zip(apdf["u"].astype("uint64"), apdf["rep"].astype("uint64")))
     import collections
@@ -885,17 +888,21 @@ def _image_stats_synth(sf_dir: str):
 
 def _image_dedupe_dhash_synth(sf_dir: str):
     """Pixel-side near-dup removal from the decoded payloads alone (dHash
-    gradient fingerprint -> Hamming banding -> cluster -> merge) — rows-only;
-    planted-pair recall is asserted in tests/test_image_fp.py."""
+    gradient fingerprint -> Hamming banding -> cluster -> merge).
+    SQL-checked — the oracle recomputes every dHash from the raw PPM bytes,
+    the Hamming<=k graph and the min-node-hash survivor choice in DuckDB
+    (sql_oracle.image_dhash_keep_sql); planted-pair recall is asserted in
+    tests/test_image_fp.py."""
+    import pyarrow.parquet as pq_
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.config import DedupeConfig
     from daft_minhash_dedupe_ray.functions.multimodal import image_fingerprint_candidates
     from daft_minhash_dedupe_ray.stages.merge import merge_keep
     from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
-    from daft_minhash_dedupe_ray.synth import generate_table
+    from daft_minhash_dedupe_ray.synth import cached_table_path
 
-    t = generate_table(300, seed=42, with_images=True)
+    t = pq_.read_table(cached_table_path(300, seed=42, with_images=True))
     cfg = DedupeConfig(
         index_col="image_id",
         content_col="bytes",
@@ -949,7 +956,7 @@ def _image_dhash_clusters_synth(sf_dir: str):
 
     from daft_minhash_dedupe_ray.config import DedupeConfig
     from daft_minhash_dedupe_ray.functions.multimodal import image_fingerprint_candidates
-    from daft_minhash_dedupe_ray.hashing import hash64_str_array
+    from daft_minhash_dedupe_ray.hashing import id_hash64_str_array
     from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
     from daft_minhash_dedupe_ray.synth import cached_table_path
 
@@ -966,7 +973,7 @@ def _image_dhash_clusters_synth(sf_dir: str):
     edges = image_fingerprint_candidates(rd.read_parquet(path), cfg)
     assign = cluster_edges(edges, num_actors=2)
     ids = pq_.read_table(path, columns=["image_id"])["image_id"].to_pylist()
-    node_of = hash64_str_array(ids)
+    node_of = id_hash64_str_array(ids)
     apdf = assign.to_pandas()
     rep_of = dict(zip(apdf["u"].astype("uint64"), apdf["rep"].astype("uint64")))
     members = collections.defaultdict(list)
@@ -1070,11 +1077,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- tier 1: image+caption flagship + multimodal surfaces
         "minhash_dedupe_docs": _minhash_dedupe_docs,  # SQL-checked (full MinHash+LSH+CC in DuckDB, sql_oracle.py)
-        "image_dedupe_synth": _image_dedupe_synth,  # rows-only (e2e oracle in tests/; partition checked below)
+        "image_dedupe_synth": _image_dedupe_synth,  # SQL-checked (survivor set incl. min-node-hash keeper)
         "image_clusters_synth": _image_clusters_synth,  # SQL-checked (cluster-assignment parity)
         "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # SQL-checked (band OR Hamming drop set)
         "image_stats_synth": _image_stats_synth,  # SQL-checked (DuckDB PPM blob decode parity)
-        "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,  # rows-only (survivor choice is blake2b)
+        "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,  # SQL-checked (survivor set; dHash from raw bytes)
         "image_dhash_clusters_synth": _image_dhash_clusters_synth,  # SQL-checked (dHash computed from raw bytes in DuckDB)
         "video_dedupe_synth": _video_dedupe_synth,  # SQL-checked (rawv decode + dHash + LSH + CC in DuckDB)
         "audio_dedupe_synth": _audio_dedupe_synth,
@@ -1091,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # SQL-checked (banded LSH + verify)
         "embedding_dedupe": _embedding_dedupe,  # SQL-checked (recursive-CTE CC oracle)
         "ann_topk": _ann_topk,  # SQL-checked
+        "embed_ann_topk": _embed_ann_topk,  # SQL-checked (embedder rebuilt in DuckDB + exact cosine top-k)
         "ivf_topk_exact": _ivf_topk_exact,  # SQL-checked (full probe == exact)
         "simhash_dedupe_docs": _simhash_dedupe_docs,  # SQL-checked (Hamming<=k CC oracle)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # SQL-checked (embedder + cosine CC oracle)
@@ -1138,7 +1146,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _quality_scores,  # SQL-checked (consolidated)
         "repetition_scores": _repetition_scores,  # SQL-checked (consolidated)
         "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
-        "embed_ann_topk": _embed_ann_topk,  # rows-only (hash embedder + ANN composition)
         "packed_sequence_texts": _packed_sequence_texts,  # SQL-checked (sequence reconstruction oracle)
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
         "shuffle_export_docs": _shuffle_export_docs,  # SQL-checked (splitmix64 placement oracle)
@@ -1159,7 +1166,12 @@ def oracle_sql() -> dict[str, str]:
     _ns_path = _ctp(2000, seed=42)  # idempotent; same file the queries read
     return {
         # flagship north-star job over the persisted input_hint-shaped table
+        "image_dedupe_synth": _so.image_dedupe_keep_sql(_ns_path),
         "image_clusters_synth": _so.image_clusters_sql(_ns_path),
+        "image_dedupe_dhash_synth": _so.image_dhash_keep_sql(
+            _ctp(300, seed=42, with_images=True)
+        ),
+        "embed_ann_topk": _so.embed_ann_topk_sql(k=10, query_doc=0, dim=128),
         "image_wave_dedupe_synth": _so.image_wave_keep_sql(_ns_path, n_corpus=1000),
         # decoded-payload parity: DuckDB parses the P6 PPM / RIFF PCM16 blobs
         "image_stats_synth": _so.image_stats_sql(

@@ -238,7 +238,7 @@ def image_fingerprint_candidates(
     analogue of ``similarity.simhash_candidates`` / audio's spectral
     fingerprint, feeding the same candidate/cluster/merge machinery.
     Undecodable rows emit nothing."""
-    from ..hashing import hash64_str_array, phash_band_keys
+    from ..hashing import id_hash64_str_array, phash_band_keys
     from ..stages.candidates import KIND_PHASH, candidate_edges
 
     fp_fn = {"dhash": dhash64, "ahash": ahash64, "phash": phash64}[fingerprint]
@@ -256,7 +256,7 @@ def image_fingerprint_candidates(
         fmts = b[fmt_col].to_pylist()
         ids_col = b[id_col]
         if pa.types.is_string(ids_col.type) or pa.types.is_large_string(ids_col.type):
-            ids = hash64_str_array(ids_col.to_pylist())
+            ids = id_hash64_str_array(ids_col)
         else:
             ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         nodes, fps = [], []

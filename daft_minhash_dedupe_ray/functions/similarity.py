@@ -398,7 +398,9 @@ def simhash_candidates(ds, cfg: DedupeConfig, text_col: str, id_col: str):
         cfg_local = cfg
         ids = b[id_col]
         if pa.types.is_string(ids.type):
-            nodes = hash64_str_array(ids.to_pylist())
+            from ..hashing import id_hash64_str_array
+
+            nodes = id_hash64_str_array(ids)
         else:
             nodes = ids.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         sh = simhash64(b[text_col].to_pylist(), ngram_size=1)

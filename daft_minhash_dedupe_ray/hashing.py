@@ -57,6 +57,60 @@ def hash64_str_array(strings) -> np.ndarray:
     return out
 
 
+def id_hash64_str_array(strings) -> np.ndarray:
+    """Vector of surrogate-NODE-ID hashes for short id strings:
+    ``splitmix64(byte_poly(utf8_bytes))`` — the same byte-polynomial fold the
+    token hasher uses, so it is both fully vectorised (one masked pass per
+    byte position; id strings are ~12 bytes) and SQL-expressible
+    (``sql_oracle.poly_fold_expr`` + ``sm64_steps`` reproduce it in DuckDB,
+    which is what lets survivor-set oracles rank cluster members by node id).
+    ASCII ids only (the SQL side folds code points); ``None`` -> 0.
+
+    Content/equality hashing stays on ``hash64_str_array`` (blake2b): for
+    kilobyte texts the per-byte masked fold loses to blake2b's C core ~100x,
+    and equality semantics don't need SQL-rankable values.
+    """
+    import pyarrow as pa
+
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        arr = strings
+    else:
+        arr = pa.array(
+            [s if isinstance(s, str) else None for s in strings], pa.string()
+        )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    starts, L = offs[:-1], np.diff(offs)
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(L.max()) if n else 0):
+            m = L > j
+            h[m] = h[m] * _POLY_P + data[starts[m] + j]
+    out = splitmix64(h)
+    if arr.null_count:
+        out[np.asarray(arr.is_null())] = 0
+    return out
+
+
+def id_hash64_str(s: str) -> int:
+    """Scalar form of ``id_hash64_str_array``."""
+    return int(id_hash64_str_array([s])[0])
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorised splitmix64 finaliser — good avalanche, uint64 in/out."""
     z = (x + _SM_GAMMA).astype(np.uint64)

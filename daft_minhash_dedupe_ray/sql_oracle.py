@@ -357,6 +357,153 @@ def image_union_edges_cte(
     """
 
 
+def node_hash_select(table_or_sub: str, id_col: str = "image_id") -> str:
+    """Subquery producing ``(id_col, nh)`` where ``nh`` is the engine's
+    surrogate NODE ID for string index columns —
+    ``splitmix64(byte_poly(id))``, ``hashing.id_hash64_str_array`` /
+    ``stages/signature.node_ids_for``.  This is what lets survivor-set
+    oracles rank cluster members exactly as the union-find does (rep = min
+    node id)."""
+    inner = f"SELECT DISTINCT {id_col} AS __nid FROM {table_or_sub} __nh_in"
+    q = chain_select(
+        f"SELECT __nid, {poly_fold_expr('__nid')} AS h1 FROM ({inner}) __nh_src",
+        sm64_steps("h1", "nh", "nhx"),
+    )
+    return f"(SELECT __nid AS {id_col}, nh FROM {q} __nhq)"
+
+
+def _keep_by_min_node_hash(
+    imgs_table: str, id_col: str, nh_sub: str
+) -> str:
+    """Tail CTEs + SELECT implementing the engine's merge semantics over a
+    prepared ``sym`` edge CTE: a row survives iff no member of its component
+    has a smaller node hash (``reach`` never contains (u, u), so strict
+    ``<`` is the keeper test; singletons have no reach rows and survive)."""
+    return f"""
+        nh AS MATERIALIZED (SELECT * FROM {nh_sub} __n),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        mins AS (
+            SELECT r.u AS {id_col}, min(b.nh) AS mn
+            FROM reach r JOIN nh b ON b.{id_col} = r.v GROUP BY r.u
+        )
+        SELECT i.{id_col} FROM {imgs_table} i
+        JOIN nh a USING ({id_col})
+        LEFT JOIN mins m USING ({id_col})
+        WHERE m.mn IS NULL OR a.nh < m.mn
+        ORDER BY i.{id_col}
+    """
+
+
+def image_dedupe_keep_sql(parquet_path: str, **kw) -> str:
+    """Survivor-set oracle for the flagship image+caption pipeline: the
+    caption-band UNION pHash candidate graph, connected components, keep the
+    min-NODE-HASH member of every component (plus singletons) — exactly
+    ``MinHashDedupePipeline`` + ``merge_keep`` over the persisted synth
+    table, end to end in DuckDB (node hash via ``node_hash_select``)."""
+    edges = image_union_edges_cte(parquet_path, **kw)
+    keep = _keep_by_min_node_hash("imgs", "image_id", node_hash_select("imgs"))
+    return f"""
+        WITH RECURSIVE {edges},
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        {keep}
+    """
+
+
+def image_dhash_keep_sql(
+    parquet_path: str,
+    max_hamming: int = 6,
+    img_w: int = 32,
+    img_h: int = 32,
+) -> str:
+    """Survivor-set oracle for pixel-side dHash near-dup dedupe: dHashes
+    computed FROM THE RAW PPM BYTES in DuckDB (``dhash_select``), semantic
+    Hamming<=k pair graph (== the engine's band-then-verify path by
+    pigeonhole), connected components, keep min-node-hash members.
+    Undecodable rows never enter the graph and always survive."""
+    dh = dhash_select(parquet_path, img_w=img_w, img_h=img_h)
+    all_ids = f"(SELECT image_id FROM read_parquet('{parquet_path}'))"
+    keep = _keep_by_min_node_hash(
+        f"{all_ids}", "image_id", node_hash_select(all_ids)
+    )
+    return f"""
+        WITH RECURSIVE dhs AS MATERIALIZED (SELECT * FROM {dh} __d),
+        edge AS MATERIALIZED (
+            SELECT a.image_id AS u, b.image_id AS v
+            FROM dhs a JOIN dhs b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+        ),
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        {keep}
+    """
+
+
+def embed_ann_topk_sql(
+    k: int = 10,
+    query_doc: int = 0,
+    dim: int = 128,
+    embed_seed: int = 0x5EED,
+    table: str = "documents",
+) -> str:
+    """Oracle for the embed->ANN composition: the feature-hashing embedder
+    (same CTE pipeline as ``semantic_dedupe_sql``: signed unigram + 2-gram
+    counts, L2-normalised, float32 storage) scored by exact cosine against
+    ``query_doc``'s embedding, top-``k`` by (sim DESC, doc_id ASC), output
+    the kept doc_ids sorted."""
+    import numpy as np
+
+    from .hashing import splitmix64 as _sm
+
+    mix = _sm(np.arange(2, dtype=np.uint64) ^ np.uint64(embed_seed))
+    toks = tokens_select(table)
+    th = token_hash_select(toks)
+    gram_fold = addmod64(mulmod64("a.tokh", _POLY_P), "b.tokh")
+    grams = chain_select(
+        f"SELECT a.doc_id, {gram_fold} AS gf FROM {th} a "
+        f"JOIN {th} b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1",
+        sm64_steps("gf", "gramh", "gr"),
+    )
+    feats = (
+        f"(SELECT doc_id, xor(tokh, CAST({int(mix[0])} AS UBIGINT)) AS fx FROM {th} u "
+        f"UNION ALL "
+        f"SELECT doc_id, xor(gramh, CAST({int(mix[1])} AS UBIGINT)) AS fx FROM {grams} g)"
+    )
+    hashed = chain_select(f"SELECT * FROM {feats} f", sm64_steps("fx", "h", "fh"))
+    return f"""
+        WITH contrib AS MATERIALIZED (
+            SELECT doc_id, CAST(h % {dim} AS INT) AS idx,
+                   CASE WHEN (h >> 63) & 1 = 1 THEN -1.0 ELSE 1.0 END AS s
+            FROM {hashed} q
+        ),
+        vec AS MATERIALIZED (
+            SELECT doc_id, idx, CAST(sum(s) AS DOUBLE) AS val
+            FROM contrib GROUP BY doc_id, idx HAVING sum(s) <> 0
+        ),
+        nrm AS MATERIALIZED (SELECT doc_id, sqrt(sum(val * val)) AS n1 FROM vec GROUP BY doc_id),
+        v32 AS MATERIALIZED (
+            SELECT v.doc_id, v.idx,
+                   CAST(CAST(v.val / greatest(n.n1, 1e-12) AS FLOAT) AS DOUBLE) AS f
+            FROM vec v JOIN nrm n USING (doc_id)
+        ),
+        n2 AS MATERIALIZED (SELECT doc_id, greatest(sqrt(sum(f * f)), 1e-12) AS nn FROM v32 GROUP BY doc_id),
+        sims AS (
+            SELECT a.doc_id,
+                   sum(a.f * q.f) / (na.nn * nq.nn) AS sim
+            FROM v32 a
+            JOIN v32 q ON q.doc_id = {query_doc} AND q.idx = a.idx
+            JOIN n2 na ON na.doc_id = a.doc_id
+            JOIN n2 nq ON nq.doc_id = {query_doc}
+            GROUP BY a.doc_id, na.nn, nq.nn
+        )
+        SELECT doc_id FROM (
+            SELECT doc_id FROM sims ORDER BY sim DESC, doc_id ASC LIMIT {k}
+        ) ORDER BY doc_id
+    """
+
+
 def image_clusters_sql(parquet_path: str, **kw) -> str:
     """Cluster-assignment parity oracle for the flagship image+caption
     pipeline: connected components of the caption-band UNION pHash graph,

