@@ -678,9 +678,12 @@ def _embed_ann_topk(sf_dir: str):
 
 
 def _approx_distinct_tokens_per_lang(sf_dir: str):
-    """HyperLogLog grouped distinct (rows-only: approximate by design; the
-    exact variant distinct_tokens_per_lang is SQL-checked and serves as this
-    sketch's oracle in tests/test_sketch.py)."""
+    """HyperLogLog grouped distinct.  SQL-checked — the sketch is
+    deterministic given the token hashes, so the oracle rebuilds the FULL
+    HLL (register ranks via exact integer bit-length, indicator sum as an
+    exact HUGEINT rational, Flajolet estimate) in DuckDB
+    (sql_oracle.hll_distinct_sql); accuracy vs the exact variant is also
+    asserted in tests/test_sketch.py."""
     from daft_minhash_dedupe_ray.functions.sketch import approx_distinct_per_group
 
     return approx_distinct_per_group(_read_docs(sf_dir), group_col="lang")
@@ -1145,7 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_token_counts": _distinct_token_counts,  # SQL-checked (consolidated)
         "quality_scores": _quality_scores,  # SQL-checked (consolidated)
         "repetition_scores": _repetition_scores,  # SQL-checked (consolidated)
-        "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # rows-only (HLL)
+        "approx_distinct_tokens_per_lang": _approx_distinct_tokens_per_lang,  # SQL-checked (full HLL rebuilt in DuckDB)
         "packed_sequence_texts": _packed_sequence_texts,  # SQL-checked (sequence reconstruction oracle)
         "cluster_embeddings": _cluster_embeddings,  # rows-only (k-means; numpy oracle in tests/)
         "shuffle_export_docs": _shuffle_export_docs,  # SQL-checked (splitmix64 placement oracle)
@@ -1172,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             _ctp(300, seed=42, with_images=True)
         ),
         "embed_ann_topk": _so.embed_ann_topk_sql(k=10, query_doc=0, dim=128),
+        "approx_distinct_tokens_per_lang": _so.hll_distinct_sql(p=12),
         "image_wave_dedupe_synth": _so.image_wave_keep_sql(_ns_path, n_corpus=1000),
         # decoded-payload parity: DuckDB parses the P6 PPM / RIFF PCM16 blobs
         "image_stats_synth": _so.image_stats_sql(

@@ -66,11 +66,22 @@ def merge_registers(regs: np.ndarray) -> np.ndarray:
 
 def estimate(reg: np.ndarray) -> float:
     """Flajolet bias-corrected estimate with the small-range (linear
-    counting) correction; 64-bit hashes need no large-range correction."""
+    counting) correction; 64-bit hashes need no large-range correction.
+
+    The indicator sum ``sum_j 2^-M_j`` is computed as an EXACT integer
+    rational ``S / 2^Rmax`` (Python bigints) and rounded to float64 once —
+    bit-identical to any other evaluation order, which is what lets the
+    DuckDB oracle (``sql_oracle.hll_distinct_sql``) reproduce the estimate
+    exactly (numpy's pairwise float summation would not be)."""
     m = len(reg)
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    inv = np.ldexp(1.0, -reg.astype(np.int64))  # 2^-M_j, exact in float64
-    e = alpha * m * m / inv.sum()
+    r_max = int(reg.max()) if m else 0
+    # S = sum 2^(Rmax - M_j) fits in ~Rmax + log2(m) bits; counting registers
+    # by value keeps it O(distinct values) Python-int ops
+    vals, counts = np.unique(reg, return_counts=True)
+    s_int = sum(int(c) << (r_max - int(v)) for v, c in zip(vals, counts))
+    inv_sum = s_int / (1 << r_max)  # one correctly-rounded float64 division
+    e = alpha * m * m / inv_sum
     if e <= 2.5 * m:
         v = int((reg == 0).sum())
         if v:

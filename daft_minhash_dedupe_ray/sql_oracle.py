@@ -504,6 +504,78 @@ def embed_ann_topk_sql(
     """
 
 
+def hll_distinct_sql(
+    p: int = 12,
+    group_col: str = "lang",
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle for ``functions.sketch.approx_distinct_per_group``: the FULL
+    HyperLogLog pipeline rebuilt in DuckDB — token hashes, register
+    index/rank (rank via exact integer ``strlen(bin(x))`` bit-length, no
+    float log2), per-group max registers, and the Flajolet estimate.  The
+    engine computes the indicator sum as the exact rational ``S / 2^Rmax``
+    rounded to float64 once (``sketch.estimate``), which this reproduces
+    with HUGEINT sums; the bias constant ``alpha*m*m`` is baked as the
+    Python-computed float's shortest repr inside CAST(... AS DOUBLE) so
+    DuckDB's DECIMAL literal parsing can't perturb it."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    amm = alpha * m * m  # engine evaluates alpha*m*m left-assoc; bake the result
+    rank_cap = 64 - p + 1
+    toks = tokens_select(table, id_col="doc_id", text_col=text_col)
+    dh = chain_select(
+        f"SELECT tok, {poly_fold_expr('tok')} AS h1 "
+        f"FROM (SELECT DISTINCT tok FROM {toks} t) __ht",
+        sm64_steps("h1", "tokh", "hh"),
+    )
+    rest = mulmod64("tokh", 1 << p)
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT DISTINCT d.{group_col} AS grp, t.tok
+            FROM {toks} t JOIN {table} d USING (doc_id)
+        ),
+        ph AS MATERIALIZED (
+            SELECT DISTINCT grp, tokh FROM pairs JOIN {dh} __dh USING (tok)
+        ),
+        ranked AS (
+            SELECT grp, CAST(tokh >> {64 - p} AS BIGINT) AS idx,
+                   {rest} AS rest
+            FROM ph
+        ),
+        regs AS (
+            SELECT grp, idx,
+                   max(LEAST(64 - (CASE WHEN rest = 0 THEN 0
+                                        ELSE strlen(bin(rest)) END) + 1,
+                             {rank_cap})) AS reg
+            FROM ranked GROUP BY grp, idx
+        ),
+        ga AS (
+            SELECT grp, max(reg) AS rmax, count(*) AS npresent FROM regs GROUP BY grp
+        ),
+        s AS (
+            SELECT r.grp, a.rmax, a.npresent,
+                   sum(CAST(1 AS HUGEINT) << (a.rmax - r.reg))
+                     + ({m} - a.npresent) * (CAST(1 AS HUGEINT) << a.rmax) AS s_int
+            FROM regs r JOIN ga a USING (grp)
+            GROUP BY r.grp, a.rmax, a.npresent
+        ),
+        est AS (
+            SELECT grp,
+                   CAST('{amm!r}' AS DOUBLE)
+                     / (CAST(s_int AS DOUBLE)
+                        / CAST(CAST(1 AS HUGEINT) << rmax AS DOUBLE)) AS e0,
+                   {m} - npresent AS v
+            FROM s
+        )
+        SELECT grp AS {group_col},
+               CAST(round(CASE WHEN e0 <= 2.5 * {m} AND v > 0
+                               THEN {m} * ln(CAST({m} AS DOUBLE) / v)
+                               ELSE e0 END) AS BIGINT) AS n_distinct_approx
+        FROM est ORDER BY grp
+    """
+
+
 def image_clusters_sql(parquet_path: str, **kw) -> str:
     """Cluster-assignment parity oracle for the flagship image+caption
     pipeline: connected components of the caption-band UNION pHash graph,

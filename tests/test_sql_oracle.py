@@ -501,3 +501,38 @@ def test_sql_image_dedupe_keep_end_to_end():
     ora = [r[0] for r in duckdb.sql(so.image_dedupe_keep_sql(path)).fetchall()]
     assert eng == ora
     assert len(ora) < 300  # the synth table plants duplicates
+
+
+def test_sql_hll_distinct_matches_sketch():
+    """hll_distinct_sql == the engine's HLL registers + estimate on a small
+    two-group fixture (register ranks, exact-rational indicator sum and the
+    rounded Flajolet estimate all reproduced in DuckDB)."""
+    from daft_minhash_dedupe_ray.functions.sketch import (
+        estimate,
+        registers_from_hashes,
+    )
+    from daft_minhash_dedupe_ray.hashing import token_hashes_flat
+
+    texts = [
+        "the quick brown fox",
+        "jumps over the lazy dog",
+        "pack my box",
+        "five dozen jugs",
+        "the quick quick",
+    ]
+    langs = ["en", "en", "fr", "fr", "en"]
+    c2 = duckdb.connect()
+    c2.execute(
+        "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, unnest(?) AS text, unnest(?) AS lang",
+        [list(range(5)), texts, langs],
+    )
+    got = dict(c2.execute(so.hll_distinct_sql(p=12)).fetchall())
+    ref = {}
+    for g in ("en", "fr"):
+        toks = set()
+        for t, l in zip(texts, langs):
+            if l == g:
+                toks.update(t.split())
+        th, _ = token_hashes_flat(sorted(toks))
+        ref[g] = int(round(estimate(registers_from_hashes(th, 12))))
+    assert got == ref
