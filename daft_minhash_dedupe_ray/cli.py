@@ -72,6 +72,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip (and report) validation above this many candidate edges",
     )
     p.add_argument(
+        "--estimate-recall",
+        type=int,
+        default=0,
+        metavar="K",
+        help="after the run, estimate dup-pair recall against the exact "
+        "Jaccard truth by shingle-bucket sampling at rate 1/K "
+        "(Horvitz-Thompson weighted; K=1 = exact over all true pairs); "
+        "prints [RECALL] and adds a 'recall' report field — the bounded "
+        "at-scale form of the north-star recall>=0.99 acceptance check",
+    )
+    p.add_argument(
         "--span-scope",
         choices=["cross_doc", "any"],
         default="cross_doc",
@@ -180,6 +191,20 @@ def main(argv: list[str] | None = None) -> int:
         if v["validated"] and not v["passed"]:
             print(json.dumps(report))
             return 1
+
+    if args.estimate_recall:
+        from .functions.recall import estimate_pair_recall
+
+        r = estimate_pair_recall(
+            pipe.prep(ds), assign, cfg, k_buckets=args.estimate_recall
+        )
+        report["recall"] = r
+        rec = r.get("recall")
+        print(
+            f"[RECALL] {'n/a (no sampled pairs)' if rec is None else f'{rec:.4f}'}"
+            f" over {r['n_sampled_pairs']} sampled true pairs (K={r['k_buckets']})",
+            file=sys.stderr,
+        )
 
     manifest = partitioned_save(out, args.output, chunk_size=args.chunk_size)
     report["output"] = args.output

@@ -1,0 +1,233 @@
+"""Per-run dup-pair recall estimation by shingle-bucket sampling.
+
+The north-star acceptance metric is dup-pair recall >= 0.99 against the
+exact Jaccard oracle at the configured shingle/signature config
+(BASELINE.json).  The exact oracle (``oracle.oracle_dup_pairs``) is O(n^2)
+and test-only; at corpus scale a run needs a bounded, distributed ESTIMATE
+of the same quantity.  This module provides it:
+
+1. **Sample shingle buckets, not documents.**  Uniform doc sampling at rate
+   p observes a true pair only with probability p^2 — useless at scale.
+   Instead, a shingle value ``sh`` is "sampled" when
+   ``splitmix64(sh ^ mix(seed)) % k_buckets == 0``.  Every true pair
+   (Jaccard >= t > 0) shares at least one shingle, so it is observed with
+   probability ``1 - (1 - 1/K)^I`` where ``I`` is the pair's shingle
+   intersection size — large and computable.
+2. **Exact verification inside sampled buckets.**  Docs emit one row per
+   sampled shingle carrying their full distinct-shingle-hash set; a
+   partition-granular exchange co-locates each bucket, and every in-bucket
+   pair gets an exact Jaccard from the two sorted sets (vectorless numpy
+   set intersection — groups are tiny; a ``max_group`` cap skips
+   boilerplate mega-buckets and reports how many).
+3. **Horvitz-Thompson weighting.**  Each distinct true pair contributes
+   weight ``w = 1 / (1 - (1 - 1/K)^I)`` — the inverse of its inclusion
+   probability — so the weighted same-cluster fraction is an unbiased
+   estimate of recall over the full true-pair population.
+
+Caption side only, by design: the pHash side's banding guarantees recall
+1.0 for Hamming < phash_bands by pigeonhole (no sampling needed — it is a
+theorem, not a probability).  Jaccard here is over 32-bit shingle hashes
+(like the MinHash itself), not raw token tuples; the collision bias is
+negligible for an estimator.
+
+Scale shape: the sampled volume is ~``rows * E[|S|] / K`` bucket rows, each
+carrying one doc's shingle set — K tunes the cost; one keyed exchange; the
+verified pair set is small and the assignment lookup filters (broadcast
+endpoint set) rather than shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..config import DedupeConfig
+from ..hashing import shingle_hashes, splitmix64
+from ..stages.signature import node_ids_for
+from ..text import normalize_array
+
+_U64 = np.uint64
+
+_BUCKET_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.uint64()),
+        ("node", pa.uint64()),
+        ("sset", pa.list_(pa.uint64())),
+    ]
+)
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("u", pa.uint64()),
+        ("v", pa.uint64()),
+        ("isect", pa.int64()),
+        ("skipped_group", pa.int64()),  # 0 for pair rows; group size for skip markers
+    ]
+)
+
+
+def _emit_sampled(batch: pa.Table, cfg: DedupeConfig, k_buckets: int, seed: int) -> pa.Table:
+    nodes = node_ids_for(batch, cfg)
+    norm = normalize_array(batch[cfg.content_col], cfg.normalize)
+    flat, offsets = shingle_hashes(norm, cfg.ngram_size, cfg.min_length)
+    n = len(nodes)
+    mix = splitmix64(np.array([seed], dtype=np.uint64))[0]
+    out_bucket, out_node, out_set = [], [], []
+    for d in range(n):
+        ss = flat[offsets[d] : offsets[d + 1]]
+        if len(ss) == 0:
+            continue
+        uset = np.unique(ss)
+        sampled = uset[splitmix64(uset ^ mix) % _U64(k_buckets) == 0]
+        for b in sampled:
+            out_bucket.append(int(b))
+            out_node.append(int(nodes[d]))
+            out_set.append(uset)
+    if not out_bucket:
+        return _BUCKET_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "bucket": pa.array(out_bucket, pa.uint64()),
+            "node": pa.array(out_node, pa.uint64()),
+            "sset": pa.array([s.tolist() for s in out_set], pa.list_(pa.uint64())),
+        }
+    )
+
+
+def _verify_buckets(t: pa.Table, threshold: float, max_group: int) -> pa.Table:
+    if len(t) == 0:
+        return _PAIR_SCHEMA.empty_table()
+    bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    node = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(bucket, kind="stable")
+    bucket, node = bucket[order], node[order]
+    sets = t["sset"].combine_chunks().take(pa.array(order))
+    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+    ends = np.r_[starts[1:], len(bucket)]
+    u_o, v_o, i_o, sk_o = [], [], [], []
+    for s, e in zip(starts, ends):
+        g = e - s
+        if g < 2:
+            continue
+        if g > max_group:
+            u_o.append(0)
+            v_o.append(0)
+            i_o.append(0)
+            sk_o.append(int(g))
+            continue
+        gsets = [
+            np.asarray(sets[int(s + i)].as_py(), dtype=np.uint64) for i in range(g)
+        ]
+        gnodes = node[s:e]
+        for a in range(g):
+            for b in range(a + 1, g):
+                if gnodes[a] == gnodes[b]:
+                    continue
+                isect = len(np.intersect1d(gsets[a], gsets[b], assume_unique=True))
+                union = len(gsets[a]) + len(gsets[b]) - isect
+                if union and isect / union >= threshold:
+                    u, v = sorted((int(gnodes[a]), int(gnodes[b])))
+                    u_o.append(u)
+                    v_o.append(v)
+                    i_o.append(isect)
+                    sk_o.append(0)
+    return pa.table(
+        {
+            "u": pa.array(u_o, pa.uint64()),
+            "v": pa.array(v_o, pa.uint64()),
+            "isect": pa.array(i_o, pa.int64()),
+            "skipped_group": pa.array(sk_o, pa.int64()),
+        }
+    )
+
+
+def _reps_for_endpoints(assignments, endpoints: np.ndarray) -> dict[int, int]:
+    """{node: rep} for the (small) sampled endpoint set: broadcast the sorted
+    endpoint array, filter assignment batches to matches, collect the hits."""
+    ep_ref = ray.put(np.sort(endpoints))
+
+    def _filter(b: pa.Table) -> pa.Table:
+        eps = ray.get(ep_ref) if isinstance(ep_ref, ray.ObjectRef) else ep_ref
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = np.isin(u, eps, kind="sort")
+        return b.filter(pa.array(m))
+
+    hits = assignments.map_batches(_filter, batch_format="pyarrow").to_pandas()
+    if len(hits) == 0 or "u" not in hits.columns:  # empty blocks drop columns
+        return {}
+    # numpy->python int via .tolist() keeps u64 values positive (a
+    # .astype(int) would wrap >=2^63 into negative int64 keys)
+    return dict(
+        zip(
+            hits["u"].to_numpy(dtype=np.uint64).tolist(),
+            hits["rep"].to_numpy(dtype=np.uint64).tolist(),
+        )
+    )
+
+
+def estimate_pair_recall(
+    ds,
+    assignments,
+    cfg: DedupeConfig,
+    *,
+    k_buckets: int = 64,
+    seed: int = 0xEC0,
+    max_group: int = 256,
+    num_partitions: int = 32,
+) -> dict:
+    """Sampled dup-pair recall of ``assignments`` (u, rep) against the exact
+    Jaccard truth on ``ds``, as a report dict.  ``k_buckets=1`` samples every
+    shingle — the estimate becomes the exact recall (weights all 1)."""
+    from ..stages.util import partition_groupby
+    import functools
+
+    sampled = ds.map_batches(
+        functools.partial(_emit_sampled, cfg=cfg, k_buckets=k_buckets, seed=seed),
+        batch_format="pyarrow",
+    )
+    pairs_ds = partition_groupby(
+        sampled,
+        ["bucket"],
+        functools.partial(_verify_buckets, threshold=cfg.threshold, max_group=max_group),
+        _PAIR_SCHEMA,
+        num_partitions=num_partitions,
+    )
+    pdf = pairs_ds.to_pandas()  # sampled pairs + skip markers: small by construction
+    skipped = pdf[pdf["skipped_group"] > 0]
+    pairs = pdf[pdf["skipped_group"] == 0]
+    # the same pair surfaces once per sampled shared shingle; keep max isect
+    # (isect is pair-intrinsic — dedupe is just row dedupe)
+    if len(pairs):
+        pairs = (
+            pairs.groupby(["u", "v"], as_index=False)
+            .agg(isect=("isect", "max"))
+            .reset_index(drop=True)
+        )
+    n_pairs = int(len(pairs))
+    report = {
+        "k_buckets": int(k_buckets),
+        "n_sampled_pairs": n_pairs,
+        "n_skipped_groups": int(len(skipped)),
+        "max_skipped_group": int(skipped["skipped_group"].max()) if len(skipped) else 0,
+        "threshold": float(cfg.threshold),
+    }
+    if n_pairs == 0:
+        report.update({"recall": None, "recall_unweighted": None})
+        return report
+    endpoints = np.unique(
+        np.concatenate(
+            [pairs["u"].to_numpy(dtype=np.uint64), pairs["v"].to_numpy(dtype=np.uint64)]
+        )
+    )
+    rep_of = _reps_for_endpoints(assignments, endpoints)
+    u = pairs["u"].to_numpy(dtype=np.uint64).tolist()
+    v = pairs["v"].to_numpy(dtype=np.uint64).tolist()
+    same = np.array(
+        [rep_of.get(a, a) == rep_of.get(b, b) for a, b in zip(u, v)], dtype=bool
+    )
+    isect = pairs["isect"].to_numpy(dtype=np.float64)
+    w = 1.0 / (1.0 - (1.0 - 1.0 / k_buckets) ** isect)
+    report["recall"] = float((w * same).sum() / w.sum())
+    report["recall_unweighted"] = float(same.mean())
+    return report

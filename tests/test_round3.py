@@ -374,3 +374,79 @@ def test_token_count_profile_matches_parts(ray_session):
     assert (
         prof["n_distinct_tokens"].to_numpy() == dc["n_distinct_tokens"].to_numpy()
     ).all()
+
+
+# ---------------------------------------------------------------- recall est
+
+
+def _recall_fixture(n=120, seed=3):
+    """Synth caption table + its exact oracle truth."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.stages.signature import node_ids_for
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(n, seed=seed).select(["image_id", "caption"])
+    cfg = DedupeConfig(phash_col=None)
+    nodes = node_ids_for(t, cfg).tolist()
+    return rd.from_arrow(t), t, cfg, nodes
+
+
+def test_estimate_recall_k1_matches_exact_oracle(ray_session):
+    """k_buckets=1 samples every shingle, so the estimate must equal the
+    exact dup-pair recall of the pipeline's assignments (weights all 1)."""
+    from daft_minhash_dedupe_ray.functions.recall import estimate_pair_recall
+    from daft_minhash_dedupe_ray.oracle import (
+        dup_pair_recall,
+        oracle_dup_pairs,
+    )
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    ds, t, cfg, nodes = _recall_fixture()
+    pipe = MinHashDedupePipeline(cfg)
+    out, assign, _ = pipe.run_with_report(ds, num_actors=2)
+    r = estimate_pair_recall(pipe.prep(ds), assign, cfg, k_buckets=1)
+    truth = oracle_dup_pairs(nodes, t["caption"].to_pylist(), cfg)
+    apdf = assign.to_pandas()
+    pred = dict(
+        zip(
+            apdf["u"].to_numpy(dtype="uint64").tolist(),
+            apdf["rep"].to_numpy(dtype="uint64").tolist(),
+        )
+    )
+    exact = dup_pair_recall(pred, truth)
+    assert r["n_sampled_pairs"] >= 1
+    assert abs(r["recall"] - exact) < 1e-12
+    assert r["recall_unweighted"] == r["recall"]  # K=1 -> all weights 1
+
+
+def test_estimate_recall_detects_missing_clusters(ray_session):
+    """Feeding EMPTY assignments (nothing clustered) must drive the estimate
+    to 0 over the sampled true pairs — the estimator actually measures."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.recall import estimate_pair_recall
+
+    ds, t, cfg, nodes = _recall_fixture()
+    empty_assign = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.uint64()), "rep": pa.array([], pa.uint64())})
+    )
+    r = estimate_pair_recall(ds, empty_assign, cfg, k_buckets=1)
+    assert r["n_sampled_pairs"] >= 1 and r["recall"] == 0.0
+
+
+def test_estimate_recall_sampled_weights(ray_session):
+    """At K>1 the estimator still reports 1.0 when every true pair is
+    clustered (weights scale, ratio does not), on a planted-dup fixture."""
+    from daft_minhash_dedupe_ray.functions.recall import estimate_pair_recall
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    ds, t, cfg, nodes = _recall_fixture(n=300, seed=11)
+    pipe = MinHashDedupePipeline(cfg)
+    out, assign, _ = pipe.run_with_report(ds, num_actors=2)
+    r = estimate_pair_recall(pipe.prep(ds), assign, cfg, k_buckets=4, seed=0xAB)
+    # recall 1.0 was proven vs the exact oracle (test above / e2e suite);
+    # the sampled estimate must agree on its subset
+    if r["n_sampled_pairs"]:
+        assert r["recall"] == 1.0
