@@ -83,6 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
         "at-scale form of the north-star recall>=0.99 acceptance check",
     )
     p.add_argument(
+        "--estimate-precision",
+        type=int,
+        default=0,
+        metavar="K",
+        help="after the run, sample whole clusters at rate 1/K and report "
+        "exact-Jaccard pair purity within them (the precision complement "
+        "of --estimate-recall); prints [PURITY] and adds a 'precision' "
+        "report field",
+    )
+    p.add_argument(
         "--span-scope",
         choices=["cross_doc", "any"],
         default="cross_doc",
@@ -203,6 +213,20 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"[RECALL] {'n/a (no sampled pairs)' if rec is None else f'{rec:.4f}'}"
             f" over {r['n_sampled_pairs']} sampled true pairs (K={r['k_buckets']})",
+            file=sys.stderr,
+        )
+
+    if args.estimate_precision:
+        from .functions.recall import estimate_cluster_precision
+
+        pr = estimate_cluster_precision(
+            pipe.prep(ds), assign, cfg, k_clusters=args.estimate_precision
+        )
+        report["precision"] = pr
+        pp = pr.get("pair_purity")
+        print(
+            f"[PURITY] {'n/a (no sampled clusters)' if pp is None else f'{pp:.4f}'}"
+            f" over {pr['n_sampled_clusters']} sampled clusters (K={pr['k_clusters']})",
             file=sys.stderr,
         )
 

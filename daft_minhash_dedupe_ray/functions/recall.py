@@ -166,6 +166,187 @@ def _reps_for_endpoints(assignments, endpoints: np.ndarray) -> dict[int, int]:
     )
 
 
+@ray.remote
+def _sampled_members_remote(k_clusters: int, seed: int, *tables):
+    """Collect (u, rep) rows of clusters whose rep hash-samples in — runs as
+    a task so full assignment blocks never land on the driver; returns
+    (u_sorted, rep_aligned) for broadcast."""
+    mix = splitmix64(np.array([seed ^ 0x5A5A], dtype=np.uint64))[0]
+    us, rs = [], []
+    for t in tables:
+        if t is None or len(t) == 0:
+            continue
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = t["rep"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = splitmix64(r ^ mix) % _U64(k_clusters) == 0
+        us.append(u[m])
+        rs.append(r[m])
+    if not us:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    u = np.concatenate(us)
+    r = np.concatenate(rs)
+    o = np.argsort(u, kind="stable")
+    return u[o], r[o]
+
+
+_MEMBER_SCHEMA = pa.schema(
+    [("rep", pa.uint64()), ("node", pa.uint64()), ("sset", pa.list_(pa.uint64()))]
+)
+
+_PURITY_SCHEMA = pa.schema(
+    [
+        ("rep", pa.uint64()),
+        ("n_members", pa.int64()),
+        ("n_pairs", pa.int64()),
+        ("n_true", pa.int64()),
+        ("truncated", pa.int64()),
+    ]
+)
+
+
+def _emit_members(batch: pa.Table, cfg: DedupeConfig, mem_ref) -> pa.Table:
+    u_sorted, rep_aligned = ray.get(mem_ref) if isinstance(mem_ref, ray.ObjectRef) else mem_ref
+    if len(u_sorted) == 0:
+        return _MEMBER_SCHEMA.empty_table()
+    nodes = node_ids_for(batch, cfg)
+    pos = np.searchsorted(u_sorted, nodes)
+    pos_c = np.minimum(pos, len(u_sorted) - 1)
+    hit = u_sorted[pos_c] == nodes
+    if not hit.any():
+        return _MEMBER_SCHEMA.empty_table()
+    idx = np.flatnonzero(hit)
+    norm = normalize_array(batch[cfg.content_col], cfg.normalize)
+    flat, offsets = shingle_hashes(norm, cfg.ngram_size, cfg.min_length)
+    reps, nds, ssets = [], [], []
+    for d in idx:
+        reps.append(int(rep_aligned[pos_c[d]]))
+        nds.append(int(nodes[d]))
+        ssets.append(np.unique(flat[offsets[d] : offsets[d + 1]]).tolist())
+    return pa.table(
+        {
+            "rep": pa.array(reps, pa.uint64()),
+            "node": pa.array(nds, pa.uint64()),
+            "sset": pa.array(ssets, pa.list_(pa.uint64())),
+        }
+    )
+
+
+def _purity_partition(t: pa.Table, threshold: float, max_pairs: int) -> pa.Table:
+    if len(t) == 0:
+        return _PURITY_SCHEMA.empty_table()
+    rep = t["rep"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(rep, kind="stable")
+    rep = rep[order]
+    sets = t["sset"].combine_chunks().take(pa.array(order))
+    starts = np.flatnonzero(np.r_[True, rep[1:] != rep[:-1]])
+    ends = np.r_[starts[1:], len(rep)]
+    rows = {k: [] for k in ("rep", "n_members", "n_pairs", "n_true", "truncated")}
+    for s, e in zip(starts, ends):
+        g = int(e - s)
+        gsets = [np.asarray(sets[int(s + i)].as_py(), dtype=np.uint64) for i in range(g)]
+        n_pairs = n_true = 0
+        truncated = 0
+        for a in range(g):
+            if n_pairs >= max_pairs:
+                truncated = 1
+                break
+            for b in range(a + 1, g):
+                if n_pairs >= max_pairs:
+                    truncated = 1
+                    break
+                isect = len(np.intersect1d(gsets[a], gsets[b], assume_unique=True))
+                union = len(gsets[a]) + len(gsets[b]) - isect
+                n_pairs += 1
+                if union and isect / union >= threshold:
+                    n_true += 1
+        rows["rep"].append(int(rep[s]))
+        rows["n_members"].append(g)
+        rows["n_pairs"].append(n_pairs)
+        rows["n_true"].append(n_true)
+        rows["truncated"].append(truncated)
+    return pa.table(
+        {
+            "rep": pa.array(rows["rep"], pa.uint64()),
+            "n_members": pa.array(rows["n_members"], pa.int64()),
+            "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+            "n_true": pa.array(rows["n_true"], pa.int64()),
+            "truncated": pa.array(rows["truncated"], pa.int64()),
+        }
+    )
+
+
+# sampled-member broadcast above this raises (pick a bigger K instead)
+MEMBER_BROADCAST_LIMIT = 20_000_000
+
+
+def estimate_cluster_precision(
+    ds,
+    assignments,
+    cfg: DedupeConfig,
+    *,
+    k_clusters: int = 16,
+    seed: int = 0xEC0,
+    max_pairs_per_cluster: int = 2000,
+    num_partitions: int = 32,
+) -> dict:
+    """Cluster PURITY (the precision complement of ``estimate_pair_recall``):
+    sample whole clusters at rate 1/``k_clusters`` by representative hash,
+    gather the sampled members' shingle sets in one corpus pass (broadcast
+    sorted member array — size-guarded; raise K for bigger corpora), and
+    exact-Jaccard every within-cluster pair (capped per cluster).  Because
+    merging is transitive, within-cluster pairs below threshold are not
+    necessarily WRONG — they measure how far transitive closure strays from
+    the pairwise-similar core (the reference merges the same way), so this
+    reports pair purity + exact-duplicate-free cluster fraction rather than
+    calling them errors."""
+    import functools
+
+    mem_ref = _sampled_members_remote.remote(
+        k_clusters, seed, *assignments.to_arrow_refs()
+    )
+    u_sorted, rep_aligned = ray.get(mem_ref)
+    if len(u_sorted) > MEMBER_BROADCAST_LIMIT:
+        raise ValueError(
+            f"{len(u_sorted)} sampled members exceed MEMBER_BROADCAST_LIMIT; "
+            f"raise k_clusters (got {k_clusters})"
+        )
+    report = {
+        "k_clusters": int(k_clusters),
+        "n_sampled_members": int(len(u_sorted)),
+        "n_sampled_clusters": int(len(np.unique(rep_aligned))),
+        "threshold": float(cfg.threshold),
+    }
+    if len(u_sorted) == 0:
+        report.update({"pair_purity": None, "mean_cluster_purity": None})
+        return report
+    pack_ref = ray.put((u_sorted, rep_aligned))
+    members = ds.map_batches(
+        functools.partial(_emit_members, cfg=cfg, mem_ref=pack_ref),
+        batch_format="pyarrow",
+    )
+    from ..stages.util import partition_groupby
+
+    purity = partition_groupby(
+        members,
+        ["rep"],
+        functools.partial(
+            _purity_partition, threshold=cfg.threshold, max_pairs=max_pairs_per_cluster
+        ),
+        _PURITY_SCHEMA,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    purity = purity[purity["n_pairs"] > 0]
+    if len(purity) == 0:
+        report.update({"pair_purity": None, "mean_cluster_purity": None})
+        return report
+    report["pair_purity"] = float(purity["n_true"].sum() / purity["n_pairs"].sum())
+    report["mean_cluster_purity"] = float(
+        (purity["n_true"] / purity["n_pairs"]).mean()
+    )
+    report["n_truncated_clusters"] = int(purity["truncated"].sum())
+    return report
+
+
 def estimate_pair_recall(
     ds,
     assignments,

@@ -450,3 +450,64 @@ def test_estimate_recall_sampled_weights(ray_session):
     # the sampled estimate must agree on its subset
     if r["n_sampled_pairs"]:
         assert r["recall"] == 1.0
+
+
+def test_estimate_precision_pure_clusters(ray_session):
+    """Exact-duplicate clusters must report pair purity 1.0 at K=1."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.recall import estimate_cluster_precision
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    caps = ["alpha beta gamma delta epsilon zeta"] * 3 + [
+        "one two three four five six"
+    ] * 2 + ["totally unrelated words appear here now"]
+    t = pa.table(
+        {
+            "image_id": pa.array([f"p{i}" for i in range(len(caps))], pa.string()),
+            "caption": pa.array(caps),
+        }
+    )
+    cfg = DedupeConfig(phash_col=None)
+    pipe = MinHashDedupePipeline(cfg)
+    out, assign, _ = pipe.run_with_report(rd.from_arrow(t), num_actors=2)
+    r = estimate_cluster_precision(pipe.prep(rd.from_arrow(t)), assign, cfg, k_clusters=1)
+    assert r["n_sampled_clusters"] == 2
+    assert r["pair_purity"] == 1.0 and r["mean_cluster_purity"] == 1.0
+
+
+def test_estimate_precision_detects_false_merge(ray_session):
+    """Injecting a bogus assignment that merges two unrelated docs must pull
+    pair purity below 1.0 — the estimator measures, not decorates."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.recall import estimate_cluster_precision
+    from daft_minhash_dedupe_ray.stages.signature import node_ids_for
+
+    caps = [
+        "alpha beta gamma delta epsilon zeta",
+        "completely different caption text entirely",
+        "yet another unrelated string of words",
+    ]
+    t = pa.table(
+        {
+            "image_id": pa.array(["x0", "x1", "x2"], pa.string()),
+            "caption": pa.array(caps),
+        }
+    )
+    cfg = DedupeConfig(phash_col=None)
+    nodes = node_ids_for(t, cfg)
+    rep = min(int(nodes[0]), int(nodes[1]))
+    bogus = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([int(nodes[0]), int(nodes[1])], pa.uint64()),
+                "rep": pa.array([rep, rep], pa.uint64()),
+            }
+        )
+    )
+    r = estimate_cluster_precision(rd.from_arrow(t), bogus, cfg, k_clusters=1)
+    assert r["n_sampled_clusters"] == 1
+    assert r["pair_purity"] == 0.0
