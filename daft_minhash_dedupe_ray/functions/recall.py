@@ -68,29 +68,45 @@ _PAIR_SCHEMA = pa.schema(
 
 
 def _emit_sampled(batch: pa.Table, cfg: DedupeConfig, k_buckets: int, seed: int) -> pa.Table:
+    """One row per (sampled shingle, doc), carrying the doc's full distinct
+    shingle set.  This pass runs over the WHOLE corpus, so it is fully
+    vectorised: one (row, shingle) lexsort dedupes per-doc sets, one hash
+    pass picks the sampled occurrences, and the per-emission set copies are
+    a single segment gather into an Arrow ListArray."""
+    from ..hashing import _segment_aranges
+
     nodes = node_ids_for(batch, cfg)
     norm = normalize_array(batch[cfg.content_col], cfg.normalize)
     flat, offsets = shingle_hashes(norm, cfg.ngram_size, cfg.min_length)
     n = len(nodes)
-    mix = splitmix64(np.array([seed], dtype=np.uint64))[0]
-    out_bucket, out_node, out_set = [], [], []
-    for d in range(n):
-        ss = flat[offsets[d] : offsets[d + 1]]
-        if len(ss) == 0:
-            continue
-        uset = np.unique(ss)
-        sampled = uset[splitmix64(uset ^ mix) % _U64(k_buckets) == 0]
-        for b in sampled:
-            out_bucket.append(int(b))
-            out_node.append(int(nodes[d]))
-            out_set.append(uset)
-    if not out_bucket:
+    if len(flat) == 0:
         return _BUCKET_SCHEMA.empty_table()
+    row_id = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((flat, row_id))
+    r_s, f_s = row_id[order], flat[order]
+    keep = np.r_[True, (r_s[1:] != r_s[:-1]) | (f_s[1:] != f_s[:-1])]
+    r_u, f_u = r_s[keep], f_s[keep]  # distinct shingles per row, row-major
+    mix = splitmix64(np.array([seed], dtype=np.uint64))[0]
+    samp = splitmix64(f_u ^ mix) % _U64(k_buckets) == 0
+    if not samp.any():
+        return _BUCKET_SCHEMA.empty_table()
+    cnt = np.bincount(r_u, minlength=n).astype(np.int64)
+    uoffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt, out=uoffs[1:])
+    em = np.flatnonzero(samp)
+    em_row, em_bucket = r_u[em], f_u[em]
+    lens = cnt[em_row]  # >= 1 by construction (the sampled shingle is in the set)
+    gidx = np.repeat(uoffs[em_row], lens) + _segment_aranges(lens)
+    loffs = np.zeros(len(em_row) + 1, dtype=np.int64)
+    np.cumsum(lens, out=loffs[1:])
+    sset = pa.ListArray.from_arrays(
+        pa.array(loffs, pa.int32()), pa.array(f_u[gidx], pa.uint64())
+    )
     return pa.table(
         {
-            "bucket": pa.array(out_bucket, pa.uint64()),
-            "node": pa.array(out_node, pa.uint64()),
-            "sset": pa.array([s.tolist() for s in out_set], pa.list_(pa.uint64())),
+            "bucket": pa.array(em_bucket, pa.uint64()),
+            "node": pa.array(nodes[em_row], pa.uint64()),
+            "sset": sset,
         }
     )
 
