@@ -91,6 +91,20 @@ def _normalize_docs(sf_dir: str):
     return _read_docs(sf_dir).map_batches(norm, batch_format="pyarrow")
 
 
+def _corpus_assembly_docs(sf_dir: str):
+    """End-to-end training-corpus assembly composition: exact-quantile
+    quality gate -> exact dedupe -> MinHash/LSH near-dup dedupe ->
+    ExactSubstr span removal, one streaming chain
+    (pipelines/corpus.assemble_corpus).  SQL-checked — the oracle chains the
+    four proven stage oracles over the same input
+    (sql_oracle.corpus_assembly_sql), pinning the stage hand-offs."""
+    from daft_minhash_dedupe_ray.pipelines.corpus import assemble_corpus
+
+    out = assemble_corpus(_read_docs(sf_dir), num_actors=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _top_tokens(sf_dir: str):
     from daft_minhash_dedupe_ray.functions.textops import top_tokens
 
@@ -1091,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_stats_synth": _audio_stats_synth,  # SQL-checked (DuckDB RIFF/PCM16 decode parity)
         "cdc_dedupe_synth": _cdc_dedupe_synth,  # SQL-checked (gear-hash chunker re-run in DuckDB)
         # ---- tier 2: dedup / similarity family
+        "corpus_assembly_docs": _corpus_assembly_docs,  # SQL-checked (4-stage composition, hand-offs pinned)
         "exact_dedup_docs": _exact_dedup_docs,  # SQL-checked
         "incremental_dedupe_docs": _incremental_dedupe_docs,  # SQL-checked (ingest wave vs snapshot)
         "incremental_dedupe_indexed_docs": _incremental_dedupe_indexed_docs,  # SQL-checked (Bloom-pruned hash index)
@@ -1176,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embed_ann_topk": _so.embed_ann_topk_sql(k=10, query_doc=0, dim=128),
         "approx_distinct_tokens_per_lang": _so.hll_distinct_sql(p=12),
+        "corpus_assembly_docs": _so.corpus_assembly_sql(),
         "image_wave_dedupe_synth": _so.image_wave_keep_sql(_ns_path, n_corpus=1000),
         # decoded-payload parity: DuckDB parses the P6 PPM / RIFF PCM16 blobs
         "image_stats_synth": _so.image_stats_sql(

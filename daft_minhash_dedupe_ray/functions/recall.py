@@ -294,6 +294,9 @@ def _purity_partition(t: pa.Table, threshold: float, max_pairs: int) -> pa.Table
 # sampled-member broadcast above this raises (pick a bigger K instead)
 MEMBER_BROADCAST_LIMIT = 20_000_000
 
+# driver-side sampled-pair collection above this raises (pick a bigger K)
+PAIR_COLLECT_LIMIT = 5_000_000
+
 
 def estimate_cluster_precision(
     ds,
@@ -390,7 +393,25 @@ def estimate_pair_recall(
         _PAIR_SCHEMA,
         num_partitions=num_partitions,
     )
-    pdf = pairs_ds.to_pandas()  # sampled pairs + skip markers: small by construction
+    # sampled pairs + skip markers: small by construction, but K must scale
+    # with the corpus — collect incrementally and fail loudly instead of
+    # OOMing the driver when it doesn't
+    import pandas as pd
+
+    chunks, n_rows = [], 0
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        chunks.append(b.to_pandas())
+        n_rows += len(b)
+        if n_rows > PAIR_COLLECT_LIMIT:
+            raise ValueError(
+                f">{PAIR_COLLECT_LIMIT} sampled pairs; raise k_buckets "
+                f"(got {k_buckets})"
+            )
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else _PAIR_SCHEMA.empty_table().to_pandas()
+    )
     skipped = pdf[pdf["skipped_group"] > 0]
     pairs = pdf[pdf["skipped_group"] == 0]
     # the same pair surfaces once per sampled shared shingle; keep max isect

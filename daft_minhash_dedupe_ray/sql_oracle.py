@@ -504,6 +504,74 @@ def embed_ann_topk_sql(
     """
 
 
+def corpus_assembly_sql(
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    ngram: int = 5,
+    seed: int = 42,
+    quality_q: float = 0.25,
+    span_min_len: int = 30,
+    table: str = "documents",
+) -> str:
+    """End-to-end oracle for ``pipelines.corpus.assemble_corpus``: the four
+    stage oracles chained over one input — exact corpus-quantile quality
+    gate, GROUP-BY-text exact dedupe, the full MinHash/LSH/CC survivor
+    statement embedded as a derived table over the exact-dedupe survivors,
+    and the ExactSubstr span reconstruction over the near-dedupe survivors.
+    Checks the stage HAND-OFFS, not just each operator."""
+    keep_stmt = minhash_cc_keep_sql(
+        threshold, num_perm, ngram, seed, table="(SELECT doc_id, text FROM ed)"
+    )
+    g_max = span_min_len - 1
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            FROM {table}
+        ),
+        qf AS (
+            SELECT d.doc_id, d.text FROM {table} d JOIN tok USING (doc_id)
+            WHERE tok.n_tokens >= (SELECT quantile_cont(n_tokens, {quality_q}) FROM tok)
+        ),
+        ed AS (
+            SELECT doc_id, text FROM qf
+            WHERE doc_id IN (SELECT min(doc_id) FROM qf GROUP BY text)
+        ),
+        nd AS (
+            SELECT e.doc_id, e.text FROM ed e
+            WHERE e.doc_id IN (SELECT doc_id FROM ({keep_stmt}) __keep)
+        ),
+        pos AS (
+            SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM nd
+        ),
+        g AS (
+            SELECT doc_id, i, substr(text, i, {span_min_len}) AS gram
+            FROM pos WHERE i <= length(text) - {g_max}
+        ),
+        dir AS (
+            SELECT gram, min(doc_id) AS m FROM g
+            GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        ),
+        cuts AS (
+            SELECT g.doc_id, g.i FROM g
+            JOIN dir ON g.gram = dir.gram WHERE g.doc_id > dir.m
+        ),
+        cov AS (
+            SELECT p.doc_id, p.i, substr(p.text, p.i, 1) AS ch,
+                   count(c.i) > 0 AS covered
+            FROM pos p LEFT JOIN cuts c
+              ON c.doc_id = p.doc_id AND p.i >= c.i AND p.i < c.i + {span_min_len}
+            GROUP BY p.doc_id, p.i, ch
+        )
+        SELECT doc_id,
+               coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT covered),
+                        '') AS text,
+               count(*) FILTER (WHERE covered) AS n_spans_removed
+        FROM cov GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def hll_distinct_sql(
     p: int = 12,
     group_col: str = "lang",

@@ -536,3 +536,40 @@ def test_sql_hll_distinct_matches_sketch():
         th, _ = token_hashes_flat(sorted(toks))
         ref[g] = int(round(estimate(registers_from_hashes(th, 12))))
     assert got == ref
+
+
+def test_sql_corpus_assembly_end_to_end(ray_session):
+    """corpus_assembly_sql == assemble_corpus on a small synthetic docs
+    table: the 4-stage composition (quality gate -> exact dedupe -> MinHash
+    near-dedupe -> span removal) must agree row-for-row including the
+    cleaned text and removed-span counts."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.pipelines.corpus import assemble_corpus
+
+    rng = np.random.RandomState(5)
+    words = np.array([f"tok{i}" for i in range(40)])
+    texts = [" ".join(words[rng.choice(40, rng.randint(2, 30))]) for _ in range(120)]
+    for i in range(0, 40, 4):
+        texts[i + 1] = texts[i]  # exact dups
+    for i in range(40, 80, 4):
+        texts[i + 1] = texts[i] + " extraword"  # near dups
+    shared = " ".join(words[rng.choice(40, 12)])
+    texts[100] = texts[100] + " " + shared
+    texts[101] = texts[101] + " " + shared  # long duplicated span
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(120), pa.int64()), "text": pa.array(texts)}
+    )
+    eng = (
+        assemble_corpus(rd.from_arrow(t), num_actors=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    c2 = duckdb.connect()
+    c2.register("documents", t)
+    ora = c2.execute(so.corpus_assembly_sql()).df()
+    assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert eng["text"].tolist() == ora["text"].tolist()
+    assert eng["n_spans_removed"].tolist() == ora["n_spans_removed"].tolist()
+    assert len(eng) < 120  # stages actually dropped rows
