@@ -136,6 +136,11 @@ def run_bench() -> dict:
     # sample anyway and the recorded probes are the audit trail.
     gate_gbs = float(os.environ.get("GRAFT_MEMBW_GATE_GBS", "7"))
     wait_left = float(os.environ.get("GRAFT_MEMBW_WAIT_S", "150"))
+    # corroboration alone can lock in a mediocre window (r3: two ~25s
+    # samples at ~14 GB/s corroborated each other while the host's good
+    # windows run ~18 GB/s and ~13s); require the BEST sample to have landed
+    # in a good window before stopping early, else keep sampling to budget
+    good_gbs = float(os.environ.get("GRAFT_MEMBW_GOOD_GBS", "15"))
 
     def gated_probe() -> float:
         nonlocal wait_left
@@ -161,7 +166,10 @@ def run_bench() -> dict:
         if len(samples) >= max(2, n_min):
             s = sorted(samples)
             corroborated = s[1] <= s[0] * 1.15
-            if corroborated or time.perf_counter() - t_bench0 > budget_s:
+            best_probe = sample_membw[samples.index(min(samples))]
+            if (corroborated and best_probe >= good_gbs) or (
+                time.perf_counter() - t_bench0 > budget_s
+            ):
                 break
     headline = min(samples)
     queries["image_dedupe"] = round(headline, 3)
