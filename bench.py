@@ -179,6 +179,31 @@ def run_bench() -> dict:
         "headline_membw_probes": sample_membw,
     }
 
+    # north-star metric clause 1 (dup-pair recall >= 0.99): estimate it on
+    # the benched run's own assignments via shingle-bucket sampling +
+    # Horvitz-Thompson weights (functions/recall.py; K=1 would be the exact
+    # oracle).  Runs AFTER the timing samples so the headline wall is
+    # unaffected; scaling children disable it (GRAFT_BENCH_RECALL=0).
+    if os.environ.get("GRAFT_BENCH_RECALL", "1") != "0":
+        from daft_minhash_dedupe_ray.functions.recall import estimate_pair_recall
+
+        try:
+            t0 = time.perf_counter()
+            rep = estimate_pair_recall(
+                pipe.prep(rd.read_parquet(img_path)),
+                assign,
+                pipe.cfg,
+                k_buckets=int(os.environ.get("GRAFT_RECALL_K", "64")),
+            )
+            headline_detail["recall_estimate"] = {
+                "recall": rep.get("recall"),
+                "n_sampled_pairs": rep.get("n_sampled_pairs"),
+                "k_buckets": rep.get("k_buckets"),
+                "wall_s": round(time.perf_counter() - t0, 2),
+            }
+        except Exception as e:  # never fail the bench artifact over the probe
+            headline_detail["recall_estimate"] = {"error": str(e)[:200]}
+
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         return {
             "metric": "image+caption near-dup dedupe wall time (synthetic, north-star 128/16 config)",
@@ -309,6 +334,7 @@ def run_scaling() -> dict:
             GRAFT_BENCH_ROWS=str(n_rows),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_HEADLINE_SAMPLES="1",  # outer best-of-3 supplies the repeats
+            GRAFT_BENCH_RECALL="0",  # recall probe would skew the timed levels
         )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
