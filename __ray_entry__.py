@@ -720,6 +720,35 @@ def _ann_topk(sf_dir: str):
     )
 
 
+def _bm25_topk_docs(sf_dir: str):
+    """Text-side similarity search: BM25 top-k retrieval of every corpus doc
+    against the 4 smallest-id docs' leading tokens (broadcast-query scan, no
+    shuffle).  SQL-checked — the oracle recomputes tokenization, df/idf and
+    the exact float64 BM25 arithmetic in DuckDB (sql_oracle.bm25_topk_sql);
+    scores round to 6 decimals, ties break on doc_id."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.retrieval import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds)
+
+
+def _image_hamming_topk_synth(sf_dir: str):
+    """Pixel-side similarity search: for each of the 6 smallest decodable
+    images, the 5 Hamming-nearest corpus images by dHash (decode once per
+    row, XOR+popcount vs broadcast queries).  SQL-checked — integer-exact;
+    the oracle recomputes every dHash from the raw PPM bytes in DuckDB
+    (sql_oracle.image_hamming_topk_sql)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.retrieval import image_hamming_topk
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    ds = rd.read_parquet(cached_table_path(300, seed=42, with_images=True))
+    return image_hamming_topk(ds)
+
+
 def _cosine_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -1118,6 +1147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,  # SQL-checked
         "embed_ann_topk": _embed_ann_topk,  # SQL-checked (embedder rebuilt in DuckDB + exact cosine top-k)
         "ivf_topk_exact": _ivf_topk_exact,  # SQL-checked (full probe == exact)
+        "bm25_topk_docs": _bm25_topk_docs,  # SQL-checked (BM25 text retrieval, float parity)
+        "image_hamming_topk_synth": _image_hamming_topk_synth,  # SQL-checked (dHash Hamming retrieval, integer-exact)
         "simhash_dedupe_docs": _simhash_dedupe_docs,  # SQL-checked (Hamming<=k CC oracle)
         "semantic_dedupe_docs": _semantic_dedupe_docs,  # SQL-checked (embedder + cosine CC oracle)
         "lang_id_docs": _lang_id_docs,  # SQL-checked (n-gram heuristic reproduced in SQL)
@@ -1203,6 +1234,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_dedupe_synth": _so.cdc_stats_sql(_ctp(300, seed=42, with_images=True)),
         "video_dedupe_synth": _so.video_keep_sql(_cvp(120, seed=21, dup_rate=0.3), 24, 18),
+        # retrieval family (broadcast-query scans)
+        "bm25_topk_docs": _so.bm25_topk_sql(),
+        "image_hamming_topk_synth": _so.image_hamming_topk_sql(
+            _ctp(300, seed=42, with_images=True)
+        ),
         # flagship + hash-kernel dedupe family
         "minhash_dedupe_docs": _so.minhash_cc_keep_sql(),
         "simhash_dedupe_docs": _so.simhash_cc_keep_sql(max_hamming=3),

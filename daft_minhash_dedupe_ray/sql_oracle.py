@@ -1445,3 +1445,118 @@ def video_keep_sql(
         WHERE t.{id_col} NOT IN (SELECT u FROM rep WHERE u <> rep)
         ORDER BY video_id
     """
+
+
+def bm25_topk_sql(
+    n_queries: int = 4,
+    query_len: int = 6,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """Oracle for ``functions.retrieval.bm25_topk``: the classic BM25
+    ranking recomputed in DuckDB over the same whitespace tokenization
+    (``tokens_select`` / ``token_hash_select`` — the engine's
+    ``token_hashes_flat`` values).  Float parity follows the lm_quality
+    precedent: every arithmetic step mirrors the engine's float64
+    association order exactly (constants emitted via ``repr`` so both
+    runtimes parse identical doubles), per-term contributions are summed in
+    first-occurrence term-rank order via an explicit left-associative
+    pivot, scores are rounded to 6 decimals, and ties break on doc id."""
+    toks = token_hash_select(tokens_select(table))
+    # explicit left-assoc sum over term ranks 1..query_len (missing ranks
+    # contribute exact 0.0, matching the engine's zero tf contributions)
+    arms = " + ".join(
+        f"coalesce(max(CASE WHEN r = {r} THEN c END), 0.0)"
+        for r in range(1, query_len + 1)
+    )
+    return f"""
+        WITH toks AS MATERIALIZED (SELECT * FROM {toks} __t),
+        qdocs AS (SELECT doc_id FROM {table} ORDER BY doc_id LIMIT {n_queries}),
+        qterm0 AS (
+            SELECT t.doc_id AS query_id, t.tokh, min(t.pos) AS fp
+            FROM toks t JOIN qdocs q ON q.doc_id = t.doc_id
+            WHERE t.pos <= {query_len}
+            GROUP BY 1, 2
+        ),
+        qterms AS (
+            SELECT query_id, tokh,
+                   row_number() OVER (PARTITION BY query_id ORDER BY fp) AS r
+            FROM qterm0
+        ),
+        stats AS (SELECT count(*) AS n FROM {table}),
+        dl AS MATERIALIZED (
+            SELECT d.doc_id, coalesce(c.c, 0) AS dl
+            FROM {table} d LEFT JOIN
+                 (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) c USING (doc_id)
+        ),
+        avg AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST((SELECT n FROM stats) AS DOUBLE) AS avgdl FROM dl),
+        tf AS MATERIALIZED (
+            SELECT t.doc_id, t.tokh, count(*) AS tf
+            FROM toks t WHERE t.tokh IN (SELECT DISTINCT tokh FROM qterms)
+            GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT tokh,
+                   ln((CAST((SELECT n FROM stats) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf
+            FROM (SELECT tokh, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1) __df
+        ),
+        contrib AS (
+            SELECT q.query_id, f.doc_id, q.r,
+                   i.idf * (CAST(f.tf AS DOUBLE) * ({k1!r} + 1.0))
+                     / (CAST(f.tf AS DOUBLE)
+                        + {k1!r} * (1.0 - {b!r} + {b!r} * CAST(dl.dl AS DOUBLE)
+                                    / (SELECT avgdl FROM avg))) AS c
+            FROM qterms q
+            JOIN tf f ON f.tokh = q.tokh
+            JOIN idf i ON i.tokh = q.tokh
+            JOIN dl ON dl.doc_id = f.doc_id
+            WHERE f.doc_id <> q.query_id
+        ),
+        scored AS (
+            SELECT query_id, doc_id, round({arms}, 6) AS score
+            FROM contrib GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rn
+            FROM scored
+        )
+        SELECT query_id, doc_id, score FROM ranked WHERE rn <= {k}
+        ORDER BY query_id, score DESC, doc_id
+    """
+
+
+def image_hamming_topk_sql(
+    parquet_path: str,
+    n_queries: int = 6,
+    k: int = 5,
+    img_w: int = 32,
+    img_h: int = 32,
+) -> str:
+    """Oracle for ``functions.retrieval.image_hamming_topk``: dHashes
+    recomputed FROM THE RAW PPM BYTES in DuckDB (``dhash_select``), queries
+    = the ``n_queries`` lexicographically-smallest decodable images, rank =
+    exact integer Hamming distance with image-id tie-break — bit-for-bit
+    comparable, no float anywhere."""
+    dh = dhash_select(parquet_path, img_w=img_w, img_h=img_h)
+    return f"""
+        WITH dhs AS MATERIALIZED (SELECT * FROM {dh} __d),
+        q AS (SELECT image_id AS query_id, dh AS qdh
+              FROM dhs ORDER BY image_id LIMIT {n_queries}),
+        d AS (
+            SELECT q.query_id, i.image_id,
+                   CAST(bit_count(xor(q.qdh, i.dh)) AS BIGINT) AS hamming
+            FROM q JOIN dhs i ON i.image_id <> q.query_id
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY hamming, image_id) AS rn
+            FROM d
+        )
+        SELECT query_id, image_id, hamming FROM r WHERE rn <= {k}
+        ORDER BY query_id, hamming, image_id
+    """
