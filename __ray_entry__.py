@@ -720,6 +720,36 @@ def _ann_topk(sf_dir: str):
     )
 
 
+def _image_text_alignment_synth(sf_dir: str):
+    """LAION/DataComp-style CLIP-score stand-in: deterministic caption tower
+    (feature-hash embedding) x image tower (8x8 block-mean grayscale from
+    the decoded payload), cosine alignment per pair rounded to 6 decimals.
+    SQL-checked — the oracle rebuilds BOTH towers in DuckDB, decoding the
+    raw PPM bytes (sql_oracle.image_text_alignment_sql)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.alignment import alignment_scores
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    ds = rd.read_parquet(cached_table_path(300, seed=42, with_images=True))
+    pdf = alignment_scores(ds, concurrency=2).to_pandas().sort_values("image_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _alignment_filter_synth(sf_dir: str):
+    """The curation gate over the alignment scores: keep pairs at or above
+    the exact corpus 0.3-quantile (sparse-histogram cutoff, no corpus
+    sort).  SQL-checked via quantile_disc (sql_oracle.alignment_filter_sql)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.alignment import alignment_filter
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    ds = rd.read_parquet(cached_table_path(300, seed=42, with_images=True))
+    pdf = alignment_filter(ds, q=0.3, concurrency=2).to_pandas().sort_values("image_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _bm25_topk_docs(sf_dir: str):
     """Text-side similarity search: BM25 top-k retrieval of every corpus doc
     against the 4 smallest-id docs' leading tokens (broadcast-query scan, no
@@ -1129,6 +1159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats_synth": _image_stats_synth,  # SQL-checked (DuckDB PPM blob decode parity)
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,  # SQL-checked (survivor set; dHash from raw bytes)
         "image_dhash_clusters_synth": _image_dhash_clusters_synth,  # SQL-checked (dHash computed from raw bytes in DuckDB)
+        "image_text_alignment_synth": _image_text_alignment_synth,  # SQL-checked (both towers rebuilt in DuckDB)
+        "alignment_filter_synth": _alignment_filter_synth,  # SQL-checked (quantile_disc gate)
         "video_dedupe_synth": _video_dedupe_synth,  # SQL-checked (rawv decode + dHash + LSH + CC in DuckDB)
         "audio_dedupe_synth": _audio_dedupe_synth,
         "audio_stats_synth": _audio_stats_synth,  # SQL-checked (DuckDB RIFF/PCM16 decode parity)
@@ -1234,6 +1266,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_dedupe_synth": _so.cdc_stats_sql(_ctp(300, seed=42, with_images=True)),
         "video_dedupe_synth": _so.video_keep_sql(_cvp(120, seed=21, dup_rate=0.3), 24, 18),
+        # image-text curation family
+        "image_text_alignment_synth": _so.image_text_alignment_sql(
+            _ctp(300, seed=42, with_images=True)
+        ),
+        "alignment_filter_synth": _so.alignment_filter_sql(
+            _ctp(300, seed=42, with_images=True), q=0.3
+        ),
         # retrieval family (broadcast-query scans)
         "bm25_topk_docs": _so.bm25_topk_sql(),
         "image_hamming_topk_synth": _so.image_hamming_topk_sql(

@@ -38,7 +38,7 @@ import pyarrow as pa
 import ray
 
 from ..hashing import hash64_int_pairs, token_hashes_flat
-from ..stages.util import partition_groupby
+from ..stages.util import partition_groupby, sparse_quantile_cutoff
 
 COUNT_SCHEMA = pa.schema([("h", pa.uint64()), ("c", pa.int64()), ("uni", pa.bool_())])
 SCORE_SCHEMA_NAME = "lm_score"
@@ -200,41 +200,7 @@ def lm_quality_filter(
     materialize once (two consumers: the histogram and the filter) as an
     ``(id, float)`` table — 16 bytes/row."""
     scores = lm_quality_scores(ds, id_col, text_col, k, num_partitions, min_count).materialize()
-
-    HIST_SCHEMA = pa.schema([("v", pa.float64()), ("c", pa.int64())])
-
-    def hist_partial(b: pa.Table) -> pa.Table:
-        s = b["lm_score"].to_numpy(zero_copy_only=False)
-        vals, cnt = np.unique(s, return_counts=True)
-        return pa.table({"v": pa.array(vals, pa.float64()), "c": pa.array(cnt.astype(np.int64))})
-
-    def hist_reduce(tab: pa.Table) -> pa.Table:
-        if tab is None or len(tab) == 0:
-            return HIST_SCHEMA.empty_table()
-        v = tab["v"].to_numpy(zero_copy_only=False)
-        c = tab["c"].to_numpy(zero_copy_only=False)
-        order = np.argsort(v)
-        v, c = v[order], c[order]
-        seg = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
-        csum = np.concatenate(([0], np.cumsum(c)))
-        ends = np.concatenate((seg[1:], [len(v)]))
-        return pa.table(
-            {"v": pa.array(v[seg], pa.float64()), "c": pa.array(csum[ends] - csum[seg], pa.int64())}
-        )
-
-    hist = partition_groupby(
-        scores.map_batches(hist_partial, batch_format="pyarrow"),
-        ["v"], hist_reduce, HIST_SCHEMA, num_partitions,
-    )
-    parts = [t for t in ray.get(hist.to_arrow_refs()) if t is not None and len(t)]
-    if not parts:
+    cutoff = sparse_quantile_cutoff(scores, "lm_score", q, num_partitions)
+    if cutoff is None:
         return scores.select_columns([id_col])
-    tab = pa.concat_tables(parts)
-    v = tab["v"].to_numpy(zero_copy_only=False)
-    c = tab["c"].to_numpy(zero_copy_only=False)
-    order = np.argsort(v)
-    v, c = v[order], c[order]
-    n = int(c.sum())
-    target = int(np.ceil(q * n))  # 1-based rank of the quantile_disc value
-    cutoff = float(v[np.searchsorted(np.cumsum(c), target)])
     return scores.filter(expr=f"lm_score <= {cutoff!r}").select_columns([id_col])

@@ -1560,3 +1560,170 @@ def image_hamming_topk_sql(
         SELECT query_id, image_id, hamming FROM r WHERE rn <= {k}
         ORDER BY query_id, hamming, image_id
     """
+
+
+def gray_blocks_select(parquet_path: str, img_w: int = 32, img_h: int = 32) -> str:
+    """Subquery producing ``(image_id, bi, gval)`` — the engine's image
+    tower (``alignment.AlignmentStage._image_vec`` pre-normalisation):
+    decode the P6 PPM payload via the hex-chunk trick, 8x8 exact integer
+    block sums over all channel bytes on the baked linspace grid, then
+    ``gval = blocksum / block_byte_area`` as DOUBLE (exact int operands on
+    both sides).  ``bi = by*8 + bx``."""
+    import numpy as np
+
+    yi = np.linspace(0, img_h, 9).astype(int)
+    xi = np.linspace(0, img_w, 9).astype(int)
+    yw, xw = np.diff(yi), np.diff(xi)
+    assert (yw > 0).all() and (xw > 0).all(), "image too small for an 8x8 grid"
+
+    def ladder(bounds, var: str) -> str:
+        cl = " ".join(
+            f"WHEN {var} < {int(bounds[i + 1])} THEN {i}" for i in range(len(bounds) - 2)
+        )
+        return f"(CASE {cl} ELSE {len(bounds) - 2} END)"
+
+    by_expr = ladder(yi, f"((bidx // 3) // {img_w})")
+    bx_expr = ladder(xi, f"((bidx // 3) % {img_w})")
+    yw_case = "CASE by " + " ".join(f"WHEN {i} THEN {int(yw[i])}" for i in range(8)) + " END"
+    xw_case = "CASE bx " + " ".join(f"WHEN {i} THEN {int(xw[i])}" for i in range(8)) + " END"
+    return f"""
+        (WITH __gb_src AS MATERIALIZED (
+            SELECT image_id, hex("bytes") AS hx,
+                   3 + strlen(CAST(w AS VARCHAR)) + 1
+                     + strlen(CAST(h AS VARCHAR)) + 1 + 4 AS hdr,
+                   w * h * 3 AS nb
+            FROM read_parquet('{parquet_path}')
+            WHERE fmt = 'ppm' AND "bytes" IS NOT NULL
+        ),
+        __gb_chunks AS (
+            SELECT image_id, nb, j,
+                   CAST('0x' || substring(hx, CAST(1 + 2*hdr + 16*j AS BIGINT), 16)
+                        AS UBIGINT) AS x
+            FROM __gb_src, unnest(range((nb + 7) // 8)) AS u(j)
+        ),
+        __gb_pix AS (
+            SELECT image_id, CAST(8*j + k AS BIGINT) AS bidx,
+                   CAST((x >> CAST(8*(7 - k) AS UBIGINT)) & 255 AS BIGINT) AS val, nb
+            FROM __gb_chunks, unnest(range(8)) AS kk(k)
+            WHERE 8*j + k < nb
+        ),
+        __gb_blocks AS (
+            SELECT image_id, {by_expr} AS by, {bx_expr} AS bx, sum(val) AS s
+            FROM __gb_pix GROUP BY 1, 2, 3
+        )
+        SELECT image_id, by*8 + bx AS bi,
+               CAST(s AS DOUBLE) / CAST(({yw_case}) * ({xw_case}) * 3 AS DOUBLE) AS gval
+        FROM __gb_blocks)
+    """
+
+
+def _caption_vec_ctes(
+    parquet_path: str,
+    dim: int,
+    embed_seed: int,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+) -> str:
+    """CTE chain (terminated by ``tnorm``) rebuilding the caption tower —
+    the feature-hashing embedder at float64 (signed unigram + 2-gram
+    counts, L2-normalised; same math as ``embed_ann_topk_sql`` minus the
+    float32 storage round-trip, which ``AlignmentStage`` skips)."""
+    import numpy as np
+
+    from .hashing import splitmix64 as _sm
+
+    mix = _sm(np.arange(2, dtype=np.uint64) ^ np.uint64(embed_seed))
+    toks = tokens_select(f"read_parquet('{parquet_path}')", id_col=id_col, text_col=caption_col)
+    th = token_hash_select(toks)
+    gram_fold = addmod64(mulmod64("a.tokh", _POLY_P), "b.tokh")
+    grams = chain_select(
+        f"SELECT a.doc_id, {gram_fold} AS gf FROM {th} a "
+        f"JOIN {th} b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1",
+        sm64_steps("gf", "gramh", "gr"),
+    )
+    feats = (
+        f"(SELECT doc_id, xor(tokh, CAST({int(mix[0])} AS UBIGINT)) AS fx FROM {th} u "
+        f"UNION ALL "
+        f"SELECT doc_id, xor(gramh, CAST({int(mix[1])} AS UBIGINT)) AS fx FROM {grams} g)"
+    )
+    hashed = chain_select(f"SELECT * FROM {feats} f", sm64_steps("fx", "h", "fh"))
+    return f"""
+        __tc_contrib AS MATERIALIZED (
+            SELECT doc_id, CAST(h % {dim} AS INT) AS idx,
+                   CASE WHEN (h >> 63) & 1 = 1 THEN -1.0 ELSE 1.0 END AS s
+            FROM {hashed} q
+        ),
+        __tc_vec AS MATERIALIZED (
+            SELECT doc_id, idx, CAST(sum(s) AS DOUBLE) AS val
+            FROM __tc_contrib GROUP BY doc_id, idx HAVING sum(s) <> 0
+        ),
+        __tc_nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS n1 FROM __tc_vec GROUP BY doc_id),
+        tnorm AS MATERIALIZED (
+            SELECT v.doc_id, v.idx, v.val / greatest(n.n1, 1e-12) AS val
+            FROM __tc_vec v JOIN __tc_nrm n USING (doc_id)
+        )"""
+
+
+def image_text_alignment_sql(
+    parquet_path: str,
+    dim: int = 64,
+    embed_seed: int = 0x5EED,
+    img_w: int = 32,
+    img_h: int = 32,
+) -> str:
+    """Oracle for ``functions.alignment.alignment_scores``: both towers
+    rebuilt in DuckDB — the caption feature-hash embedding and the image
+    8x8 block-mean vector decoded from the raw PPM bytes — then the
+    centered/normalised cosine, rounded to 6 decimals (``+ 0.0``
+    normalises a ``-0.0`` round on both sides; the engine mirrors it)."""
+    gb = gray_blocks_select(parquet_path, img_w=img_w, img_h=img_h)
+    tc = _caption_vec_ctes(parquet_path, dim, embed_seed)
+    return f"""
+        WITH {tc},
+        gvals AS MATERIALIZED (SELECT * FROM {gb} __g),
+        cent AS (
+            SELECT image_id, bi,
+                   gval - sum(gval) OVER (PARTITION BY image_id) / 64 AS cv
+            FROM gvals
+        ),
+        gn AS (
+            SELECT image_id, greatest(sqrt(sum(cv * cv)), 1e-12) AS n2
+            FROM cent GROUP BY image_id
+        ),
+        gnorm AS MATERIALIZED (
+            SELECT c.image_id, c.bi, c.cv / g.n2 AS c
+            FROM cent c JOIN gn g USING (image_id)
+        ),
+        pairs AS (
+            SELECT g.image_id, sum(t.val * g.c) AS s
+            FROM gnorm g JOIN tnorm t ON t.doc_id = g.image_id AND t.idx = g.bi
+            GROUP BY g.image_id
+        )
+        SELECT i.image_id, round(coalesce(p.s, 0.0), 6) + 0.0 AS align_score
+        FROM (SELECT DISTINCT image_id FROM gvals) i
+        LEFT JOIN pairs p USING (image_id)
+        ORDER BY image_id
+    """
+
+
+def alignment_filter_sql(
+    parquet_path: str,
+    q: float = 0.3,
+    dim: int = 64,
+    embed_seed: int = 0x5EED,
+    img_w: int = 32,
+    img_h: int = 32,
+) -> str:
+    """Oracle for ``functions.alignment.alignment_filter``: keep pairs at
+    or above the exact corpus ``q``-quantile of the rounded alignment
+    scores (``quantile_disc`` == the engine's sparse-histogram cutoff at
+    1-based rank ``ceil(q*n)``)."""
+    inner = image_text_alignment_sql(
+        parquet_path, dim=dim, embed_seed=embed_seed, img_w=img_w, img_h=img_h
+    )
+    return f"""
+        WITH scored AS MATERIALIZED ({inner})
+        SELECT image_id FROM scored
+        WHERE align_score >= (SELECT quantile_disc(align_score, {q!r}) FROM scored)
+        ORDER BY image_id
+    """

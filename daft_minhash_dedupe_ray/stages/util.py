@@ -221,3 +221,65 @@ def partition_groupby_prekeyed(
     ``__p__`` partition column (fused into an upstream pass to save a full
     map over the data)."""
     return raw_partition_exchange(ds, fn, schema, num_partitions)
+
+
+def sparse_quantile_cutoff(
+    scores_ds,
+    col: str,
+    q: float,
+    num_partitions: int = 16,
+) -> float | None:
+    """Exact corpus ``q``-quantile (``quantile_disc`` semantics: the sorted
+    value at 1-based rank ``ceil(q*n)``) of a float score column, without
+    ever sorting the corpus: per-batch ``(value, count)`` partials reduce
+    through one hash exchange into the global sparse histogram (bounded by
+    DISTINCT values — scores are pre-rounded by their producers), whose
+    cumulative counts locate the cutoff on the driver.  Returns ``None``
+    on an empty input.  Shared by the LM perplexity gate and the
+    image-text alignment gate."""
+    import ray as _ray
+
+    HIST_SCHEMA = pa.schema([("v", pa.float64()), ("c", pa.int64())])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        s = b[col].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(s, return_counts=True)
+        return pa.table(
+            {"v": pa.array(vals, pa.float64()), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    def hist_reduce(tab: pa.Table) -> pa.Table:
+        if tab is None or len(tab) == 0:
+            return HIST_SCHEMA.empty_table()
+        v = tab["v"].to_numpy(zero_copy_only=False)
+        c = tab["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        seg = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+        csum = np.concatenate(([0], np.cumsum(c)))
+        ends = np.concatenate((seg[1:], [len(v)]))
+        return pa.table(
+            {
+                "v": pa.array(v[seg], pa.float64()),
+                "c": pa.array(csum[ends] - csum[seg], pa.int64()),
+            }
+        )
+
+    hist = partition_groupby(
+        scores_ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["v"],
+        hist_reduce,
+        HIST_SCHEMA,
+        num_partitions,
+    )
+    parts = [t for t in _ray.get(hist.to_arrow_refs()) if t is not None and len(t)]
+    if not parts:
+        return None
+    tab = pa.concat_tables(parts)
+    v = tab["v"].to_numpy(zero_copy_only=False)
+    c = tab["c"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    n = int(c.sum())
+    target = int(np.ceil(q * n))  # 1-based rank of the quantile_disc value
+    return float(v[np.searchsorted(np.cumsum(c), target)])
