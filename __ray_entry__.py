@@ -720,6 +720,27 @@ def _ann_topk(sf_dir: str):
     )
 
 
+def _image_corpus_assembly_synth(sf_dir: str):
+    """The whole LAION-style curation chain in one composition: alignment
+    quantile gate -> pixel dHash near-dup dedupe -> splitmix64 shard
+    placement, ONE decode per row (24 B/row narrow table after the feature
+    pass).  SQL-checked END-TO-END (sql_oracle.image_corpus_assembly_sql
+    replays both towers, the gate, the Hamming components, the
+    min-node-hash survivor rule and the placement)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.pipelines.image_corpus import assemble_image_corpus
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    ds = rd.read_parquet(cached_table_path(300, seed=42, with_images=True))
+    pdf = (
+        assemble_image_corpus(ds, concurrency=2, num_actors=2)
+        .to_pandas()
+        .sort_values("image_id")
+    )
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _image_text_alignment_synth(sf_dir: str):
     """LAION/DataComp-style CLIP-score stand-in: deterministic caption tower
     (feature-hash embedding) x image tower (8x8 block-mean grayscale from
@@ -1159,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats_synth": _image_stats_synth,  # SQL-checked (DuckDB PPM blob decode parity)
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,  # SQL-checked (survivor set; dHash from raw bytes)
         "image_dhash_clusters_synth": _image_dhash_clusters_synth,  # SQL-checked (dHash computed from raw bytes in DuckDB)
+        "image_corpus_assembly_synth": _image_corpus_assembly_synth,  # SQL-checked (gate -> dedupe -> shard, end to end)
         "image_text_alignment_synth": _image_text_alignment_synth,  # SQL-checked (both towers rebuilt in DuckDB)
         "alignment_filter_synth": _alignment_filter_synth,  # SQL-checked (quantile_disc gate)
         "video_dedupe_synth": _video_dedupe_synth,  # SQL-checked (rawv decode + dHash + LSH + CC in DuckDB)
@@ -1267,6 +1289,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedupe_synth": _so.cdc_stats_sql(_ctp(300, seed=42, with_images=True)),
         "video_dedupe_synth": _so.video_keep_sql(_cvp(120, seed=21, dup_rate=0.3), 24, 18),
         # image-text curation family
+        "image_corpus_assembly_synth": _so.image_corpus_assembly_sql(
+            _ctp(300, seed=42, with_images=True)
+        ),
         "image_text_alignment_synth": _so.image_text_alignment_sql(
             _ctp(300, seed=42, with_images=True)
         ),

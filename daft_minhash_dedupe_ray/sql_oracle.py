@@ -1727,3 +1727,64 @@ def alignment_filter_sql(
         WHERE align_score >= (SELECT quantile_disc(align_score, {q!r}) FROM scored)
         ORDER BY image_id
     """
+
+
+def image_corpus_assembly_sql(
+    parquet_path: str,
+    q: float = 0.3,
+    max_hamming: int = 6,
+    n_shards: int = 8,
+    shard_seed: int = 13,
+    dim: int = 64,
+    embed_seed: int = 0x5EED,
+    img_w: int = 32,
+    img_h: int = 32,
+) -> str:
+    """End-to-end oracle for ``pipelines.image_corpus.assemble_image_corpus``:
+    alignment scores (both towers from raw bytes) -> quantile_disc gate ->
+    semantic Hamming<=k components over the gated dHashes (== the engine's
+    band-then-verify by pigeonhole) -> min-node-hash survivors -> splitmix64
+    shard placement.  Checks the stage HAND-OFFS, not just each operator."""
+    scored = image_text_alignment_sql(
+        parquet_path, dim=dim, embed_seed=embed_seed, img_w=img_w, img_h=img_h
+    )
+    dh = dhash_select(parquet_path, img_w=img_w, img_h=img_h)
+    nh = node_hash_select("(SELECT image_id FROM gated)")
+    placed = chain_select(
+        "SELECT image_id, xor(nh, CAST("
+        f"{shard_seed} AS UBIGINT)) AS hx FROM kept_nh",
+        sm64_steps("hx", "ph", "pl"),
+    )
+    return f"""
+        WITH RECURSIVE scored AS MATERIALIZED ({scored}),
+        gated AS MATERIALIZED (
+            SELECT image_id FROM scored
+            WHERE align_score >= (SELECT quantile_disc(align_score, {q!r}) FROM scored)
+        ),
+        dhs0 AS MATERIALIZED (SELECT * FROM {dh} __d),
+        dhs AS MATERIALIZED (SELECT d.* FROM dhs0 d JOIN gated USING (image_id)),
+        edge AS MATERIALIZED (
+            SELECT a.image_id AS u, b.image_id AS v
+            FROM dhs a JOIN dhs b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+        ),
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        nh AS MATERIALIZED (SELECT * FROM {nh} __n),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        mins AS (
+            SELECT r.u AS image_id, min(b.nh) AS mn
+            FROM reach r JOIN nh b ON b.image_id = r.v GROUP BY r.u
+        ),
+        kept_nh AS MATERIALIZED (
+            SELECT g.image_id, a.nh FROM gated g
+            JOIN nh a USING (image_id)
+            LEFT JOIN mins m USING (image_id)
+            WHERE m.mn IS NULL OR a.nh < m.mn
+        )
+        SELECT image_id, CAST(ph % {n_shards} AS BIGINT) AS shard
+        FROM {placed} __pl ORDER BY image_id
+    """

@@ -136,3 +136,28 @@ def test_lm_gate_unchanged_by_refactor(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(kept, want)
+
+
+def test_image_corpus_assembly_end_to_end(ray_session):
+    """Composition parity: gate -> dedupe -> shard matches the single-shot
+    DuckDB replay, and the planted near-dup structure actually contracts."""
+    import duckdb
+    import ray.data as rd
+
+    import daft_minhash_dedupe_ray.sql_oracle as so
+    from daft_minhash_dedupe_ray.pipelines.image_corpus import assemble_image_corpus
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    path = cached_table_path(150, seed=11, with_images=True)
+    mine = (
+        assemble_image_corpus(rd.read_parquet(path), concurrency=2, num_actors=2)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(so.image_corpus_assembly_sql(path)).df()
+    pd.testing.assert_frame_equal(mine, want.astype(mine.dtypes.to_dict()))
+    assert 0 < len(mine) < 150  # survivors exist; gate/dedupe dropped rows
+    assert mine["shard"].between(0, 7).all()
+    assert mine["shard"].nunique() > 1
