@@ -983,6 +983,33 @@ def _image_stats_synth(sf_dir: str):
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def _image_invariants_synth(sf_dir: str):
+    """North-rule per-row invariant audit as a distributed operator: a
+    RequantizeStage(bits=2) lossy-recompress copy of the synthetic
+    image+caption table is verified against the original (decoded-pixel
+    PSNR >= 40 dB + caption equality, input_hint clause) via a keyed
+    cogroup exchange — one verdict row per id, exact integer SSE.
+    SQL-checked: sql_oracle.image_invariants_sql decodes the original P6
+    PPM blob inside DuckDB and derives the same SSE analytically."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.multimodal import RequantizeStage
+    from daft_minhash_dedupe_ray.functions.validate import verify_row_invariants
+    from daft_minhash_dedupe_ray.synth import cached_table_path
+
+    path = cached_table_path(300, seed=42, with_images=True)
+    lossy = rd.read_parquet(path).map_batches(
+        RequantizeStage(bits=2), batch_size=64, batch_format="pyarrow"
+    )
+    rep = verify_row_invariants(rd.read_parquet(path), lossy, num_partitions=8)
+    pdf = (
+        rep.select_columns(["image_id", "n_px", "sse", "caption_equal", "psnr_ok"])
+        .to_pandas()
+        .sort_values("image_id")
+    )
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _image_dedupe_dhash_synth(sf_dir: str):
     """Pixel-side near-dup removal from the decoded payloads alone (dHash
     gradient fingerprint -> Hamming banding -> cluster -> merge).
@@ -1178,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_clusters_synth": _image_clusters_synth,  # SQL-checked (cluster-assignment parity)
         "image_wave_dedupe_synth": _image_wave_dedupe_synth,  # SQL-checked (band OR Hamming drop set)
         "image_stats_synth": _image_stats_synth,  # SQL-checked (DuckDB PPM blob decode parity)
+        "image_invariants_synth": _image_invariants_synth,  # SQL-checked (per-row PSNR+caption invariant, exact-integer SSE)
         "image_dedupe_dhash_synth": _image_dedupe_dhash_synth,  # SQL-checked (survivor set; dHash from raw bytes)
         "image_dhash_clusters_synth": _image_dhash_clusters_synth,  # SQL-checked (dHash computed from raw bytes in DuckDB)
         "image_corpus_assembly_synth": _image_corpus_assembly_synth,  # SQL-checked (gate -> dedupe -> shard, end to end)
@@ -1196,7 +1224,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_pairs": _substring_pairs,  # SQL-checked
         "word_jaccard_pairs": word_jaccard,  # SQL-checked
         "cosine_dup_pairs": _cosine_pairs,  # SQL-checked
-        "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # SQL-checked (banded LSH + verify)
         "embedding_dedupe": _embedding_dedupe,  # SQL-checked (recursive-CTE CC oracle)
         "ann_topk": _ann_topk,  # SQL-checked
         "embed_ann_topk": _embed_ann_topk,  # SQL-checked (embedder rebuilt in DuckDB + exact cosine top-k)
@@ -1235,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only extras whose exact oracles live in tests/, and the
         # unconsolidated counter variants.  Every entry below was
         # driver-green in r1/r2 or is covered by an exact test oracle.
+        "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # SQL-checked (banded LSH + verify; machinery in-cap via cosine/simhash/semantic)
         "events_hourly": R.events_hourly,
         "distinct_users": R.distinct_users,
         "value_quantiles": R.value_quantiles,  # SQL-checked (exact distributed quantiles)
@@ -1286,6 +1314,9 @@ def oracle_sql() -> dict[str, str]:
         # decoded-payload parity: DuckDB parses the P6 PPM / RIFF PCM16 blobs
         "image_stats_synth": _so.image_stats_sql(
             _ctp(300, seed=42, with_images=True)
+        ),
+        "image_invariants_synth": _so.image_invariants_sql(
+            _ctp(300, seed=42, with_images=True), bits=2, threshold_db=40.0
         ),
         "audio_stats_synth": _so.audio_stats_sql(_cap(300, seed=42)),
         "image_dhash_clusters_synth": _so.image_dhash_clusters_sql(

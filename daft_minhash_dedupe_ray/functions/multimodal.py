@@ -114,6 +114,34 @@ class ImageResizeStage:
         return batch
 
 
+class RequantizeStage:
+    """Stateless map_batches stage: drop the low ``bits`` bits of every pixel
+    byte and re-encode — a deterministic stand-in for lossy recompression
+    (JPEG requant) that needs no external codec.  Max per-channel error is
+    ``2**bits - 1``, so bits=2 keeps PSNR ≈ 42.7 dB — just above the
+    north-rule's 40 dB per-row invariant, making it the natural fixture for
+    :func:`..validate.verify_row_invariants`."""
+
+    def __init__(self, bits: int = 2, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        assert 0 <= bits < 8
+        self.mask = np.uint8((0xFF << bits) & 0xFF)
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        out = []
+        for d, f in zip(blobs, fmts):
+            if f not in _SUPPORTED or d is None:
+                out.append(d)  # pass through untouched
+                continue
+            out.append(ppm_encode(decode_image(d, f) & self.mask))
+        names = batch.column_names
+        return batch.set_column(
+            names.index(self.bytes_col), self.bytes_col, pa.array(out, pa.binary())
+        )
+
+
 class PHashStage:
     """Actor-pool stage: (re)compute the 64-bit DCT pHash from the payload —
     used when the input table lacks a phash column."""

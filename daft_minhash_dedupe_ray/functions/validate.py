@@ -1,0 +1,186 @@
+"""Per-row invariant verification between two image+caption tables.
+
+The north-star brief pins a per-row invariant for any payload-touching
+pipeline: decoded pixels must match the source at PSNR >= 40 dB (allclose
+for lossless codecs) and captions must be byte-equal.  The reference repo
+checks its invariants driver-side per run; here the check is itself a
+distributed operator — a keyed cogroup exchange (``stages/util
+.raw_cogroup_exchange``) that decodes both sides partition-locally and
+emits one verdict row per id, so a 10^12-row audit streams like any other
+stage and never lands on the driver.
+
+Parity design: the per-row error is reported as the EXACT integer
+sum-of-squared-differences ``sse`` (int64) plus ``n_px``, and the
+``psnr_ok`` verdict is an exact integer cross-multiplication —
+``psnr >= T  <=>  255^2 * n_px >= sse * 10^(T/10)`` — computed on integers
+whenever ``10^(T/10)`` is integral (T=40 -> 10000), so a SQL oracle decoding
+the same blobs reproduces every verdict bit-for-bit (CLAUDE.md: prefer
+integer cross-mult over float compare in any kernel an oracle must
+reproduce).  The float ``psnr_db`` column is informational only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.util import raw_cogroup_exchange
+from .multimodal import _SUPPORTED, decode_image
+
+REPORT_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("n_px", pa.int64()),
+        ("sse", pa.int64()),
+        ("caption_equal", pa.bool_()),
+        ("psnr_ok", pa.bool_()),
+        ("psnr_db", pa.float64()),
+    ]
+)
+
+
+def _decode_or_none(blob, fmt):
+    if fmt not in _SUPPORTED or blob is None:
+        return None
+    try:
+        return decode_image(blob, fmt)
+    except Exception:
+        return None
+
+
+def _verdict_partition(
+    left: pa.Table | None, right: pa.Table | None, threshold_db: float
+) -> pa.Table | None:
+    """One cogrouped partition: left = reference rows, right = output rows.
+    Ids missing on either side, shape mismatches and decode failures are
+    reported as failing rows (sse = -1), never silently dropped."""
+    # exact-integer threshold when 10^(T/10) is integral (e.g. T=40 -> 10000)
+    thr = 10.0 ** (threshold_db / 10.0)
+    thr_int = int(round(thr)) if abs(thr - round(thr)) < 1e-9 else None
+
+    def _index(t):
+        if t is None:
+            return {}
+        return {i: j for j, i in enumerate(t["image_id"].to_pylist())}
+
+    li, ri = _index(left), _index(right)
+    ids = sorted(set(li) | set(ri))
+    if not ids:
+        return None
+    n_px = np.zeros(len(ids), np.int64)
+    sse = np.full(len(ids), -1, np.int64)
+    cap_eq = np.zeros(len(ids), bool)
+    ok = np.zeros(len(ids), bool)
+
+    def _cols(t):
+        if t is None:
+            return [], [], []
+        return (
+            t["bytes"].to_pylist(),
+            t["fmt"].to_pylist(),
+            t["caption"].to_pylist(),
+        )
+
+    lb, lf, lc = _cols(left)
+    rb, rf, rc = _cols(right)
+    for k, i in enumerate(ids):
+        if i not in li or i not in ri:
+            continue  # missing on one side: sse stays -1, verdicts False
+        a, b = li[i], ri[i]
+        cap_eq[k] = lc[a] == rc[b]
+        pa_, pb_ = _decode_or_none(lb[a], lf[a]), _decode_or_none(rb[b], rf[b])
+        if pa_ is None and pb_ is None:
+            # opaque payloads (unsupported codec): exact-bytes fallback
+            if lb[a] == rb[b]:
+                sse[k], ok[k] = 0, True
+            continue
+        if pa_ is None or pb_ is None or pa_.shape != pb_.shape:
+            continue
+        d = pa_.astype(np.int64).ravel() - pb_.astype(np.int64).ravel()
+        n_px[k] = d.size
+        sse[k] = int(np.dot(d, d))
+        if sse[k] == 0:
+            ok[k] = True
+        elif thr_int is not None:
+            ok[k] = 65025 * n_px[k] >= sse[k] * thr_int
+        else:
+            ok[k] = 65025.0 * n_px[k] >= sse[k] * thr
+    with np.errstate(divide="ignore"):
+        db = 10.0 * np.log10(65025.0 * np.maximum(n_px, 1) / np.maximum(sse, 1))
+    db = np.where(sse > 0, db, np.nan)  # lossless / failed rows: no finite PSNR
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "n_px": pa.array(n_px),
+            "sse": pa.array(sse),
+            "caption_equal": pa.array(cap_eq),
+            "psnr_ok": pa.array(ok),
+            "psnr_db": pa.array(db, pa.float64()),
+        }
+    )
+
+
+def verify_row_invariants(
+    ref_ds,
+    out_ds,
+    id_col: str = "image_id",
+    threshold_db: float = 40.0,
+    num_partitions: int = 32,
+):
+    """Distributed per-row invariant audit of ``out_ds`` against ``ref_ds``.
+
+    Returns a Dataset with one row per id seen on either side:
+    ``(image_id, n_px, sse, caption_equal, psnr_ok, psnr_db)``.  ``sse`` is
+    the exact integer sum of squared pixel differences (-1 when the row is
+    missing on a side, fails decode, or changed shape — all of which also
+    fail ``psnr_ok``).  At scale, size ``num_partitions`` so a partition's
+    decoded payloads fit one worker's heap (~rows/1M for 32px thumbs).
+    """
+    import functools as _ft
+
+    def _proj(ds):
+        cols = [id_col, "bytes", "fmt", "caption"]
+        ds = ds.select_columns([c for c in cols if c in ds.schema().names])
+        if id_col != "image_id":
+            ds = ds.map_batches(
+                lambda b: b.rename_columns(
+                    ["image_id" if c == id_col else c for c in b.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
+
+    fn = _ft.partial(_verdict_partition, threshold_db=threshold_db)
+    return raw_cogroup_exchange(
+        _proj(ref_ds),
+        _proj(out_ds),
+        ["image_id"],
+        ["image_id"],
+        fn,
+        REPORT_SCHEMA,
+        num_partitions,
+    )
+
+
+def row_invariant_report(rep_ds, sample_failures: int = 10) -> dict:
+    """Aggregate a :func:`verify_row_invariants` dataset into the run-level
+    summary the CLI prints (mirrors the reference's per-run ``[VALIDATION]``
+    habit).  Streams: per-batch partial counts, O(sample) driver state."""
+    totals = {"rows": 0, "psnr_fail": 0, "caption_fail": 0}
+    failed: list[str] = []
+    for b in rep_ds.iter_batches(batch_format="pyarrow"):
+        bad = ~(
+            b["psnr_ok"].to_numpy(zero_copy_only=False)
+            & b["caption_equal"].to_numpy(zero_copy_only=False)
+        )
+        totals["rows"] += len(b)
+        totals["psnr_fail"] += int((~b["psnr_ok"].to_numpy(zero_copy_only=False)).sum())
+        totals["caption_fail"] += int(
+            (~b["caption_equal"].to_numpy(zero_copy_only=False)).sum()
+        )
+        if bad.any() and len(failed) < sample_failures:
+            ids = b["image_id"].to_pylist()
+            failed.extend(i for i, m in zip(ids, bad) if m)
+    totals["passed"] = totals["psnr_fail"] == 0 and totals["caption_fail"] == 0
+    totals["failed_sample"] = failed[:sample_failures]
+    return totals

@@ -1007,6 +1007,55 @@ def image_stats_sql(parquet_path: str) -> str:
     """
 
 
+def image_invariants_sql(
+    parquet_path: str, bits: int = 2, threshold_db: float = 40.0
+) -> str:
+    """Oracle for ``functions.validate.verify_row_invariants`` run against a
+    :class:`functions.multimodal.RequantizeStage(bits)` copy of the same
+    table.  Requantizing masks the low ``bits`` of every pixel byte, so the
+    per-pixel diff is exactly ``p & ((1<<bits)-1)`` — the oracle decodes the
+    ORIGINAL P6 PPM blob in DuckDB (same hex-chunk machinery as
+    :func:`image_stats_sql`) and sums the squared masked bytes analytically,
+    while the engine decodes both blobs and diffs them; the integer ``sse``
+    and the cross-multiplied ``psnr_ok`` verdict must agree bit-for-bit.
+    Zero-padded tail-chunk bytes contribute ``(0 & mask)^2 = 0``, so the
+    ragged tail is safe (position-independent sum)."""
+    thr = 10.0 ** (threshold_db / 10.0)
+    assert abs(thr - round(thr)) < 1e-9, "threshold must make 10^(T/10) integral"
+    thr_int = int(round(thr))
+    mask = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((x >> {8 * k}) & {mask}) * ((x >> {8 * k}) & {mask}))" for k in range(8)
+    )
+    return f"""
+        WITH src AS MATERIALIZED (
+            SELECT image_id, hex("bytes") AS hx,
+                   3 + strlen(CAST(w AS VARCHAR)) + 1
+                     + strlen(CAST(h AS VARCHAR)) + 1 + 4 AS hdr,
+                   w * h * 3 AS nb
+            FROM read_parquet('{parquet_path}')
+            WHERE fmt = 'ppm' AND "bytes" IS NOT NULL
+        ),
+        chunks AS (
+            SELECT image_id,
+                   CAST('0x' || substring(hx, CAST(1 + 2 * hdr + 16 * j AS BIGINT), 16)
+                        AS UBIGINT) AS x
+            FROM src, unnest(range((nb + 7) // 8)) AS u(j)
+        ),
+        s AS (
+            SELECT image_id, CAST(sum({terms}) AS BIGINT) AS sse
+            FROM chunks GROUP BY image_id
+        )
+        SELECT src.image_id,
+               CAST(src.nb AS BIGINT) AS n_px,
+               s.sse AS sse,
+               TRUE AS caption_equal,
+               (s.sse = 0 OR 65025 * CAST(src.nb AS BIGINT) >= s.sse * {thr_int})
+                   AS psnr_ok
+        FROM src JOIN s USING (image_id) ORDER BY src.image_id
+    """
+
+
 def content_keys_select(table: str, seed: int) -> str:
     """Subquery producing ``(doc_id, key)`` — the engine's
     ``hashing.content_keys`` value: ``splitmix64(seed ^ (sum_i

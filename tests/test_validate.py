@@ -1,0 +1,114 @@
+"""Per-row invariant verifier (functions/validate.py): distributed PSNR +
+caption-equality audit, the RequantizeStage lossy proxy, and bit-exact
+DuckDB oracle parity for the registered query."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import daft_minhash_dedupe_ray.sql_oracle as so
+from daft_minhash_dedupe_ray.functions.multimodal import RequantizeStage
+from daft_minhash_dedupe_ray.functions.validate import (
+    row_invariant_report,
+    verify_row_invariants,
+)
+from daft_minhash_dedupe_ray.synth import cached_table_path, ppm_decode, psnr
+
+
+def _ds(path):
+    import ray.data as rd
+
+    return rd.read_parquet(path)
+
+
+def test_requantize_psnr_above_40db(ray_session):
+    """bits=2 masking keeps every image above the 40 dB bar but below
+    lossless — the fixture actually exercises the lossy branch."""
+    path = cached_table_path(60, seed=7, with_images=True)
+    lossy = _ds(path).map_batches(
+        RequantizeStage(bits=2), batch_size=32, batch_format="pyarrow"
+    )
+    rep = verify_row_invariants(_ds(path), lossy, num_partitions=4).to_pandas()
+    assert len(rep) == 60
+    assert rep["psnr_ok"].all() and rep["caption_equal"].all()
+    assert (rep["sse"] > 0).any()  # genuinely lossy
+    # float psnr column agrees with the exact-integer verdict where finite
+    fin = rep[rep["sse"] > 0]
+    assert (fin["psnr_db"] >= 40.0).all()
+
+
+def test_identical_tables_are_lossless(ray_session):
+    path = cached_table_path(40, seed=9, with_images=True)
+    rep = verify_row_invariants(_ds(path), _ds(path), num_partitions=4).to_pandas()
+    assert (rep["sse"] == 0).all() and rep["psnr_ok"].all()
+    assert rep["psnr_db"].isna().all()  # lossless rows report no finite PSNR
+
+
+def test_tampered_rows_flagged(ray_session):
+    """A zeroed payload and an edited caption must each fail their clause;
+    a dropped row must fail both (missing on one side)."""
+    import ray.data as rd
+
+    path = cached_table_path(40, seed=11, with_images=True)
+    t = pq.read_table(path)
+    ids = t["image_id"].to_pylist()
+    blobs = t["bytes"].to_pylist()
+    caps = t["caption"].to_pylist()
+    px = ppm_decode(blobs[0])
+    blobs[0] = blobs[0][: len(blobs[0]) - px.size] + b"\x00" * px.size  # wreck pixels
+    caps[1] = (caps[1] or "") + " TAMPERED"
+    tampered = (
+        t.set_column(t.column_names.index("bytes"), "bytes", pa.array(blobs, pa.binary()))
+        .set_column(t.column_names.index("caption"), "caption", pa.array(caps))
+        .slice(0, len(t) - 1)  # drop the last row entirely
+    )
+    rep = (
+        verify_row_invariants(_ds(path), rd.from_arrow(tampered), num_partitions=4)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert not rep.loc[ids[0], "psnr_ok"] and rep.loc[ids[0], "sse"] > 0
+    assert not rep.loc[ids[1], "caption_equal"] and rep.loc[ids[1], "psnr_ok"]
+    assert not rep.loc[ids[-1], "psnr_ok"] and rep.loc[ids[-1], "sse"] == -1
+    summary = row_invariant_report(
+        verify_row_invariants(_ds(path), rd.from_arrow(tampered), num_partitions=4)
+    )
+    assert not summary["passed"]
+    assert summary["psnr_fail"] == 2 and summary["caption_fail"] >= 2
+    assert ids[0] in summary["failed_sample"] or ids[1] in summary["failed_sample"]
+
+
+def test_integer_crossmult_matches_float_psnr():
+    """psnr >= 40  <=>  65025*n >= sse*10000, across the boundary."""
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = int(rng.integers(1, 4000))
+        sse = int(rng.integers(0, max(1, int(65025 * n / 10000 * 2))))
+        if sse == 0:
+            continue
+        exact = 65025 * n >= sse * 10000
+        assert exact == (10.0 * np.log10(65025.0 * n / sse) >= 40.0 - 1e-12)
+
+
+def test_sql_image_invariants_bit_exact(ray_session):
+    """The DuckDB oracle's analytic SSE ((p & 3)^2 summed) must match the
+    engine's decode-both-and-diff SSE row for row, verdicts included."""
+    path = cached_table_path(120, seed=7, with_images=True)
+    lossy = _ds(path).map_batches(
+        RequantizeStage(bits=2), batch_size=32, batch_format="pyarrow"
+    )
+    eng = (
+        verify_row_invariants(_ds(path), lossy, num_partitions=4)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    ora = con.sql(so.image_invariants_sql(path, bits=2)).df()
+    assert len(eng) == len(ora)
+    for col in ("image_id", "n_px", "sse", "caption_equal", "psnr_ok"):
+        assert (
+            eng[col].to_numpy() == ora[col].to_numpy()
+        ).all(), f"column {col} mismatch"
