@@ -93,6 +93,17 @@ def build_parser() -> argparse.ArgumentParser:
         "report field",
     )
     p.add_argument(
+        "--audit-rows",
+        action="store_true",
+        help="after the save, read the OUTPUT back and audit every surviving "
+        "row against the input per the north-rule per-row invariant "
+        "(decoded-pixel PSNR >= --audit-threshold-db, caption byte-equality; "
+        "payload-less tables degrade to caption equality); prints "
+        "[ROW-INVARIANTS] PASSED/FAILED and adds a 'row_invariants' report "
+        "field — checks the full path including the partitioned save",
+    )
+    p.add_argument("--audit-threshold-db", type=float, default=40.0)
+    p.add_argument(
         "--span-scope",
         choices=["cross_doc", "any"],
         default="cross_doc",
@@ -233,6 +244,35 @@ def main(argv: list[str] | None = None) -> int:
     manifest = partitioned_save(out, args.output, chunk_size=args.chunk_size)
     report["output"] = args.output
     report["output_partitions"] = manifest["target_partitions"]
+
+    if args.audit_rows:
+        from .functions.validate import row_invariant_report, verify_row_invariants
+
+        # size the exchange from the audited row count (near-empty tasks
+        # dominate tiny runs at a fixed 64 — see the CC-loop sizing note)
+        n_audit = report.get("rows_after") or manifest["rows"]
+        parts = args.num_partitions or max(1, min(64, n_audit // 100_000 + 1))
+        audit = row_invariant_report(
+            verify_row_invariants(
+                ds,
+                read_table(args.output),
+                id_col=args.index_col,
+                threshold_db=args.audit_threshold_db,
+                num_partitions=parts,
+                how="inner",  # a dedupe legitimately drops rows
+            )
+        )
+        report["row_invariants"] = audit
+        print(
+            f"[ROW-INVARIANTS] {'PASSED' if audit['passed'] else 'FAILED'} "
+            f"({audit['rows']} rows audited)",
+            file=sys.stderr,
+        )
+        if not audit["passed"]:
+            report["wall_seconds"] = round(time.perf_counter() - t0, 2)
+            print(json.dumps(report))
+            return 1
+
     report["wall_seconds"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(report))
     return 0

@@ -49,11 +49,16 @@ def _decode_or_none(blob, fmt):
 
 
 def _verdict_partition(
-    left: pa.Table | None, right: pa.Table | None, threshold_db: float
+    left: pa.Table | None,
+    right: pa.Table | None,
+    threshold_db: float,
+    how: str = "outer",
 ) -> pa.Table | None:
     """One cogrouped partition: left = reference rows, right = output rows.
-    Ids missing on either side, shape mismatches and decode failures are
-    reported as failing rows (sse = -1), never silently dropped."""
+    With ``how="outer"`` ids missing on either side are reported as failing
+    rows (sse = -1), never silently dropped; ``how="inner"`` audits only the
+    matched ids (the survivor-audit mode: a dedupe legitimately drops
+    rows)."""
     # exact-integer threshold when 10^(T/10) is integral (e.g. T=40 -> 10000)
     thr = 10.0 ** (threshold_db / 10.0)
     thr_int = int(round(thr)) if abs(thr - round(thr)) < 1e-9 else None
@@ -64,7 +69,7 @@ def _verdict_partition(
         return {i: j for j, i in enumerate(t["image_id"].to_pylist())}
 
     li, ri = _index(left), _index(right)
-    ids = sorted(set(li) | set(ri))
+    ids = sorted(set(li) & set(ri) if how == "inner" else set(li) | set(ri))
     if not ids:
         return None
     n_px = np.zeros(len(ids), np.int64)
@@ -110,7 +115,7 @@ def _verdict_partition(
     db = np.where(sse > 0, db, np.nan)  # lossless / failed rows: no finite PSNR
     return pa.table(
         {
-            "image_id": pa.array(ids, pa.string()),
+            "image_id": pa.array(ids),
             "n_px": pa.array(n_px),
             "sse": pa.array(sse),
             "caption_equal": pa.array(cap_eq),
@@ -126,38 +131,60 @@ def verify_row_invariants(
     id_col: str = "image_id",
     threshold_db: float = 40.0,
     num_partitions: int = 32,
+    how: str = "outer",
 ):
     """Distributed per-row invariant audit of ``out_ds`` against ``ref_ds``.
 
-    Returns a Dataset with one row per id seen on either side:
+    Returns a Dataset with one row per audited id:
     ``(image_id, n_px, sse, caption_equal, psnr_ok, psnr_db)``.  ``sse`` is
     the exact integer sum of squared pixel differences (-1 when the row is
     missing on a side, fails decode, or changed shape — all of which also
-    fail ``psnr_ok``).  At scale, size ``num_partitions`` so a partition's
+    fail ``psnr_ok``).  ``how="outer"`` (default) reports unmatched ids as
+    failures; ``how="inner"`` audits only matched ids (survivor audits,
+    where a dedupe legitimately dropped rows).  Tables without a ``bytes``
+    payload degrade to caption-equality-only (missing payloads compare
+    equal-opaque).  At scale, size ``num_partitions`` so a partition's
     decoded payloads fit one worker's heap (~rows/1M for 32px thumbs).
     """
     import functools as _ft
 
-    def _proj(ds):
-        cols = [id_col, "bytes", "fmt", "caption"]
-        ds = ds.select_columns([c for c in cols if c in ds.schema().names])
-        if id_col != "image_id":
-            ds = ds.map_batches(
-                lambda b: b.rename_columns(
-                    ["image_id" if c == id_col else c for c in b.column_names]
-                ),
-                batch_format="pyarrow",
-            )
-        return ds
+    assert how in ("outer", "inner")
+    _s = ref_ds.schema()
+    id_type = _s.types[_s.names.index(id_col)]
+    schema = pa.schema([("image_id", id_type)] + list(REPORT_SCHEMA)[1:])
 
-    fn = _ft.partial(_verdict_partition, threshold_db=threshold_db)
+    def _null_col(b: pa.Table, name: str, typ) -> pa.Table:
+        return b.append_column(name, pa.nulls(len(b), typ))
+
+    def _proj(ds):
+        have = ds.schema().names
+        cols = [c for c in (id_col, "bytes", "fmt", "caption") if c in have]
+        ds = ds.select_columns(cols)
+
+        def _norm(b: pa.Table) -> pa.Table:
+            if id_col != "image_id":
+                b = b.rename_columns(
+                    ["image_id" if c == id_col else c for c in b.column_names]
+                )
+            for name, typ in (
+                ("bytes", pa.binary()),
+                ("fmt", pa.string()),
+                ("caption", pa.string()),
+            ):
+                if name not in b.column_names:
+                    b = _null_col(b, name, typ)
+            return b
+
+        return ds.map_batches(_norm, batch_format="pyarrow")
+
+    fn = _ft.partial(_verdict_partition, threshold_db=threshold_db, how=how)
     return raw_cogroup_exchange(
         _proj(ref_ds),
         _proj(out_ds),
         ["image_id"],
         ["image_id"],
         fn,
-        REPORT_SCHEMA,
+        schema,
         num_partitions,
     )
 

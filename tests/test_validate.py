@@ -80,6 +80,69 @@ def test_tampered_rows_flagged(ray_session):
     assert ids[0] in summary["failed_sample"] or ids[1] in summary["failed_sample"]
 
 
+def test_inner_mode_audits_survivors_only(ray_session):
+    """how='inner' skips ids missing on a side — the dedupe-survivor audit:
+    the same dropped-rows fixture that fails outer passes inner."""
+    import ray.data as rd
+
+    path = cached_table_path(40, seed=13, with_images=True)
+    t = pq.read_table(path)
+    survivors = rd.from_arrow(t.slice(0, 25))
+    outer = row_invariant_report(
+        verify_row_invariants(_ds(path), survivors, num_partitions=4)
+    )
+    inner = row_invariant_report(
+        verify_row_invariants(_ds(path), survivors, num_partitions=4, how="inner")
+    )
+    assert not outer["passed"] and outer["rows"] == 40
+    assert inner["passed"] and inner["rows"] == 25
+
+
+def test_caption_only_tables_degrade_gracefully(ray_session):
+    """No bytes payload: the audit reduces to caption equality (opaque
+    payloads compare equal when both absent)."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": ["a", "b"], "caption": ["x", "y"]})
+    t2 = pa.table({"doc_id": ["a", "b"], "caption": ["x", "EDITED"]})
+    rep = (
+        verify_row_invariants(
+            rd.from_arrow(t), rd.from_arrow(t2), id_col="doc_id", num_partitions=2
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert rep.loc["a", "psnr_ok"] and rep.loc["a", "caption_equal"]
+    assert rep.loc["b", "psnr_ok"] and not rep.loc["b", "caption_equal"]
+
+
+def test_cli_audit_rows_flag(ray_session, tmp_path, capsys):
+    """--audit-rows reads the saved output back and audits it against the
+    input; a clean dedupe run passes."""
+    import json
+    import os
+
+    from daft_minhash_dedupe_ray.cli import main
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(generate_table(300, seed=5, with_images=True), inp)
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input", inp, "--output", out_dir,
+            "--num-perm", "64", "--bands", "8", "--rows", "8",
+            "--num-actors", "2", "--chunk-size", "100",
+            "--num-partitions", "4", "--audit-rows",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    audit = report["row_invariants"]
+    assert audit["passed"] and audit["rows"] == report["rows_after"]
+    assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+
+
 def test_integer_crossmult_matches_float_psnr():
     """psnr >= 40  <=>  65025*n >= sse*10000, across the boundary."""
     rng = np.random.default_rng(3)
