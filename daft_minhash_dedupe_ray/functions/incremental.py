@@ -99,6 +99,46 @@ def _build_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa
     return pa.table({"part": [part], "n_hashes": [len(h)]})
 
 
+def _update_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa.Table:
+    """Absorb a wave's hashes into one existing hash-range partition:
+    union-merge with the on-disk sorted hashes, rewrite atomically, rebuild
+    the Bloom sketch sized to the merged count.  Idempotent (union), so a
+    torn multi-partition update is safely retried.  Swap order is hashes
+    first, bloom second: a probe racing the swap sees either the old
+    snapshot (valid for the pre-update corpus) or new hashes under the old
+    bloom — the bloom's misses then concern only not-yet-blessed wave
+    hashes, never the already-indexed corpus, so probes stay exact for
+    blessed data throughout."""
+    from ..state.bloom import BloomFilter
+
+    h = np.unique(tab["__h__"].to_numpy(zero_copy_only=False))
+    part = int(h[0] >> np.uint64(shift))
+    d = _part_dir(path, part)
+    f_h = f"{d}/hashes.parquet"
+    if os.path.exists(f_h):
+        old = pq.read_table(f_h)["__h__"].to_numpy(zero_copy_only=False)
+        if len(old):
+            h = np.union1d(old, h)
+    os.makedirs(d, exist_ok=True)
+    tmp = f_h + ".tmp"
+    pq.write_table(pa.table({"__h__": pa.array(h, pa.uint64())}), tmp, row_group_size=16384)
+    bloom = BloomFilter.sized(len(h), fp_rate)
+    bloom.add_hashes(h)
+    btmp = f"{d}/_bloom.tmp.npz"  # np.savez appends .npz to other suffixes
+    bloom.save(btmp)
+    os.replace(tmp, f_h)
+    os.replace(btmp, f"{d}/_bloom.npz")
+    return pa.table({"part": [part], "n_hashes": [len(h)]})
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = f"{path}/_META.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{path}/_META.json")
+    open(f"{path}/_SUCCESS", "w").close()
+
+
 def build_corpus_index(
     corpus_ds,
     path: str,
@@ -127,9 +167,42 @@ def build_corpus_index(
         "text_col": text_col,
         "parts": {str(r["part"]): r["n_hashes"] for r in stats},
     }
-    with open(f"{path}/_META.json", "w") as f:
-        json.dump(meta, f)
-    open(f"{path}/_SUCCESS", "w").close()
+    _write_meta(path, meta)
+    return meta
+
+
+def update_corpus_index(new_ds, index_path: str, text_col: str | None = None) -> dict:
+    """Absorb an ingest wave into an existing :func:`build_corpus_index`
+    snapshot WITHOUT rebuilding it — the ingest-loop contract at corpus
+    scale (dedupe the wave against the index, append the survivors, absorb
+    them here; a 100 TB index must never be re-hashed per wave).  Only the
+    hash-range partitions the wave actually touches are rewritten
+    (union-merge + Bloom rebuild sized to the merged count, atomic swaps);
+    untouched partitions are not even opened.  Idempotent: re-absorbing the
+    same rows is a no-op, so a failed update is safely retried."""
+    if not os.path.exists(f"{index_path}/_SUCCESS"):
+        raise FileNotFoundError(f"no completed corpus index at {index_path}")
+    with open(f"{index_path}/_META.json") as f:
+        meta = json.load(f)
+    if meta.get("kind") == "band":
+        raise ValueError(f"{index_path!r} is a band index — use update_band_index")
+    text_col = text_col or meta["text_col"]
+    num_partitions = meta["num_partitions"]
+    shift = _shift_for(num_partitions)
+    keyed = new_ds.select_columns([text_col]).map_batches(
+        functools.partial(_corpus_hash_batch, text_col=text_col, shift=shift),
+        batch_format="pyarrow",
+    )
+    stats = partition_groupby_prekeyed(
+        keyed,
+        functools.partial(
+            _update_partition, path=index_path, shift=shift, fp_rate=meta["fp_rate"]
+        ),
+        _STATS_SCHEMA,
+        num_partitions,
+    ).take_all()
+    meta["parts"].update({str(r["part"]): r["n_hashes"] for r in stats})
+    _write_meta(index_path, meta)
     return meta
 
 
@@ -356,6 +429,25 @@ def _anti_filter_wave(new_ds, dup_nodes: np.ndarray, cfg):
     return new_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _corpus_band_batch(b: pa.Table, stage, shift: int) -> pa.Table:
+    """Map-side combiner for the band index: per-batch DISTINCT band keys
+    only — document ids and payloads never reach the exchange."""
+    from ..hashing import band_keys
+
+    _, sig, has = stage.signatures(b)
+    if not has.any():
+        return pa.table(
+            {"__h__": pa.array([], pa.uint64()), "__p__": pa.array([], pa.uint64())}
+        )
+    k = np.unique(band_keys(sig[has], stage.bands, stage.rows).reshape(-1))
+    return pa.table(
+        {
+            "__h__": pa.array(k, pa.uint64()),
+            "__p__": pa.array(k >> np.uint64(shift), pa.uint64()),
+        }
+    )
+
+
 def build_band_index(
     corpus_ds,
     path: str,
@@ -371,26 +463,13 @@ def build_band_index(
     shift = _shift_for(num_partitions)
     os.makedirs(path, exist_ok=True)
 
-    from ..hashing import band_keys
     from ..stages.signature import SignatureStage
 
     stage = SignatureStage(cfg)  # once; permutation tables ride the closure
-
-    def band_batch(b: pa.Table) -> pa.Table:
-        _, sig, has = stage.signatures(b)
-        if not has.any():
-            return pa.table(
-                {"__h__": pa.array([], pa.uint64()), "__p__": pa.array([], pa.uint64())}
-            )
-        k = np.unique(band_keys(sig[has], stage.bands, stage.rows).reshape(-1))
-        return pa.table(
-            {
-                "__h__": pa.array(k, pa.uint64()),
-                "__p__": pa.array(k >> np.uint64(shift), pa.uint64()),
-            }
-        )
-
-    keyed = corpus_ds.map_batches(band_batch, batch_format="pyarrow")
+    keyed = corpus_ds.map_batches(
+        functools.partial(_corpus_band_batch, stage=stage, shift=shift),
+        batch_format="pyarrow",
+    )
     stats = partition_groupby_prekeyed(
         keyed,
         functools.partial(_build_partition, path=path, shift=shift, fp_rate=fp_rate),
@@ -404,9 +483,48 @@ def build_band_index(
         "sig_fingerprint": _sig_fingerprint(cfg),
         "parts": {str(r["part"]): r["n_hashes"] for r in stats},
     }
-    with open(f"{path}/_META.json", "w") as f:
-        json.dump(meta, f)
-    open(f"{path}/_SUCCESS", "w").close()
+    _write_meta(path, meta)
+    return meta
+
+
+def update_band_index(new_ds, index_path: str, cfg) -> dict:
+    """Absorb an ingest wave's LSH band keys into an existing
+    :func:`build_band_index` snapshot — the near-dup analogue of
+    :func:`update_corpus_index` (same touched-partitions-only union-merge,
+    atomic swaps, idempotent retry).  The wave must be signed with the SAME
+    config the index was built with (fingerprint-guarded, like the probe
+    path)."""
+    if not os.path.exists(f"{index_path}/_SUCCESS"):
+        raise FileNotFoundError(f"no completed band index at {index_path}")
+    with open(f"{index_path}/_META.json") as f:
+        meta = json.load(f)
+    if meta.get("kind") != "band":
+        raise ValueError(f"{index_path!r} is not a band index — use update_corpus_index")
+    if meta["sig_fingerprint"] != _sig_fingerprint(cfg):
+        raise ValueError(
+            "band index was built with a different signature config "
+            "(num_perm/ngram/seed/banding/normalize) — rebuild it"
+        )
+    num_partitions = meta["num_partitions"]
+    shift = _shift_for(num_partitions)
+
+    from ..stages.signature import SignatureStage
+
+    stage = SignatureStage(cfg)
+    keyed = new_ds.map_batches(
+        functools.partial(_corpus_band_batch, stage=stage, shift=shift),
+        batch_format="pyarrow",
+    )
+    stats = partition_groupby_prekeyed(
+        keyed,
+        functools.partial(
+            _update_partition, path=index_path, shift=shift, fp_rate=meta["fp_rate"]
+        ),
+        _STATS_SCHEMA,
+        num_partitions,
+    ).take_all()
+    meta["parts"].update({str(r["part"]): r["n_hashes"] for r in stats})
+    _write_meta(index_path, meta)
     return meta
 
 

@@ -294,3 +294,135 @@ def test_image_wave_near_dedupe_phash_and_caption_paths(ray_session):
     assert phash_dropped >= 57  # Hamming <= 2 vs budget 3: near-certain recall
     assert caption_dropped >= 38
     assert fresh_kept >= 97
+
+
+def test_update_corpus_index_absorbs_wave(ray_session, tmp_path):
+    """Ingest-loop contract: dedupe wave-1, absorb its survivors, and
+    wave-2 copies of wave-1 content must now be dropped — with the updated
+    index byte-equivalent in behavior to a from-scratch rebuild, only
+    touched partitions rewritten, and re-absorption idempotent."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_corpus_index,
+        incremental_dedupe_indexed,
+        update_corpus_index,
+    )
+
+    def tab(texts, start):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(start, start + len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+    corpus_texts = [f"corpus doc {i}" for i in range(300)]
+    w1_texts = [f"wave one doc {i}" for i in range(100)] + corpus_texts[:40]
+    idx = str(tmp_path / "ix")
+    build_corpus_index(rd.from_arrow(tab(corpus_texts, 0)), idx, num_partitions=8)
+
+    s1 = incremental_dedupe_indexed(
+        rd.from_arrow(tab(w1_texts, 1000)), idx, text_col="text", id_col="doc_id"
+    )
+    s1_texts = sorted(s1.to_pandas()["text"])
+    assert s1_texts == sorted(f"wave one doc {i}" for i in range(100))
+
+    meta = update_corpus_index(rd.from_arrow(tab(s1_texts, 2000)), idx)
+    assert sum(meta["parts"].values()) == 400  # 300 corpus + 100 absorbed
+
+    # wave 2: re-sends of wave-1 survivors + genuinely new docs
+    w2_texts = s1_texts[:30] + [f"wave two doc {i}" for i in range(20)]
+    s2 = sorted(
+        incremental_dedupe_indexed(
+            rd.from_arrow(tab(w2_texts, 3000)), idx, text_col="text", id_col="doc_id"
+        )
+        .to_pandas()["text"]
+        .tolist()
+    )
+    assert s2 == sorted(f"wave two doc {i}" for i in range(20))
+
+    # parity with a from-scratch rebuild over corpus + survivors
+    idx2 = str(tmp_path / "ix2")
+    build_corpus_index(
+        rd.from_arrow(tab(corpus_texts + s1_texts, 0)), idx2, num_partitions=8
+    )
+    s2b = sorted(
+        incremental_dedupe_indexed(
+            rd.from_arrow(tab(w2_texts, 3000)), idx2, text_col="text", id_col="doc_id"
+        )
+        .to_pandas()["text"]
+        .tolist()
+    )
+    assert s2 == s2b
+
+    # idempotent: absorbing the same survivors again changes nothing
+    meta2 = update_corpus_index(rd.from_arrow(tab(s1_texts, 4000)), idx)
+    assert meta2["parts"] == meta["parts"]
+
+
+def test_update_band_index_absorbs_wave(ray_session, tmp_path):
+    """Near-dup analogue: after absorbing wave-1 survivors, near-copies of
+    them are dropped from wave-2 exactly as a rebuilt index would; config
+    fingerprint still guards the update path."""
+    import pytest
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_band_index,
+        incremental_near_dedupe_indexed,
+        update_band_index,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def txts(n):
+        return [" ".join(rng.choice(vocab, 40)) for _ in range(n)]
+
+    def tab(texts, start):
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(start, start + len(texts), dtype=np.int64)
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    corpus_texts, w1 = txts(150), txts(60)
+    p = str(tmp_path / "bix")
+    build_band_index(rd.from_arrow(tab(corpus_texts, 0)), p, cfg, num_partitions=8)
+
+    s1 = incremental_near_dedupe_indexed(rd.from_arrow(tab(w1, 1000)), p, cfg)
+    s1_texts = s1.to_pandas()["text"].tolist()
+    assert len(s1_texts) == 60  # random texts: no near-dups of the corpus
+    update_band_index(rd.from_arrow(tab(s1_texts, 2000)), p, cfg)
+
+    # wave 2 = near-copies (tail-edited) of absorbed wave-1 docs + fresh docs
+    w2 = [t + " zz" for t in s1_texts[:25]] + txts(15)
+    got = sorted(
+        incremental_near_dedupe_indexed(rd.from_arrow(tab(w2, 3000)), p, cfg)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    p2 = str(tmp_path / "bix2")
+    build_band_index(
+        rd.from_arrow(tab(corpus_texts + s1_texts, 0)), p2, cfg, num_partitions=8
+    )
+    want = sorted(
+        incremental_near_dedupe_indexed(rd.from_arrow(tab(w2, 3000)), p2, cfg)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert got == want
+    assert len(got) < len(w2)  # the near-copies of absorbed docs were dropped
+
+    with pytest.raises(ValueError):
+        update_band_index(
+            rd.from_arrow(tab(w2, 5000)),
+            p,
+            cfg.with_overrides(num_perm=128, bands=16, rows=8),
+        )
