@@ -516,6 +516,46 @@ def _incremental_near_dedupe_indexed_docs(sf_dir: str):
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def _ingest_loop_docs(sf_dir: str):
+    """Continuous-ingest loop (pipelines/ingest.py): the documents table
+    arrives as two waves with the second re-sending part of the first; the
+    loop dedupes each wave against the persisted corpus indexes, appends
+    survivors, and absorbs them in place.  Returns the committed corpus'
+    doc_ids.  Rows-only by design (the loop is stateful/multi-call); exact
+    parity with a global flagship run and the crash-recovery contract are
+    asserted in tests/test_ingest_loop.py."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.pipelines.ingest import IngestCorpus
+
+    # small driver fixture: slice the table into two waves, wave 2 re-sending
+    # the head of wave 1 (dup pressure on the absorbed index)
+    pdf = _read_docs(sf_dir).limit(2000).to_pandas().sort_values("doc_id")
+    cut = (2 * len(pdf)) // 3
+    wave1 = pa.Table.from_pandas(pdf.iloc[:cut], preserve_index=False)
+    resend = pdf.iloc[: cut // 4].copy()
+    resend["doc_id"] = resend["doc_id"] + 10_000_000  # new ids, same content
+    wave2 = pa.Table.from_pandas(
+        pd.concat([pdf.iloc[cut:], resend]), preserve_index=False
+    )
+    root = tempfile.mkdtemp(prefix="ingest_loop_", dir="/tmp")
+    try:
+        cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+        ic = IngestCorpus(root, cfg)
+        ic.ingest(rd.from_arrow(wave1))
+        ic.ingest(rd.from_arrow(wave2))
+        pdf = ic.read_corpus().select_columns(["doc_id"]).to_pandas()
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _split_docs(sf_dir: str):
     """Leakage-safe deterministic train/val/test split (content-hash keyed:
     identical texts always share a split).  SQL-checked — the position-mixed
@@ -1287,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export_docs": _shuffle_export_docs,  # SQL-checked (splitmix64 placement oracle)
         "mix_sources_docs": _mix_sources_docs,  # SQL-checked (hash-Bernoulli draw oracle)
         "split_docs": _split_docs,  # SQL-checked (content-key + edge-ladder oracle)
+        "ingest_loop_docs": _ingest_loop_docs,  # rows-only (stateful loop; global-parity + recovery oracles in tests/)
     }
 
 

@@ -1,0 +1,195 @@
+"""Continuous-ingest corpus: the operational loop the incremental operators
+exist for, packaged as one resumable surface.
+
+At 100 TB the corpus is append-only and waves arrive forever; the loop per
+wave is (1) resolve the wave's own duplicates, (2) drop rows already in the
+corpus — exact then near — at wave-sized cost against the persisted
+indexes, (3) append the survivors as a new immutable wave directory,
+(4) absorb the survivors into both indexes in place.  The corpus body is
+NEVER re-read or re-hashed by any step; per-wave work is proportional to
+the wave.
+
+Layout under ``root`` (all paths must be on a filesystem every Ray worker
+mounts — same contract as the index probes)::
+
+    corpus/wave=00000/   immutable partitioned parquet + _MANIFEST/_SUCCESS
+    exact_index/         content-hash index  (functions/incremental.py)
+    band_index/          LSH band-key index
+    _INGEST_LOG.jsonl    one line per committed wave (the commit point)
+
+Crash story: the log line is the commit.  A wave directory with _SUCCESS
+but no log line means the save landed but index absorption is uncertain —
+:meth:`IngestCorpus.recover` re-absorbs that wave (index updates are
+idempotent union-merges) and writes the missing line; a wave directory
+without _SUCCESS is torn output and is wiped for id reuse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+from ..sources.io import partitioned_save
+
+
+def _wave_dir(root: str, wave: int) -> str:
+    return os.path.join(root, "corpus", f"wave={wave:05d}")
+
+
+class IngestCorpus:
+    """Resumable continuous-ingest corpus rooted at ``root``.
+
+    ``cfg`` is the :class:`..config.DedupeConfig` shared by every wave
+    (signature config is fingerprint-pinned in the band index, so changing
+    it requires a rebuild — the same guard as the probe path).
+    """
+
+    def __init__(self, root: str, cfg) -> None:
+        self.root = root
+        self.cfg = cfg
+        self.exact_index = os.path.join(root, "exact_index")
+        self.band_index = os.path.join(root, "band_index")
+        self.log_path = os.path.join(root, "_INGEST_LOG.jsonl")
+        os.makedirs(os.path.join(root, "corpus"), exist_ok=True)
+
+    # ---------------------------------------------------------------- state
+
+    def committed_waves(self) -> list[int]:
+        if not os.path.exists(self.log_path):
+            return []
+        with open(self.log_path) as f:
+            return [json.loads(line)["wave"] for line in f if line.strip()]
+
+    def _saved_waves(self) -> list[int]:
+        out = []
+        cdir = os.path.join(self.root, "corpus")
+        for name in sorted(os.listdir(cdir)):
+            m = re.fullmatch(r"wave=(\d{5})", name)
+            if m and os.path.exists(os.path.join(cdir, name, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return out
+
+    def read_corpus(self):
+        """One Dataset over every committed wave (column-prunable parquet)."""
+        import ray.data as rd
+
+        waves = self.committed_waves()
+        if not waves:
+            raise FileNotFoundError(f"no committed waves under {self.root!r}")
+        files = []  # ray 2.49's read_parquet rejects directories in a list
+        for w in sorted(waves):
+            d = _wave_dir(self.root, w)
+            files += sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        return rd.read_parquet(files)
+
+    # ------------------------------------------------------------- recovery
+
+    def recover(self) -> list[int]:
+        """Finish partially-ingested waves: wipe torn saves, re-absorb saved
+        -but-uncommitted waves (idempotent), write their missing log lines.
+        Called automatically at the top of :meth:`ingest`."""
+        import ray.data as rd
+
+        committed = set(self.committed_waves())
+        recovered = []
+        cdir = os.path.join(self.root, "corpus")
+        for name in sorted(os.listdir(cdir)):
+            m = re.fullmatch(r"wave=(\d{5})", name)
+            if not m:
+                continue
+            w = int(m.group(1))
+            d = os.path.join(cdir, name)
+            if w in committed:
+                continue
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                shutil.rmtree(d)  # torn save: the id is reused
+                continue
+            survivors = rd.read_parquet(d)
+            self._absorb(survivors)
+            with open(os.path.join(d, "_MANIFEST.json")) as f:
+                rows_kept = json.load(f)["rows"]
+            self._commit(w, rows_in=None, rows_kept=rows_kept, recovered=True)
+            recovered.append(w)
+        return recovered
+
+    # --------------------------------------------------------------- ingest
+
+    def ingest(self, wave_ds, intra_wave: bool = True) -> dict:
+        """Run the full loop on one wave; returns the committed log entry.
+
+        ``intra_wave=True`` first resolves the wave's own near+exact
+        duplicates with the flagship pipeline (min-id-wins); set False when
+        the wave is already internally deduped (e.g. replayed output)."""
+        from ..functions.incremental import (
+            incremental_dedupe_indexed,
+            incremental_near_dedupe_indexed,
+        )
+
+        t0 = time.perf_counter()
+        self.recover()
+        wave = (max(self.committed_waves(), default=-1)) + 1
+        rows_in = wave_ds.count()
+
+        survivors = wave_ds
+        if intra_wave:
+            from .dedupe import MinHashDedupePipeline
+
+            survivors, _, _ = MinHashDedupePipeline(self.cfg).run_fused(
+                survivors, materialize_output=False
+            )
+        if os.path.exists(os.path.join(self.exact_index, "_SUCCESS")):
+            survivors = incremental_dedupe_indexed(
+                survivors,
+                self.exact_index,
+                text_col=self.cfg.content_col,
+                id_col=self.cfg.index_col,
+            )
+        if os.path.exists(os.path.join(self.band_index, "_SUCCESS")):
+            survivors = incremental_near_dedupe_indexed(
+                survivors, self.band_index, self.cfg
+            )
+        # one execution of the chain; the save and both index updates then
+        # read object-store blocks instead of re-running the dedupe twice
+        survivors = survivors.materialize()
+        manifest = partitioned_save(survivors, _wave_dir(self.root, wave))
+        rows_kept = manifest["rows"]
+        corpus_distinct = self._absorb(survivors)
+        return self._commit(
+            wave,
+            rows_in=rows_in,
+            rows_kept=rows_kept,
+            corpus_distinct=corpus_distinct,
+            wall_s=round(time.perf_counter() - t0, 2),
+        )
+
+    def _absorb(self, survivors) -> int:
+        """Absorb survivor rows into both indexes (build on first wave)."""
+        from ..functions.incremental import (
+            build_band_index,
+            build_corpus_index,
+            update_band_index,
+            update_corpus_index,
+        )
+
+        if os.path.exists(os.path.join(self.exact_index, "_SUCCESS")):
+            meta = update_corpus_index(survivors, self.exact_index)
+        else:
+            meta = build_corpus_index(
+                survivors, self.exact_index, text_col=self.cfg.content_col
+            )
+        if os.path.exists(os.path.join(self.band_index, "_SUCCESS")):
+            update_band_index(survivors, self.band_index, self.cfg)
+        else:
+            build_band_index(survivors, self.band_index, self.cfg)
+        return sum(meta["parts"].values())
+
+    def _commit(self, wave: int, **fields) -> dict:
+        entry = {"wave": wave, "committed_at": time.time(), **fields}
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        return entry

@@ -1,0 +1,132 @@
+"""Continuous-ingest corpus loop (pipelines/ingest.py): wave-by-wave dedupe
++ append + in-place index absorption, crash recovery, and exact-semantics
+parity with a global from-scratch dedupe."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from daft_minhash_dedupe_ray.config import DedupeConfig
+from daft_minhash_dedupe_ray.pipelines.ingest import IngestCorpus
+
+
+def _cfg():
+    return DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+
+
+def _tab(texts, start):
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(start, start + len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_ingest_loop_three_waves(ray_session, tmp_path):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def txts(n):
+        return [" ".join(rng.choice(vocab, 30)) for _ in range(n)]
+
+    ic = IngestCorpus(str(tmp_path / "ic"), _cfg())
+
+    w1 = txts(80)
+    e1 = ic.ingest(rd.from_arrow(_tab(w1 + [w1[0]], 0)))  # one intra-wave dup
+    assert e1["wave"] == 0 and e1["rows_in"] == 81
+    assert e1["rows_kept"] == 80
+
+    # wave 2: resends of wave-1, near-copies of wave-1, and fresh docs
+    fresh2 = txts(40)
+    w2 = w1[:10] + [t + " zz" for t in w1[10:20]] + fresh2
+    e2 = ic.ingest(rd.from_arrow(_tab(w2, 1000)))
+    assert e2["wave"] == 1
+    assert e2["rows_kept"] == 40  # exact resends AND near-copies both dropped
+
+    # wave 3: dups of wave-2 survivors prove absorption worked
+    w3 = fresh2[:15] + txts(5)
+    e3 = ic.ingest(rd.from_arrow(_tab(w3, 2000)))
+    assert e3["rows_kept"] == 5
+
+    corpus = ic.read_corpus().to_pandas()
+    assert len(corpus) == 80 + 40 + 5
+    assert corpus["text"].nunique() == 125
+    assert [e["wave"] for e in (e1, e2, e3)] == ic.committed_waves()
+
+
+def test_ingest_recover_uncommitted_wave(ray_session, tmp_path):
+    """A wave saved but not logged (crash between save and commit) is
+    re-absorbed idempotently on the next ingest; a torn save is wiped."""
+    import ray.data as rd
+
+    ic = IngestCorpus(str(tmp_path / "ic"), _cfg())
+    w1 = [f"alpha doc {i}" for i in range(50)]
+    ic.ingest(rd.from_arrow(_tab(w1, 0)))
+
+    # simulate the crash: drop the last log line (wave saved, not committed)
+    with open(ic.log_path) as f:
+        lines = f.readlines()
+    os.remove(ic.log_path)
+    assert ic.committed_waves() == []
+
+    # and a torn save for wave 1: directory without _SUCCESS
+    torn = os.path.join(str(tmp_path / "ic"), "corpus", "wave=00001")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    w2 = w1[:10] + [f"beta doc {i}" for i in range(20)]
+    e2 = ic.ingest(rd.from_arrow(_tab(w2, 1000)))
+    # recovery committed wave 0 with its saved row count, wiped the torn dir,
+    # and the new wave still deduped against the recovered corpus
+    waves = ic.committed_waves()
+    assert waves[0] == 0 and e2["wave"] == 1 and len(waves) == 2
+    assert e2["rows_kept"] == 20
+    entry0 = json.loads(open(ic.log_path).readline())
+    assert entry0.get("recovered") and entry0["rows_kept"] == 50
+    assert not os.path.exists(os.path.join(torn, "junk.parquet"))
+
+
+def test_ingest_matches_global_dedupe(ray_session, tmp_path):
+    """Kept-text SET after N waves == one global flagship run over the
+    concatenation (survivor *ids* differ by design: the loop keeps first-
+    wave-wins, a global run keeps min-id; the retained CONTENT must agree
+    because both drop exactly the same near-dup clusters)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(300)]
+    base = [" ".join(rng.choice(vocab, 25)) for _ in range(60)]
+    # two waves with planted overlap: resends + tail-edits + fresh
+    w1 = base[:40]
+    w2 = base[:8] + [t + " tail" for t in base[8:16]] + base[40:]
+
+    ic = IngestCorpus(str(tmp_path / "ic"), _cfg())
+    ic.ingest(rd.from_arrow(_tab(w1, 0)))
+    ic.ingest(rd.from_arrow(_tab(w2, 1000)))
+    kept_loop = set(ic.read_corpus().to_pandas()["text"])
+
+    out, _, _ = MinHashDedupePipeline(_cfg()).run_fused(
+        rd.from_arrow(
+            pa.concat_tables([_tab(w1, 0), _tab(w2, 1000)])
+        )
+    )
+    kept_global = set(out.to_pandas()["text"])
+    # same number of retained clusters, and every globally-kept text is
+    # either kept by the loop or a near-dup of a loop-kept text (the loop
+    # may keep the wave-1 representative where global picked the wave-2 one)
+    assert len(kept_loop) == len(kept_global)
+    direct = kept_loop & kept_global
+    rest_loop = sorted(kept_loop - direct)
+    rest_glob = sorted(kept_global - direct)
+    for a, b in zip(rest_loop, rest_glob):
+        assert a.split()[:20] == b.split()[:20]  # same cluster, other rep
