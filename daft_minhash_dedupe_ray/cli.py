@@ -50,11 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-size", type=int, default=200_000, help="target rows per output partition")
     p.add_argument(
         "--mode",
-        choices=["dedupe", "spans"],
+        choices=["dedupe", "spans", "ingest"],
         default="dedupe",
         help="dedupe: document-level near-dup removal (default); "
         "spans: ExactSubstr span-level removal (cut every cross-doc "
-        "duplicated span >= --span-min-len chars, keep the smallest-id copy)",
+        "duplicated span >= --span-min-len chars, keep the smallest-id copy); "
+        "ingest: treat --input as one wave of a continuous-ingest corpus "
+        "rooted at --output (dedupe vs persisted indexes, append survivors, "
+        "absorb in place, commit a log line; resumable across crashes)",
     )
     p.add_argument("--span-min-len", type=int, default=50, help="minimum duplicated-span length (chars) in --mode spans")
     p.add_argument(
@@ -149,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
     ds = read_table(args.input)
     if args.limit:
         ds = ds.limit(args.limit)
+
+    if args.mode == "ingest":
+        from .pipelines.ingest import IngestCorpus
+
+        entry = IngestCorpus(args.output, cfg).ingest(ds, num_actors=args.num_actors)
+        entry["mode"] = "ingest"
+        entry["wall_seconds"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps(entry))
+        return 0
 
     if args.mode == "spans":
         from .functions.span_dedupe import remove_dup_spans

@@ -63,15 +63,6 @@ class IngestCorpus:
         with open(self.log_path) as f:
             return [json.loads(line)["wave"] for line in f if line.strip()]
 
-    def _saved_waves(self) -> list[int]:
-        out = []
-        cdir = os.path.join(self.root, "corpus")
-        for name in sorted(os.listdir(cdir)):
-            m = re.fullmatch(r"wave=(\d{5})", name)
-            if m and os.path.exists(os.path.join(cdir, name, "_SUCCESS")):
-                out.append(int(m.group(1)))
-        return out
-
     def read_corpus(self):
         """One Dataset over every committed wave (column-prunable parquet)."""
         import ray.data as rd
@@ -119,7 +110,7 @@ class IngestCorpus:
 
     # --------------------------------------------------------------- ingest
 
-    def ingest(self, wave_ds, intra_wave: bool = True) -> dict:
+    def ingest(self, wave_ds, intra_wave: bool = True, num_actors: int = 4) -> dict:
         """Run the full loop on one wave; returns the committed log entry.
 
         ``intra_wave=True`` first resolves the wave's own near+exact
@@ -140,7 +131,7 @@ class IngestCorpus:
             from .dedupe import MinHashDedupePipeline
 
             survivors, _, _ = MinHashDedupePipeline(self.cfg).run_fused(
-                survivors, materialize_output=False
+                survivors, num_actors=num_actors, materialize_output=False
             )
         if os.path.exists(os.path.join(self.exact_index, "_SUCCESS")):
             survivors = incremental_dedupe_indexed(

@@ -94,6 +94,38 @@ def test_ingest_recover_uncommitted_wave(ray_session, tmp_path):
     assert not os.path.exists(os.path.join(torn, "junk.parquet"))
 
 
+def test_cli_ingest_mode(ray_session, tmp_path, capsys):
+    """--mode ingest runs one wave of the loop against --output as the
+    corpus root; a second invocation dedupes against the first's indexes."""
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.cli import main
+
+    root = str(tmp_path / "corpus_root")
+    w1 = [f"cli wave doc {i}" for i in range(60)]
+    in1 = str(tmp_path / "w1.parquet")
+    pq.write_table(_tab(w1, 0), in1)
+    rc = main(
+        ["--input", in1, "--output", root, "--mode", "ingest",
+         "--index-col", "doc_id", "--content-col", "text", "--phash-col", "",
+         "--num-actors", "2"]
+    )
+    assert rc == 0
+    e1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert e1["wave"] == 0 and e1["rows_kept"] == 60
+
+    in2 = str(tmp_path / "w2.parquet")
+    pq.write_table(_tab(w1[:50] + ["brand new doc"], 1000), in2)
+    rc = main(
+        ["--input", in2, "--output", root, "--mode", "ingest",
+         "--index-col", "doc_id", "--content-col", "text", "--phash-col", "",
+         "--num-actors", "2"]
+    )
+    assert rc == 0
+    e2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert e2["wave"] == 1 and e2["rows_kept"] == 1
+
+
 def test_ingest_matches_global_dedupe(ray_session, tmp_path):
     """Kept-text SET after N waves == one global flagship run over the
     concatenation (survivor *ids* differ by design: the loop keeps first-
