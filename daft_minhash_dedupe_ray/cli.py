@@ -154,13 +154,41 @@ def main(argv: list[str] | None = None) -> int:
         ds = ds.limit(args.limit)
 
     if args.mode == "ingest":
-        from .pipelines.ingest import IngestCorpus
+        from .pipelines.ingest import IngestCorpus, _wave_dir
 
-        entry = IngestCorpus(args.output, cfg).ingest(ds, num_actors=args.num_actors)
+        for flag in ("validate", "estimate_recall", "estimate_precision"):
+            if getattr(args, flag):
+                print(
+                    f"[WARN] --{flag.replace('_', '-')} is not supported in "
+                    "--mode ingest and was ignored",
+                    file=sys.stderr,
+                )
+        ic = IngestCorpus(args.output, cfg, chunk_size=args.chunk_size)
+        entry = ic.ingest(ds, num_actors=args.num_actors)
         entry["mode"] = "ingest"
+        if args.audit_rows and entry["rows_kept"] > 0:
+            from .functions.validate import row_invariant_report, verify_row_invariants
+
+            audit = row_invariant_report(
+                verify_row_invariants(
+                    ds,
+                    read_table(_wave_dir(args.output, entry["wave"])),
+                    id_col=args.index_col,
+                    caption_col=args.content_col,
+                    threshold_db=args.audit_threshold_db,
+                    num_partitions=max(1, min(64, entry["rows_kept"] // 100_000 + 1)),
+                    how="inner",  # the wave dir holds only this wave's survivors
+                )
+            )
+            entry["row_invariants"] = audit
+            print(
+                f"[ROW-INVARIANTS] {'PASSED' if audit['passed'] else 'FAILED'} "
+                f"({audit['rows']} rows audited)",
+                file=sys.stderr,
+            )
         entry["wall_seconds"] = round(time.perf_counter() - t0, 2)
         print(json.dumps(entry))
-        return 0
+        return 0 if entry.get("row_invariants", {}).get("passed", True) else 1
 
     if args.mode == "spans":
         from .functions.span_dedupe import remove_dup_spans
@@ -269,6 +297,7 @@ def main(argv: list[str] | None = None) -> int:
                 ds,
                 read_table(args.output),
                 id_col=args.index_col,
+                caption_col=args.content_col,
                 threshold_db=args.audit_threshold_db,
                 num_partitions=parts,
                 how="inner",  # a dedupe legitimately drops rows

@@ -415,6 +415,7 @@ def _anti_filter_wave(new_ds, dup_nodes: np.ndarray, cfg):
     import ray
 
     from ..stages.signature import node_ids_for
+    from ..stages.util import ensure_schema
 
     dup_ref = ray.put(np.sort(dup_nodes))
 
@@ -426,7 +427,13 @@ def _anti_filter_wave(new_ds, dup_nodes: np.ndarray, cfg):
         idx = np.minimum(np.searchsorted(dups, nodes), len(dups) - 1)
         return batch.filter(pa.array(dups[idx] != nodes))
 
-    return new_ds.map_batches(keep, batch_format="pyarrow")
+    s = new_ds.schema()
+    # pin the schema so an all-duplicates wave still yields typed columns
+    # downstream (to_pandas of all-empty blocks otherwise drops them)
+    return ensure_schema(
+        new_ds.map_batches(keep, batch_format="pyarrow"),
+        pa.schema(list(zip(s.names, s.types))),
+    )
 
 
 def _corpus_band_batch(b: pa.Table, stage, shift: int) -> pa.Table:
@@ -680,4 +687,265 @@ def incremental_image_near_dedupe(new_ds, corpus_ds, cfg, num_partitions: int = 
         wave_bands, corpus_bands, ["band_key"], ["band_key"], match,
         HIT_SCHEMA, num_partitions,
     )
+    return _anti_filter_wave(new_ds, _collect_hit_nodes(hits), cfg)
+
+
+# ------------------------------------------------------- image-tier band index
+# The indexed form of :func:`incremental_image_near_dedupe`: persists the
+# corpus' caption LSH band keys AND pHash sub-band keys (with the phash
+# payload, so the probe can confirm Hamming <= budget exactly) in the same
+# Bloom-sketched hash-range layout.  Key spaces are disjoint by construction
+# (phash_band_keys mixes a kind seed), so one sorted file serves both tiers.
+
+
+def _image_sig_fingerprint(cfg) -> str:
+    from ..sources.io import config_hash
+
+    return config_hash(
+        {
+            "sig": _sig_fingerprint(cfg),
+            "phash_col": cfg.phash_col,
+            "phash_bands": cfg.phash_bands,
+        }
+    )
+
+
+def _dedupe_pairs(k: np.ndarray, kind: np.ndarray, pay: np.ndarray):
+    """Distinct (key, payload) pairs, sorted by (key, payload) — caption
+    payloads are zeroed first so identical caption bands collapse."""
+    from ..stages.candidates import KIND_CAPTION
+
+    pay = np.where(kind == KIND_CAPTION, np.uint64(0), pay)
+    order = np.lexsort((pay, k))
+    k, kind, pay = k[order], kind[order], pay[order]
+    first = np.r_[True, (k[1:] != k[:-1]) | (pay[1:] != pay[:-1])] if len(k) else np.zeros(0, bool)
+    return k[first], kind[first], pay[first]
+
+
+def _image_band_batch(b: pa.Table, stage, shift: int) -> pa.Table:
+    """Map-side combiner: distinct (band_key, kind, payload) triples per
+    batch — node ids and image bytes never reach the exchange."""
+    t = stage(b)
+    k, kind, pay = _dedupe_pairs(
+        t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        t["kind"].to_numpy(zero_copy_only=False),
+        t["payload"].to_numpy(zero_copy_only=False).astype(np.uint64),
+    )
+    return pa.table(
+        {
+            "__h__": pa.array(k, pa.uint64()),
+            "kind": pa.array(kind.astype(np.uint8), pa.uint8()),
+            "payload": pa.array(pay, pa.uint64()),
+            "__p__": pa.array(k >> np.uint64(shift), pa.uint64()),
+        }
+    )
+
+
+def _write_image_partition(d: str, k, kind, pay, fp_rate: float, update: bool) -> int:
+    """Sorted (key, kind, payload) triples + Bloom over distinct keys,
+    written with the same atomic-swap discipline as :func:`_update_partition`."""
+    from ..state.bloom import BloomFilter
+
+    os.makedirs(d, exist_ok=True)
+    f_h = f"{d}/hashes.parquet"
+    tmp = f_h + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "__h__": pa.array(k, pa.uint64()),
+                "kind": pa.array(kind.astype(np.uint8), pa.uint8()),
+                "payload": pa.array(pay, pa.uint64()),
+            }
+        ),
+        tmp,
+        row_group_size=16384,
+    )
+    distinct_k = np.unique(k)
+    bloom = BloomFilter.sized(len(distinct_k), fp_rate)
+    bloom.add_hashes(distinct_k)
+    btmp = f"{d}/_bloom.tmp.npz"
+    bloom.save(btmp)
+    os.replace(tmp, f_h)
+    os.replace(btmp, f"{d}/_bloom.npz")
+    return len(k)
+
+
+def _build_image_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa.Table:
+    k, kind, pay = _dedupe_pairs(
+        tab["__h__"].to_numpy(zero_copy_only=False),
+        tab["kind"].to_numpy(zero_copy_only=False),
+        tab["payload"].to_numpy(zero_copy_only=False),
+    )
+    part = int(k[0] >> np.uint64(shift))
+    n = _write_image_partition(_part_dir(path, part), k, kind, pay, fp_rate, update=False)
+    return pa.table({"part": [part], "n_hashes": [n]})
+
+
+def _update_image_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa.Table:
+    k = tab["__h__"].to_numpy(zero_copy_only=False)
+    kind = tab["kind"].to_numpy(zero_copy_only=False)
+    pay = tab["payload"].to_numpy(zero_copy_only=False)
+    part = int(k[0] >> np.uint64(shift))
+    d = _part_dir(path, part)
+    f_h = f"{d}/hashes.parquet"
+    if os.path.exists(f_h):
+        old = pq.read_table(f_h)
+        k = np.concatenate([old["__h__"].to_numpy(zero_copy_only=False), k])
+        kind = np.concatenate([old["kind"].to_numpy(zero_copy_only=False), kind])
+        pay = np.concatenate([old["payload"].to_numpy(zero_copy_only=False), pay])
+    k, kind, pay = _dedupe_pairs(k, kind, pay)
+    n = _write_image_partition(d, k, kind, pay, fp_rate, update=True)
+    return pa.table({"part": [part], "n_hashes": [n]})
+
+
+def build_image_band_index(
+    corpus_ds, path: str, cfg, fp_rate: float = 1e-3, num_partitions: int = 16
+) -> dict:
+    """Persist the corpus' two-tier candidate keys (caption LSH bands +
+    pHash Hamming sub-bands with payload) for wave-sized image ingest
+    dedupe — the amortised form of :func:`incremental_image_near_dedupe`."""
+    shift = _shift_for(num_partitions)
+    os.makedirs(path, exist_ok=True)
+
+    from ..stages.signature import SignatureStage
+
+    stage = SignatureStage(cfg)
+    keyed = corpus_ds.map_batches(
+        functools.partial(_image_band_batch, stage=stage, shift=shift),
+        batch_format="pyarrow",
+    )
+    stats = partition_groupby_prekeyed(
+        keyed,
+        functools.partial(_build_image_partition, path=path, shift=shift, fp_rate=fp_rate),
+        _STATS_SCHEMA,
+        num_partitions,
+    ).take_all()
+    meta = {
+        "kind": "image_band",
+        "num_partitions": num_partitions,
+        "fp_rate": fp_rate,
+        "sig_fingerprint": _image_sig_fingerprint(cfg),
+        "parts": {str(r["part"]): r["n_hashes"] for r in stats},
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def _check_image_index(index_path: str, cfg) -> dict:
+    if not os.path.exists(f"{index_path}/_SUCCESS"):
+        raise FileNotFoundError(f"no completed image band index at {index_path}")
+    with open(f"{index_path}/_META.json") as f:
+        meta = json.load(f)
+    if meta.get("kind") != "image_band":
+        raise ValueError(f"{index_path!r} is not an image band index")
+    if meta["sig_fingerprint"] != _image_sig_fingerprint(cfg):
+        raise ValueError(
+            "image band index was built with a different signature/pHash "
+            "config — rebuild it"
+        )
+    return meta
+
+
+def update_image_band_index(new_ds, index_path: str, cfg) -> dict:
+    """Absorb a wave into an existing :func:`build_image_band_index`
+    snapshot (touched-partitions-only pair union-merge, atomic swaps,
+    idempotent — same contract as :func:`update_band_index`)."""
+    meta = _check_image_index(index_path, cfg)
+    num_partitions = meta["num_partitions"]
+    shift = _shift_for(num_partitions)
+
+    from ..stages.signature import SignatureStage
+
+    stage = SignatureStage(cfg)
+    keyed = new_ds.map_batches(
+        functools.partial(_image_band_batch, stage=stage, shift=shift),
+        batch_format="pyarrow",
+    )
+    stats = partition_groupby_prekeyed(
+        keyed,
+        functools.partial(
+            _update_image_partition, path=index_path, shift=shift, fp_rate=meta["fp_rate"]
+        ),
+        _STATS_SCHEMA,
+        num_partitions,
+    ).take_all()
+    meta["parts"].update({str(r["part"]): r["n_hashes"] for r in stats})
+    _write_meta(index_path, meta)
+    return meta
+
+
+def incremental_image_near_dedupe_indexed(new_ds, index_path: str, cfg):
+    """Wave-vs-persisted-image-index near-dup dedupe: drop a wave row if it
+    shares a caption LSH band with the indexed corpus OR its pHash lands in
+    an indexed Hamming sub-band AND verifies within
+    ``cfg.phash_max_hamming`` bits — the flagship's two-tier candidate
+    semantics at wave-sized cost (semantics equal to
+    :func:`incremental_image_near_dedupe` against the same corpus,
+    asserted in tests)."""
+    from ..hashing import _segment_aranges, hamming_distance64
+    from ..stages.candidates import KIND_PHASH
+    from ..stages.signature import SignatureStage
+
+    meta = _check_image_index(index_path, cfg)
+    num_partitions = meta["num_partitions"]
+    shift = _shift_for(num_partitions)
+    HIT_SCHEMA = pa.schema([("node_id", pa.uint64())])
+
+    stage = SignatureStage(cfg)
+
+    def wave_batch(b: pa.Table) -> pa.Table:
+        t = stage(b)
+        k = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__p__", pa.array(k >> np.uint64(shift), pa.uint64()))
+
+    known_parts = frozenset(int(p) for p in meta.get("parts", {}))
+
+    def probe(tab: pa.Table) -> pa.Table:
+        from ..state.bloom import BloomFilter
+
+        if tab is None or len(tab) == 0:
+            return HIT_SCHEMA.empty_table()
+        wk = tab["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = int(wk[0] >> np.uint64(shift))
+        d = _part_dir(index_path, part)
+        if not _require_part_visible(d, part, known_parts):
+            return HIT_SCHEMA.empty_table()
+        maybe = BloomFilter.load(f"{d}/_bloom.npz").contains(wk)
+        if not maybe.any():
+            return HIT_SCHEMA.empty_table()
+        pos = wk[maybe]
+        lo_s = pa.scalar(int(pos.min()), pa.uint64())
+        hi_s = pa.scalar(int(pos.max()), pa.uint64())
+        seen = pq.read_table(
+            f"{d}/hashes.parquet",
+            filters=(pc.field("__h__") >= lo_s) & (pc.field("__h__") <= hi_s),
+        )
+        sk = seen["__h__"].to_numpy(zero_copy_only=False)
+        if not len(sk):
+            return HIT_SCHEMA.empty_table()
+        sp = seen["payload"].to_numpy(zero_copy_only=False)
+        wkind = tab["kind"].to_numpy(zero_copy_only=False)[maybe]
+        wp = tab["payload"].to_numpy(zero_copy_only=False).astype(np.uint64)[maybe]
+        wn = tab["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)[maybe]
+        lo = np.searchsorted(sk, pos, side="left")
+        hi = np.searchsorted(sk, pos, side="right")
+        present = hi > lo
+        hit = present & (wkind != KIND_PHASH)  # caption tier: membership
+        pm = present & (wkind == KIND_PHASH)  # pHash tier: Hamming verify
+        if pm.any():
+            sizes = (hi[pm] - lo[pm]).astype(np.int64)
+            idx = np.repeat(lo[pm], sizes) + _segment_aranges(sizes)
+            dist = hamming_distance64(np.repeat(wp[pm], sizes), sp[idx])
+            ok = dist <= cfg.phash_max_hamming
+            csum = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+            bounds = np.concatenate(([0], np.cumsum(sizes)))
+            any_ok = (csum[bounds[1:]] - csum[bounds[:-1]]) > 0
+            sub = np.flatnonzero(pm)
+            hit[sub[any_ok]] = True
+        if not hit.any():
+            return HIT_SCHEMA.empty_table()
+        return pa.table({"node_id": pa.array(np.unique(wn[hit]), pa.uint64())})
+
+    keyed = new_ds.map_batches(wave_batch, batch_format="pyarrow")
+    hits = partition_groupby_prekeyed(keyed, probe, HIT_SCHEMA, num_partitions)
     return _anti_filter_wave(new_ds, _collect_hit_nodes(hits), cfg)

@@ -118,9 +118,13 @@ class RequantizeStage:
     """Stateless map_batches stage: drop the low ``bits`` bits of every pixel
     byte and re-encode — a deterministic stand-in for lossy recompression
     (JPEG requant) that needs no external codec.  Max per-channel error is
-    ``2**bits - 1``, so bits=2 keeps PSNR ≈ 42.7 dB — just above the
-    north-rule's 40 dB per-row invariant, making it the natural fixture for
-    :func:`..validate.verify_row_invariants`."""
+    ``2**bits - 1``.  At bits=2 an image with ~uniform low bits measures
+    PSNR ≈ 42.7 dB (E[d^2] = 3.5) — just above the north-rule's 40 dB
+    per-row invariant, making it the natural fixture for
+    :func:`..validate.verify_row_invariants` on the synthetic tables.  That
+    is an average, NOT a floor: the worst case (every byte ≡ 3 mod 4, e.g.
+    saturated 255 regions) is MSE 9 → 38.6 dB, so real thumbnails or a
+    different generator can legitimately fail the 40 dB bar at bits=2."""
 
     def __init__(self, bits: int = 2, bytes_col: str = "bytes", fmt_col: str = "fmt"):
         assert 0 <= bits < 8

@@ -65,10 +65,20 @@ def _verdict_partition(
 
     def _index(t):
         if t is None:
-            return {}
-        return {i: j for j, i in enumerate(t["image_id"].to_pylist())}
+            return {}, set()
+        vals = t["image_id"].to_pylist()
+        idx, dup = {}, set()
+        for j, v in enumerate(vals):
+            if v in idx:
+                dup.add(v)
+            idx[v] = j
+        return idx, dup
 
-    li, ri = _index(left), _index(right)
+    li, dup_l = _index(left)
+    ri, dup_r = _index(right)
+    # an id appearing twice on a side is itself a corruption (duplicate-row
+    # inflation) — always reported as failing, even in inner mode
+    dup_ids = dup_l | dup_r
     ids = sorted(set(li) & set(ri) if how == "inner" else set(li) | set(ri))
     if not ids:
         return None
@@ -89,8 +99,8 @@ def _verdict_partition(
     lb, lf, lc = _cols(left)
     rb, rf, rc = _cols(right)
     for k, i in enumerate(ids):
-        if i not in li or i not in ri:
-            continue  # missing on one side: sse stays -1, verdicts False
+        if i in dup_ids or i not in li or i not in ri:
+            continue  # duplicated / missing: sse stays -1, verdicts False
         a, b = li[i], ri[i]
         cap_eq[k] = lc[a] == rc[b]
         pa_, pb_ = _decode_or_none(lb[a], lf[a]), _decode_or_none(rb[b], rf[b])
@@ -132,19 +142,24 @@ def verify_row_invariants(
     threshold_db: float = 40.0,
     num_partitions: int = 32,
     how: str = "outer",
+    caption_col: str = "caption",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
 ):
     """Distributed per-row invariant audit of ``out_ds`` against ``ref_ds``.
 
     Returns a Dataset with one row per audited id:
     ``(image_id, n_px, sse, caption_equal, psnr_ok, psnr_db)``.  ``sse`` is
     the exact integer sum of squared pixel differences (-1 when the row is
-    missing on a side, fails decode, or changed shape — all of which also
-    fail ``psnr_ok``).  ``how="outer"`` (default) reports unmatched ids as
-    failures; ``how="inner"`` audits only matched ids (survivor audits,
-    where a dedupe legitimately dropped rows).  Tables without a ``bytes``
-    payload degrade to caption-equality-only (missing payloads compare
-    equal-opaque).  At scale, size ``num_partitions`` so a partition's
-    decoded payloads fit one worker's heap (~rows/1M for 32px thumbs).
+    missing on a side, duplicated within a side, fails decode, or changed
+    shape — all of which also fail ``psnr_ok``).  ``how="outer"`` (default)
+    reports unmatched ids as failures; ``how="inner"`` audits only matched
+    ids (survivor audits, where a dedupe legitimately dropped rows).  The
+    content column is ``caption_col`` (pass the table's actual text column —
+    auditing a column the table doesn't have passes vacuously); tables
+    without a ``bytes_col`` payload degrade to content-equality-only.  At
+    scale, size ``num_partitions`` so a partition's decoded payloads fit
+    one worker's heap (~rows/1M for 32px thumbs).
     """
     import functools as _ft
 
@@ -152,20 +167,18 @@ def verify_row_invariants(
     _s = ref_ds.schema()
     id_type = _s.types[_s.names.index(id_col)]
     schema = pa.schema([("image_id", id_type)] + list(REPORT_SCHEMA)[1:])
+    rename = {id_col: "image_id", bytes_col: "bytes", fmt_col: "fmt", caption_col: "caption"}
 
     def _null_col(b: pa.Table, name: str, typ) -> pa.Table:
         return b.append_column(name, pa.nulls(len(b), typ))
 
     def _proj(ds):
         have = ds.schema().names
-        cols = [c for c in (id_col, "bytes", "fmt", "caption") if c in have]
+        cols = [c for c in (id_col, bytes_col, fmt_col, caption_col) if c in have]
         ds = ds.select_columns(cols)
 
         def _norm(b: pa.Table) -> pa.Table:
-            if id_col != "image_id":
-                b = b.rename_columns(
-                    ["image_id" if c == id_col else c for c in b.column_names]
-                )
+            b = b.rename_columns([rename.get(c, c) for c in b.column_names])
             for name, typ in (
                 ("bytes", pa.binary()),
                 ("fmt", pa.string()),

@@ -47,12 +47,18 @@ class IngestCorpus:
     it requires a rebuild — the same guard as the probe path).
     """
 
-    def __init__(self, root: str, cfg) -> None:
+    def __init__(self, root: str, cfg, chunk_size: int = 200_000) -> None:
         self.root = root
         self.cfg = cfg
+        self.chunk_size = chunk_size
         self.exact_index = os.path.join(root, "exact_index")
         self.band_index = os.path.join(root, "band_index")
         self.log_path = os.path.join(root, "_INGEST_LOG.jsonl")
+        # with an image side configured, the near index must carry BOTH
+        # tiers (caption bands + pHash sub-bands with Hamming payloads) —
+        # a caption-only band index would silently pass pHash-only
+        # near-dups of absorbed images across waves
+        self.image_tier = cfg.phash_col is not None
         os.makedirs(os.path.join(root, "corpus"), exist_ok=True)
 
     # ---------------------------------------------------------------- state
@@ -90,7 +96,7 @@ class IngestCorpus:
         recovered = []
         cdir = os.path.join(self.root, "corpus")
         for name in sorted(os.listdir(cdir)):
-            m = re.fullmatch(r"wave=(\d{5})", name)
+            m = re.fullmatch(r"wave=(\d{5,})", name)
             if not m:
                 continue
             w = int(m.group(1))
@@ -118,21 +124,23 @@ class IngestCorpus:
         the wave is already internally deduped (e.g. replayed output)."""
         from ..functions.incremental import (
             incremental_dedupe_indexed,
+            incremental_image_near_dedupe_indexed,
             incremental_near_dedupe_indexed,
         )
 
         t0 = time.perf_counter()
         self.recover()
         wave = (max(self.committed_waves(), default=-1)) + 1
-        rows_in = wave_ds.count()
 
+        rows_in = None
         survivors = wave_ds
         if intra_wave:
             from .dedupe import MinHashDedupePipeline
 
-            survivors, _, _ = MinHashDedupePipeline(self.cfg).run_fused(
+            survivors, _, rep = MinHashDedupePipeline(self.cfg).run_fused(
                 survivors, num_actors=num_actors, materialize_output=False
             )
+            rows_in = rep.rows_before  # free; no extra pass over the wave
         if os.path.exists(os.path.join(self.exact_index, "_SUCCESS")):
             survivors = incremental_dedupe_indexed(
                 survivors,
@@ -141,13 +149,19 @@ class IngestCorpus:
                 id_col=self.cfg.index_col,
             )
         if os.path.exists(os.path.join(self.band_index, "_SUCCESS")):
-            survivors = incremental_near_dedupe_indexed(
-                survivors, self.band_index, self.cfg
+            survivors = (
+                incremental_image_near_dedupe_indexed(survivors, self.band_index, self.cfg)
+                if self.image_tier
+                else incremental_near_dedupe_indexed(survivors, self.band_index, self.cfg)
             )
         # one execution of the chain; the save and both index updates then
         # read object-store blocks instead of re-running the dedupe twice
         survivors = survivors.materialize()
-        manifest = partitioned_save(survivors, _wave_dir(self.root, wave))
+        if rows_in is None:
+            rows_in = wave_ds.count()
+        manifest = partitioned_save(
+            survivors, _wave_dir(self.root, wave), chunk_size=self.chunk_size
+        )
         rows_kept = manifest["rows"]
         corpus_distinct = self._absorb(survivors)
         return self._commit(
@@ -160,23 +174,23 @@ class IngestCorpus:
 
     def _absorb(self, survivors) -> int:
         """Absorb survivor rows into both indexes (build on first wave)."""
-        from ..functions.incremental import (
-            build_band_index,
-            build_corpus_index,
-            update_band_index,
-            update_corpus_index,
-        )
+        from ..functions import incremental as inc
 
         if os.path.exists(os.path.join(self.exact_index, "_SUCCESS")):
-            meta = update_corpus_index(survivors, self.exact_index)
+            meta = inc.update_corpus_index(survivors, self.exact_index)
         else:
-            meta = build_corpus_index(
+            meta = inc.build_corpus_index(
                 survivors, self.exact_index, text_col=self.cfg.content_col
             )
+        build, update = (
+            (inc.build_image_band_index, inc.update_image_band_index)
+            if self.image_tier
+            else (inc.build_band_index, inc.update_band_index)
+        )
         if os.path.exists(os.path.join(self.band_index, "_SUCCESS")):
-            update_band_index(survivors, self.band_index, self.cfg)
+            update(survivors, self.band_index, self.cfg)
         else:
-            build_band_index(survivors, self.band_index, self.cfg)
+            build(survivors, self.band_index, self.cfg)
         return sum(meta["parts"].values())
 
     def _commit(self, wave: int, **fields) -> dict:

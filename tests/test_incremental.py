@@ -426,3 +426,122 @@ def test_update_band_index_absorbs_wave(ray_session, tmp_path):
             p,
             cfg.with_overrides(num_perm=128, bands=16, rows=8),
         )
+
+
+def _image_fixture(seed=41):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def cap():
+        return " ".join(rng.choice(vocab, 40))
+
+    def tab(caps, phs, start):
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    [f"i{start + j}" for j in range(len(caps))], pa.string()
+                ),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(np.asarray(phs, dtype=np.int64)),
+            }
+        )
+
+    return rng, cap, tab
+
+
+def test_image_band_index_matches_direct(ray_session, tmp_path):
+    """incremental_image_near_dedupe_indexed == the direct cogroup form on
+    the same corpus: caption-band hits AND Hamming-verified pHash hits."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_image_band_index,
+        incremental_image_near_dedupe,
+        incremental_image_near_dedupe_indexed,
+        update_image_band_index,
+    )
+
+    rng, cap, tab = _image_fixture(43)
+    n_c = 150
+    corpus_caps = [cap() for _ in range(n_c)]
+    corpus_ph = rng.integers(0, 2**63, n_c, dtype=np.int64)
+    wave_caps, wave_ph = [], []
+    for i in range(40):  # pHash near-copies, fresh captions
+        flips = rng.choice(64, rng.integers(0, 3), replace=False)
+        ph = corpus_ph[i]
+        for b in flips:
+            ph ^= np.int64(1) << np.int64(b)
+        wave_caps.append(cap()); wave_ph.append(ph)
+    for i in range(30):  # caption near-copies, fresh phash
+        wave_caps.append(corpus_caps[i] + f" tail{i}")
+        wave_ph.append(int(rng.integers(0, 2**63)))
+    for _ in range(60):  # fresh
+        wave_caps.append(cap()); wave_ph.append(int(rng.integers(0, 2**63)))
+
+    cfg = DedupeConfig(index_col="image_id", content_col="caption", phash_col="phash")
+    corpus = rd.from_arrow(tab(corpus_caps, corpus_ph, 0)).repartition(3)
+    wave = rd.from_arrow(tab(wave_caps, wave_ph, 10_000)).repartition(3)
+
+    p = str(tmp_path / "imgidx")
+    meta = build_image_band_index(corpus, p, cfg, num_partitions=8)
+    assert meta["kind"] == "image_band"
+
+    via_index = sorted(
+        incremental_image_near_dedupe_indexed(wave, p, cfg).to_pandas()["image_id"]
+    )
+    direct = sorted(
+        incremental_image_near_dedupe(wave, corpus, cfg, num_partitions=8)
+        .to_pandas()["image_id"]
+    )
+    assert via_index == direct
+    assert len(via_index) < 130  # planted copies were dropped
+
+    # absorb the survivors; re-sending them (and pHash near-copies of them)
+    # must now be rejected, matching a from-scratch rebuild
+    surv = rd.from_arrow(
+        tab(
+            [wave_caps[j] for j in range(130) if f"i{10_000 + j}" in set(via_index)][:50],
+            [wave_ph[j] for j in range(130) if f"i{10_000 + j}" in set(via_index)][:50],
+            20_000,
+        )
+    )
+    update_image_band_index(surv, p, cfg)
+    # exact re-sends share every band -> all dropped (count, not to_pandas:
+    # ray's to_pandas drops columns when every block is empty)
+    assert incremental_image_near_dedupe_indexed(surv, p, cfg).count() == 0
+
+    # config drift refuses the probe and the update
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        incremental_image_near_dedupe_indexed(
+            wave, p, cfg.with_overrides(num_perm=128, bands=16, rows=8)
+        )
+
+
+def test_ingest_loop_catches_phash_only_dups(ray_session, tmp_path):
+    """The review scenario: wave 2 sends a pHash near-copy of an absorbed
+    wave-1 image with a REWRITTEN caption — the image-tier index must drop
+    it (a caption-only band index would pass it)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.pipelines.ingest import IngestCorpus
+
+    rng, cap, tab = _image_fixture(47)
+    caps1 = [cap() for _ in range(50)]
+    ph1 = rng.integers(0, 2**63, 50, dtype=np.int64)
+    cfg = DedupeConfig(index_col="image_id", content_col="caption", phash_col="phash")
+    ic = IngestCorpus(str(tmp_path / "ic"), cfg)
+    e1 = ic.ingest(rd.from_arrow(tab(caps1, ph1, 0)))
+    assert e1["rows_kept"] == 50
+
+    # wave 2: 10 pHash near-copies (1 bit flip, fresh captions) + 10 fresh
+    caps2 = [cap() for _ in range(20)]
+    ph2 = [int(ph1[i] ^ (np.int64(1) << np.int64(int(rng.integers(0, 64))))) for i in range(10)]
+    ph2 += [int(rng.integers(0, 2**63)) for _ in range(10)]
+    e2 = ic.ingest(rd.from_arrow(tab(caps2, ph2, 1000)))
+    assert e2["rows_kept"] == 10  # every pHash near-copy rejected
+    kept2 = set(ic.read_corpus().to_pandas()["image_id"]) - {f"i{j}" for j in range(50)}
+    assert kept2 == {f"i{1000 + j}" for j in range(10, 20)}

@@ -175,3 +175,72 @@ def test_sql_image_invariants_bit_exact(ray_session):
         assert (
             eng[col].to_numpy() == ora[col].to_numpy()
         ).all(), f"column {col} mismatch"
+
+
+def test_duplicated_ids_flagged(ray_session):
+    """An id appearing twice on a side (duplicate-row inflation) fails the
+    audit instead of silently auditing whichever copy enumerates last."""
+    import ray.data as rd
+
+    t = pa.table({"image_id": ["a", "b"], "caption": ["x", "y"]})
+    t_dup = pa.table({"image_id": ["a", "b", "b"], "caption": ["x", "y", "y"]})
+    rep = (
+        verify_row_invariants(
+            rd.from_arrow(t), rd.from_arrow(t_dup), num_partitions=2, how="inner"
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert rep.loc["a", "psnr_ok"]
+    assert not rep.loc["b", "psnr_ok"] and rep.loc["b", "sse"] == -1
+
+
+def test_custom_content_column_is_compared(ray_session):
+    """caption_col maps the table's actual text column into the audit — a
+    corrupted 'text' column must FAIL (it used to pass vacuously because
+    only a literal 'caption' column was compared)."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": ["a", "b"], "text": ["hello", "world"]})
+    t_bad = pa.table({"doc_id": ["a", "b"], "text": ["hello", "CORRUPTED"]})
+    rep = (
+        verify_row_invariants(
+            rd.from_arrow(t),
+            rd.from_arrow(t_bad),
+            id_col="doc_id",
+            caption_col="text",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert rep.loc["a", "caption_equal"]
+    assert not rep.loc["b", "caption_equal"]
+
+
+def test_cli_audit_uses_content_col(ray_session, tmp_path, capsys):
+    """--audit-rows with --content-col text (a table with NO 'caption'
+    column) audits the real column — it used to pass vacuously against
+    all-null synthetic caption columns."""
+    import json
+
+    from daft_minhash_dedupe_ray.cli import main
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(200, seed=3, with_images=False)
+    t = t.rename_columns(
+        ["text" if c == "caption" else c for c in t.column_names]
+    )
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(t, inp)
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        ["--input", inp, "--output", out_dir, "--num-perm", "64", "--bands", "8",
+         "--rows", "8", "--num-actors", "2", "--num-partitions", "4",
+         "--index-col", "image_id", "--content-col", "text", "--phash-col", "",
+         "--audit-rows"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["row_invariants"]["passed"]
+    assert report["row_invariants"]["rows"] == report["rows_after"]
