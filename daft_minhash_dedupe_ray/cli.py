@@ -156,7 +156,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "ingest":
         from .pipelines.ingest import IngestCorpus, _wave_dir
 
-        for flag in ("validate", "estimate_recall", "estimate_precision"):
+        for flag in (
+            "validate",
+            "estimate_recall",
+            "estimate_precision",
+            "checkpoint_dir",
+            "modular",
+        ):
             if getattr(args, flag):
                 print(
                     f"[WARN] --{flag.replace('_', '-')} is not supported in "
@@ -176,7 +182,10 @@ def main(argv: list[str] | None = None) -> int:
                     id_col=args.index_col,
                     caption_col=args.content_col,
                     threshold_db=args.audit_threshold_db,
-                    num_partitions=max(1, min(64, entry["rows_kept"] // 100_000 + 1)),
+                    # size from the LARGER side: the reference carries the
+                    # whole wave even when a dup-heavy wave kept few rows
+                    num_partitions=args.num_partitions
+                    or max(1, min(64, max(entry["rows_in"], entry["rows_kept"]) // 100_000 + 1)),
                     how="inner",  # the wave dir holds only this wave's survivors
                 )
             )
@@ -288,9 +297,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.audit_rows:
         from .functions.validate import row_invariant_report, verify_row_invariants
 
-        # size the exchange from the audited row count (near-empty tasks
-        # dominate tiny runs at a fixed 64 — see the CC-loop sizing note)
-        n_audit = report.get("rows_after") or manifest["rows"]
+        # size the exchange from the LARGER side (the reference carries
+        # rows_before even when the dedupe kept few rows); near-empty tasks
+        # dominate tiny runs at a fixed 64 — see the CC-loop sizing note
+        n_audit = max(
+            report.get("rows_before") or 0, report.get("rows_after") or manifest["rows"]
+        )
         parts = args.num_partitions or max(1, min(64, n_audit // 100_000 + 1))
         audit = row_invariant_report(
             verify_row_invariants(

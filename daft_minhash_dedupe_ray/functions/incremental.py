@@ -436,6 +436,18 @@ def _anti_filter_wave(new_ds, dup_nodes: np.ndarray, cfg):
     )
 
 
+def _sig_columns(ds, cfg):
+    """Prune to the signature inputs before a band pass — on an image
+    corpus the ``bytes`` payload dominates row mass and must not stream
+    through a key-extraction map (pushes the pruning into the parquet
+    read, like :func:`build_corpus_index`)."""
+    want = [c for c in (cfg.index_col, cfg.content_col, cfg.phash_col) if c]
+    schema = ds.schema(fetch_if_missing=False) or ds.schema()
+    if schema is None:  # fully-empty dataset (e.g. an all-duplicates wave)
+        return ds
+    return ds.select_columns([c for c in want if c in schema.names])
+
+
 def _corpus_band_batch(b: pa.Table, stage, shift: int) -> pa.Table:
     """Map-side combiner for the band index: per-batch DISTINCT band keys
     only — document ids and payloads never reach the exchange."""
@@ -473,7 +485,7 @@ def build_band_index(
     from ..stages.signature import SignatureStage
 
     stage = SignatureStage(cfg)  # once; permutation tables ride the closure
-    keyed = corpus_ds.map_batches(
+    keyed = _sig_columns(corpus_ds, cfg).map_batches(
         functools.partial(_corpus_band_batch, stage=stage, shift=shift),
         batch_format="pyarrow",
     )
@@ -518,7 +530,7 @@ def update_band_index(new_ds, index_path: str, cfg) -> dict:
     from ..stages.signature import SignatureStage
 
     stage = SignatureStage(cfg)
-    keyed = new_ds.map_batches(
+    keyed = _sig_columns(new_ds, cfg).map_batches(
         functools.partial(_corpus_band_batch, stage=stage, shift=shift),
         batch_format="pyarrow",
     )
@@ -616,7 +628,7 @@ def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
         hit_nodes = nodes[maybe][confirmed]
         return pa.table({"node_id": pa.array(np.unique(hit_nodes), pa.uint64())})
 
-    keyed = new_ds.map_batches(wave_bands, batch_format="pyarrow")
+    keyed = _sig_columns(new_ds, cfg).map_batches(wave_bands, batch_format="pyarrow")
     hits = partition_groupby_prekeyed(keyed, probe, HIT_SCHEMA, num_partitions)
     return _anti_filter_wave(new_ds, _collect_hit_nodes(hits), cfg)
 
@@ -741,7 +753,7 @@ def _image_band_batch(b: pa.Table, stage, shift: int) -> pa.Table:
     )
 
 
-def _write_image_partition(d: str, k, kind, pay, fp_rate: float, update: bool) -> int:
+def _write_image_partition(d: str, k, kind, pay, fp_rate: float) -> int:
     """Sorted (key, kind, payload) triples + Bloom over distinct keys,
     written with the same atomic-swap discipline as :func:`_update_partition`."""
     from ..state.bloom import BloomFilter
@@ -777,7 +789,7 @@ def _build_image_partition(tab: pa.Table, path: str, shift: int, fp_rate: float)
         tab["payload"].to_numpy(zero_copy_only=False),
     )
     part = int(k[0] >> np.uint64(shift))
-    n = _write_image_partition(_part_dir(path, part), k, kind, pay, fp_rate, update=False)
+    n = _write_image_partition(_part_dir(path, part), k, kind, pay, fp_rate)
     return pa.table({"part": [part], "n_hashes": [n]})
 
 
@@ -794,7 +806,7 @@ def _update_image_partition(tab: pa.Table, path: str, shift: int, fp_rate: float
         kind = np.concatenate([old["kind"].to_numpy(zero_copy_only=False), kind])
         pay = np.concatenate([old["payload"].to_numpy(zero_copy_only=False), pay])
     k, kind, pay = _dedupe_pairs(k, kind, pay)
-    n = _write_image_partition(d, k, kind, pay, fp_rate, update=True)
+    n = _write_image_partition(d, k, kind, pay, fp_rate)
     return pa.table({"part": [part], "n_hashes": [n]})
 
 
@@ -810,7 +822,7 @@ def build_image_band_index(
     from ..stages.signature import SignatureStage
 
     stage = SignatureStage(cfg)
-    keyed = corpus_ds.map_batches(
+    keyed = _sig_columns(corpus_ds, cfg).map_batches(
         functools.partial(_image_band_batch, stage=stage, shift=shift),
         batch_format="pyarrow",
     )
@@ -857,7 +869,7 @@ def update_image_band_index(new_ds, index_path: str, cfg) -> dict:
     from ..stages.signature import SignatureStage
 
     stage = SignatureStage(cfg)
-    keyed = new_ds.map_batches(
+    keyed = _sig_columns(new_ds, cfg).map_batches(
         functools.partial(_image_band_batch, stage=stage, shift=shift),
         batch_format="pyarrow",
     )
@@ -924,6 +936,7 @@ def incremental_image_near_dedupe_indexed(new_ds, index_path: str, cfg):
         if not len(sk):
             return HIT_SCHEMA.empty_table()
         sp = seen["payload"].to_numpy(zero_copy_only=False)
+        skind = seen["kind"].to_numpy(zero_copy_only=False)
         wkind = tab["kind"].to_numpy(zero_copy_only=False)[maybe]
         wp = tab["payload"].to_numpy(zero_copy_only=False).astype(np.uint64)[maybe]
         wn = tab["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)[maybe]
@@ -936,7 +949,10 @@ def incremental_image_near_dedupe_indexed(new_ds, index_path: str, cfg):
             sizes = (hi[pm] - lo[pm]).astype(np.int64)
             idx = np.repeat(lo[pm], sizes) + _segment_aranges(sizes)
             dist = hamming_distance64(np.repeat(wp[pm], sizes), sp[idx])
-            ok = dist <= cfg.phash_max_hamming
+            # stored-kind guard mirrors the direct form (ckind[idx]==1): a
+            # 64-bit key collision with a caption entry must not Hamming-
+            # compare against its zeroed payload
+            ok = (dist <= cfg.phash_max_hamming) & (skind[idx] == KIND_PHASH)
             csum = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
             bounds = np.concatenate(([0], np.cumsum(sizes)))
             any_ok = (csum[bounds[1:]] - csum[bounds[:-1]]) > 0
@@ -946,6 +962,6 @@ def incremental_image_near_dedupe_indexed(new_ds, index_path: str, cfg):
             return HIT_SCHEMA.empty_table()
         return pa.table({"node_id": pa.array(np.unique(wn[hit]), pa.uint64())})
 
-    keyed = new_ds.map_batches(wave_batch, batch_format="pyarrow")
+    keyed = _sig_columns(new_ds, cfg).map_batches(wave_batch, batch_format="pyarrow")
     hits = partition_groupby_prekeyed(keyed, probe, HIT_SCHEMA, num_partitions)
     return _anti_filter_wave(new_ds, _collect_hit_nodes(hits), cfg)

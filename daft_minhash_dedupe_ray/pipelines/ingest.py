@@ -69,6 +69,41 @@ class IngestCorpus:
         with open(self.log_path) as f:
             return [json.loads(line)["wave"] for line in f if line.strip()]
 
+    def _expected_band_kind(self) -> str:
+        return "image_band" if self.image_tier else "band"
+
+    def _band_index_kind(self) -> str | None:
+        """Kind of the near index ON DISK (None if absent) — the disk is
+        authoritative: a corpus ingested with one tier must not be probed
+        or absorbed with the other (a caption-only probe would silently
+        pass pHash near-dups; a mismatched update would corrupt)."""
+        if not os.path.exists(os.path.join(self.band_index, "_SUCCESS")):
+            return None
+        with open(os.path.join(self.band_index, "_META.json")) as f:
+            return json.load(f).get("kind")
+
+    def _check_band_kind(self) -> None:
+        disk = self._band_index_kind()
+        if disk is not None and disk != self._expected_band_kind():
+            raise ValueError(
+                f"the corpus at {self.root!r} carries a {disk!r} near index "
+                f"but this config implies {self._expected_band_kind()!r} "
+                f"(phash_col={self.cfg.phash_col!r}) — re-run with the "
+                "matching config, or call rebuild_band_index() to rebuild "
+                "the index from the committed corpus under the new config"
+            )
+
+    def rebuild_band_index(self) -> dict:
+        """Rebuild the near index from the FULL committed corpus under the
+        current config — the safe remediation for a tier/config change
+        (building from a single wave would silently drop every earlier
+        wave's keys from the index)."""
+        from ..functions.incremental import build_band_index, build_image_band_index
+
+        shutil.rmtree(self.band_index, ignore_errors=True)
+        build = build_image_band_index if self.image_tier else build_band_index
+        return build(self.read_corpus(), self.band_index, self.cfg)
+
     def read_corpus(self):
         """One Dataset over every committed wave (column-prunable parquet)."""
         import ray.data as rd
@@ -92,6 +127,7 @@ class IngestCorpus:
         Called automatically at the top of :meth:`ingest`."""
         import ray.data as rd
 
+        self._check_band_kind()
         committed = set(self.committed_waves())
         recovered = []
         cdir = os.path.join(self.root, "corpus")
@@ -129,6 +165,7 @@ class IngestCorpus:
         )
 
         t0 = time.perf_counter()
+        self._check_band_kind()  # fail fast BEFORE any work on a tier mismatch
         self.recover()
         wave = (max(self.committed_waves(), default=-1)) + 1
 

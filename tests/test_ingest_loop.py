@@ -162,3 +162,32 @@ def test_ingest_matches_global_dedupe(ray_session, tmp_path):
     rest_glob = sorted(kept_global - direct)
     for a, b in zip(rest_loop, rest_glob):
         assert a.split()[:20] == b.split()[:20]  # same cluster, other rep
+
+
+def test_band_index_tier_mismatch_guard(ray_session, tmp_path):
+    """A corpus ingested with one near-index tier refuses probes/absorbs
+    under the other tier's config (disk is authoritative), and
+    rebuild_band_index() rebuilds from the FULL committed corpus — the
+    safe remediation (a wave-only rebuild would drop earlier waves)."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+
+    root = str(tmp_path / "ic")
+    text_cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    ic = IngestCorpus(root, text_cfg)
+    ic.ingest(rd.from_arrow(_tab([f"doc {i}" for i in range(40)], 0)))
+    assert ic._band_index_kind() == "band"
+
+    # same corpus re-opened with an image-tier config: fail fast
+    img_cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col="phash")
+    ic2 = IngestCorpus(root, img_cfg)
+    with pytest.raises(ValueError, match="rebuild_band_index"):
+        ic2.ingest(rd.from_arrow(_tab(["x"], 100)))
+
+    # remediation: rebuild from the committed corpus under the new config,
+    # then re-sends of EARLIER waves are still rejected
+    meta = ic2.rebuild_band_index()
+    assert meta["kind"] == "image_band"
+    e = ic2.ingest(rd.from_arrow(_tab([f"doc {i}" for i in range(10)], 200)))
+    assert e["rows_kept"] == 0
