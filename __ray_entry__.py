@@ -1194,25 +1194,26 @@ def _audio_stats_synth(sf_dir: str):
 
 
 def _audio_dedupe_synth(sf_dir: str):
-    """Audio near-dup dedupe: spectral-fingerprint Hamming banding into the
-    shared candidate/cluster/merge machinery (the audio analogue of the
-    image flagship) — rows-only; planted-pair recall is asserted in
-    tests/test_functions.py."""
+    """Audio near-dup dedupe: integer spectral-fingerprint Hamming banding
+    into the shared candidate/cluster/merge machinery (the audio analogue of
+    the image flagship).  SQL-checked — the oracle decodes the RIFF/PCM16
+    payloads and replays the square-wave fingerprint, Hamming graph, CC and
+    min-id keep inside DuckDB (sql_oracle.audio_dedupe_keep_sql); planted-
+    pair recall is asserted in tests/test_functions.py."""
     import ray.data as rd
 
     from daft_minhash_dedupe_ray.config import DedupeConfig
     from daft_minhash_dedupe_ray.functions.audio import (
         audio_dedupe_candidates,
-        synth_audio_table_with_dups,
+        cached_audio_dups_path,
     )
     from daft_minhash_dedupe_ray.stages.merge import merge_keep
     from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
 
-    t, _ = synth_audio_table_with_dups(300, seed=42, dup_rate=0.3)
     cfg = DedupeConfig(
         index_col="audio_id", content_col="bytes", phash_col=None, phash_max_hamming=3
     )
-    ds = rd.from_arrow(t)
+    ds = rd.read_parquet(cached_audio_dups_path(300, seed=42, dup_rate=0.3))
     edges = audio_dedupe_candidates(ds, cfg)
     assign = cluster_edges(edges, num_actors=2)
     out = merge_keep(ds, assign, cfg)
@@ -1337,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
     # validated bit-for-bit vs the numpy kernels in tests/test_sql_oracle.py
     from daft_minhash_dedupe_ray import sql_oracle as _so
     from daft_minhash_dedupe_ray.functions.audio import cached_audio_path as _cap
+    from daft_minhash_dedupe_ray.functions.audio import (
+        cached_audio_dups_path as _cadp,
+    )
     from daft_minhash_dedupe_ray.functions.video import cached_video_path as _cvp
     from daft_minhash_dedupe_ray.synth import cached_table_path as _ctp
 
@@ -1360,6 +1364,11 @@ def oracle_sql() -> dict[str, str]:
             _ctp(300, seed=42, with_images=True), bits=2, threshold_db=40.0
         ),
         "audio_stats_synth": _so.audio_stats_sql(_cap(300, seed=42)),
+        # integer spectral fingerprint + Hamming CC + min-id keep, end to
+        # end from the raw RIFF/PCM16 bytes (closes the r3 no_oracle gap)
+        "audio_dedupe_synth": _so.audio_dedupe_keep_sql(
+            _cadp(300, seed=42, dup_rate=0.3), max_hamming=3
+        ),
         "image_dhash_clusters_synth": _so.image_dhash_clusters_sql(
             _ctp(300, seed=42, with_images=True)
         ),

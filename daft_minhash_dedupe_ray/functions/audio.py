@@ -188,6 +188,89 @@ class AudioResampleStage:
         return batch
 
 
+def fingerprint_periods(
+    n_bands: int = 65, pmin: int = 4, pmax: int = 160
+) -> np.ndarray:
+    """The integer fingerprint's square-wave periods (in samples):
+    ``n_bands`` geometrically spaced integers in [pmin, pmax], forced
+    distinct.  Shared verbatim by the engine kernel and the generated DuckDB
+    oracle (``sql_oracle.audio_dedupe_keep_sql`` bakes them as literals)."""
+    raw = pmin * (pmax / pmin) ** (np.arange(n_bands) / (n_bands - 1))
+    ps, last = [], 0
+    for r in raw:
+        p = max(int(round(r)), last + 1)
+        ps.append(p)
+        last = p
+    return np.array(ps, np.int64)
+
+
+# fingerprint window: at most this many leading samples feed the integer
+# fingerprint (keeps a^2+b^2 inside int64; shared with the SQL oracle)
+FP_WINDOW = 32768
+
+_SIGN_TABLE: dict[int, np.ndarray] = {}
+
+
+def _sign_table(maxlen: int) -> np.ndarray:
+    """(2 * n_bands, maxlen) float64 square-wave sign matrix — in-phase and
+    quadrature (offset p//4) rows per period, cached per actor and grown on
+    demand.  float64 is exact here: every partial sum stays far below 2**53,
+    so the BLAS matmul reproduces integer arithmetic bit-for-bit."""
+    key = 1 << int(np.ceil(np.log2(max(maxlen, 1024))))
+    tab = _SIGN_TABLE.get(key)
+    if tab is None:
+        n = np.arange(key)
+        rows = []
+        for p in fingerprint_periods():
+            rows.append(np.where((n % p) * 2 < p, 1.0, -1.0))
+            q = p // 4
+            rows.append(np.where(((n + q) % p) * 2 < p, 1.0, -1.0))
+        tab = np.array(rows, np.float64)
+        _SIGN_TABLE[key] = tab
+    return tab
+
+
+def audio_fingerprints64_int(clips: list[np.ndarray]) -> np.ndarray:
+    """Batched integer spectral fingerprints (uint64 per clip).
+
+    Each of 65 geometrically spaced square-wave periods yields an integer
+    "energy" a^2 + b^2 (in-phase / quadrature correlations with the raw
+    PCM16 samples — pure integer arithmetic, no FFT, no floats); bit j is
+    the exact comparison e[j+1] > e[j].  Sign-of-difference bits are
+    invariant to amplitude scaling (energies scale by gain^2) and, being
+    integer-exact, are bit-reproducible by a SQL oracle decoding the same
+    payload (the dHash cross-mult trick, CLAUDE.md round-3).  Clips shorter
+    than 4 samples fingerprint to 0.
+
+    Zero-padding to the batch max length is free: padded samples contribute
+    0 to every correlation, so per-clip results are length-independent.
+    Clips are fingerprinted over their first ``FP_WINDOW`` samples (~4 s at
+    8 kHz) — this keeps |correlation| <= 2**30.5 so a^2 + b^2 can never
+    overflow int64, and bounds the kernel's work per clip."""
+    if not clips:
+        return np.zeros(0, np.uint64)
+    clips = [c[:FP_WINDOW] for c in clips]
+    lens = np.array([len(c) for c in clips], np.int64)
+    L = int(lens.max())
+    tab = _sign_table(L)[:, :L]
+    x = np.zeros((len(clips), L), np.float64)
+    for i, c in enumerate(clips):
+        x[i, : lens[i]] = c
+    corr = x @ tab.T  # (n, 130), exact integers in float64
+    a = corr[:, 0::2].astype(np.int64)
+    b = corr[:, 1::2].astype(np.int64)
+    e = a * a + b * b  # |corr| <= 32768*maxlen << 2**31.5 -> squares fit i64
+    bits = (e[:, 1:] > e[:, :-1]).astype(np.uint64)
+    fp = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    fp[lens < 4] = 0
+    return fp.astype(np.uint64)
+
+
+def audio_fingerprint64_int(samples: np.ndarray) -> np.uint64:
+    """Single-clip convenience wrapper over :func:`audio_fingerprints64_int`."""
+    return audio_fingerprints64_int([np.asarray(samples)])[0]
+
+
 def audio_fingerprint64(samples: np.ndarray, sr: int, fmin: float = 50.0) -> np.uint64:
     """64-bit spectral fingerprint (Haitsma-Kalker shape: sign of adjacent
     log-band energy differences over 65 geometrically spaced bands).  The
@@ -215,7 +298,9 @@ def audio_dedupe_candidates(
     fmt_col: str = "fmt",
     id_col: str = "audio_id",
 ):
-    """Audio near-dup candidate edges: spectral fingerprint per clip, banded
+    """Audio near-dup candidate edges: integer spectral fingerprint per clip
+    (:func:`audio_fingerprints64_int` — square-wave correlations, so the
+    DuckDB oracle can replay it bit-for-bit from the raw payload), banded
     into Hamming buckets and verified — reusing the pHash sub-band + verify
     machinery exactly like SimHash does for text
     (``functions/similarity.simhash_candidates``).  Rows that fail decode
@@ -236,19 +321,19 @@ def audio_dedupe_candidates(
         blobs = b[bytes_col].to_pylist()
         fmts = b[fmt_col].to_pylist()
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        nodes, fps = [], []
+        nodes, clips = [], []
         for i, (d, f) in enumerate(zip(blobs, fmts)):
             if f not in _SUPPORTED or d is None:
                 continue
-            s, sr = decode_audio(d, f)
+            s, _sr = decode_audio(d, f)
             if len(s) < 4:
                 continue
             nodes.append(ids[i])
-            fps.append(audio_fingerprint64(s, sr))
+            clips.append(s)
         if not nodes:
             return empty.empty_table()
         nodes_a = np.array(nodes, np.uint64)
-        fps_a = np.array(fps, np.uint64)
+        fps_a = audio_fingerprints64_int(clips)
         nb = cfg.phash_bands
         keys = phash_band_keys(fps_a.view(np.int64), nb)
         return pa.table(
@@ -323,6 +408,34 @@ def cached_audio_path(
             tmp,
             row_group_size=16384,
         )
+        os.replace(tmp, p)
+    return p
+
+
+def cached_audio_dups_path(
+    n: int,
+    seed: int = 42,
+    dup_rate: float = 0.3,
+    sample_rate: int = 8_000,
+    cache_dir: str = "/tmp/graft_synth_cache",
+) -> str:
+    """Idempotently persist ``synth_audio_table_with_dups`` output (table
+    only) so the registered ``audio_dedupe_synth`` query and its DuckDB
+    oracle read byte-identical payloads (mirror of ``cached_audio_path``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    p = os.path.join(
+        cache_dir, f"oracle_audio_dups_{n}_{seed}_{dup_rate}_{sample_rate}.parquet"
+    )
+    if not os.path.exists(p):
+        t, _ = synth_audio_table_with_dups(
+            n, seed=seed, dup_rate=dup_rate, sample_rate=sample_rate
+        )
+        tmp = f"{p}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp, row_group_size=16384)
         os.replace(tmp, p)
     return p
 

@@ -1185,6 +1185,123 @@ def audio_stats_sql(parquet_path: str) -> str:
     """
 
 
+def audio_fingerprint_select(parquet_path: str) -> str:
+    """Subquery producing ``(audio_id, afp)`` — the engine's integer audio
+    fingerprint (``functions.audio.audio_fingerprints64_int``) recomputed
+    from the raw RIFF/PCM16 payload entirely in DuckDB: positional sample
+    decode (rpad'ed tail — zero samples contribute nothing to a
+    correlation), square-wave in-phase/quadrature correlations per baked
+    period, HUGEINT energies a^2+b^2, and exact ``e[j+1] > e[j]`` bit packs.
+    The period/offset constants and the FP_WINDOW truncation are baked from
+    the shared ``fingerprint_periods`` / ``FP_WINDOW`` definitions."""
+    from .functions.audio import FP_WINDOW, fingerprint_periods
+
+    ps = fingerprint_periods()
+    bands = ", ".join(f"({j}, {int(p)}, {int(p) // 4})" for j, p in enumerate(ps))
+
+    def _byte(j: int) -> str:
+        return f"((x >> {8 * (7 - j)}) & 255)"
+
+    vals = []
+    for m in range(4):
+        u = f"CAST({_byte(2 * m)} + 256*{_byte(2 * m + 1)} AS BIGINT)"
+        vals.append(f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)")
+    val_case = " ".join(f"WHEN {m} THEN {v}" for m, v in enumerate(vals))
+    max_chunks = FP_WINDOW // 4  # 4 samples per 8-byte chunk
+    return f"""
+        (WITH __af_src AS MATERIALIZED (
+            SELECT audio_id, hex("bytes") AS hx,
+                   position('64617461' IN hex("bytes")) AS dpos
+            FROM read_parquet('{parquet_path}')
+            WHERE fmt = 'wav' AND "bytes" IS NOT NULL
+        ),
+        __af_sized AS MATERIALIZED (
+            SELECT audio_id, hx, dpos,
+                   CAST('0x' || substring(hx, dpos + 8, 8) AS UBIGINT) AS szbe
+            FROM __af_src WHERE dpos > 0
+        ),
+        __af_nb AS MATERIALIZED (
+            SELECT audio_id, hx, dpos,
+                   CAST(((szbe >> 24) & 255) + 256*((szbe >> 16) & 255)
+                        + 65536*((szbe >> 8) & 255)
+                        + 16777216*(szbe & 255) AS BIGINT) AS nb
+            FROM __af_sized
+            WHERE CAST(((szbe >> 24) & 255) + 256*((szbe >> 16) & 255)
+                       + 65536*((szbe >> 8) & 255)
+                       + 16777216*(szbe & 255) AS BIGINT) >= 8
+        ),
+        __af_samp AS MATERIALIZED (
+            SELECT audio_id, CAST(4*j + m AS BIGINT) AS n,
+                   (CASE m {val_case} END) AS val
+            FROM (
+                SELECT audio_id, j,
+                       CAST('0x' || rpad(substring(hx,
+                            CAST(dpos + 16 + 16*j AS BIGINT), 16), 16, '0')
+                            AS UBIGINT) AS x
+                FROM __af_nb,
+                     unnest(range(least((nb + 7) // 8, {max_chunks}))) AS u(j)
+            ) __af_ch, unnest(range(4)) AS mm(m)
+        ),
+        __af_corr AS MATERIALIZED (
+            SELECT s.audio_id, b.j AS bj,
+                   sum(s.val * (CASE WHEN (s.n % b.p)*2 < b.p
+                                THEN 1 ELSE -1 END)) AS ca,
+                   sum(s.val * (CASE WHEN ((s.n + b.q) % b.p)*2 < b.p
+                                THEN 1 ELSE -1 END)) AS cb
+            FROM __af_samp s,
+                 (SELECT * FROM (VALUES {bands}) AS t(j, p, q)) b
+            GROUP BY s.audio_id, b.j
+        ),
+        __af_en AS MATERIALIZED (
+            SELECT audio_id, bj,
+                   CAST(ca AS HUGEINT)*CAST(ca AS HUGEINT)
+                   + CAST(cb AS HUGEINT)*CAST(cb AS HUGEINT) AS e
+            FROM __af_corr
+        )
+        SELECT l.audio_id,
+               CAST(sum(CASE WHEN r.e > l.e
+                        THEN CAST(1 AS HUGEINT) << l.bj
+                        ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS afp
+        FROM __af_en l JOIN __af_en r
+          ON l.audio_id = r.audio_id AND r.bj = l.bj + 1
+        WHERE l.bj < 64
+        GROUP BY l.audio_id)
+    """
+
+
+def audio_dedupe_keep_sql(parquet_path: str, max_hamming: int = 3) -> str:
+    """Survivor-set oracle for ``audio_dedupe_candidates`` + cluster +
+    ``merge_keep``: integer fingerprints recomputed from the raw payload
+    (``audio_fingerprint_select``), Hamming<=k pair graph (== the engine's
+    4-sub-band band-then-verify path by pigeonhole, exactly as argued for
+    ``image_dhash_keep_sql``), connected components, keep the min-audio_id
+    member of each component (integer ids ARE the union-find node ids).
+    Undecodable / <4-sample rows never enter the graph and always survive."""
+    fp = audio_fingerprint_select(parquet_path)
+    return f"""
+        WITH RECURSIVE afps AS MATERIALIZED (SELECT * FROM {fp} __a),
+        edge AS MATERIALIZED (
+            SELECT a.audio_id AS u, b.audio_id AS v
+            FROM afps a JOIN afps b ON a.audio_id < b.audio_id
+            WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}
+        ),
+        sym AS MATERIALIZED (SELECT u, v FROM edge UNION SELECT v, u FROM edge),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        mins AS (
+            SELECT r.u AS audio_id, min(r.v) AS mn FROM reach r GROUP BY r.u
+        )
+        SELECT a.audio_id
+        FROM read_parquet('{parquet_path}') a
+        LEFT JOIN mins m USING (audio_id)
+        WHERE m.mn IS NULL OR a.audio_id < m.mn
+        ORDER BY a.audio_id
+    """
+
+
 def dhash_select(parquet_path: str, img_w: int = 32, img_h: int = 32) -> str:
     """Subquery producing ``(image_id, dh)`` — the engine's
     ``multimodal.dhash64`` over the P6 PPM payload, computed entirely in

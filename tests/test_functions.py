@@ -363,13 +363,26 @@ def test_audio_fingerprint_invariance_and_dedupe_recall(ray_session):
     assert audio_fingerprint64(s, 8000) == audio_fingerprint64(s * 0.37, 8000)
 
     t, pairs = synth_audio_table_with_dups(150, seed=3, dup_rate=0.4)
-    # planted dup fingerprints stay within the Hamming verify budget
+    # planted dup fingerprints stay within the Hamming verify budget — both
+    # the float FFT fingerprint and the integer (SQL-replayable) one the
+    # dedupe path uses
+    from daft_minhash_dedupe_ray.functions.audio import audio_fingerprint64_int
+
     blobs = t["bytes"].to_pylist()
     for a, b in pairs[:10]:
         fa = audio_fingerprint64(*wav_decode(blobs[a]))
         fb = audio_fingerprint64(*wav_decode(blobs[b]))
         d = hamming_distance64(np.array([fa], np.uint64), np.array([fb], np.uint64))[0]
         assert d <= 3
+        ia = audio_fingerprint64_int(wav_decode(blobs[a])[0])
+        ib = audio_fingerprint64_int(wav_decode(blobs[b])[0])
+        di = hamming_distance64(np.array([ia], np.uint64), np.array([ib], np.uint64))[0]
+        assert di <= 3
+    # integer fingerprint: exact invariance under exact-float gain
+    s16 = wav_decode(blobs[pairs[0][0]])[0]
+    assert audio_fingerprint64_int(s16) == audio_fingerprint64_int(
+        s16.astype(np.float64) * 0.25
+    )
 
     cfg = DedupeConfig(
         index_col="audio_id", content_col="bytes", phash_col=None, phash_max_hamming=3

@@ -573,3 +573,62 @@ def test_sql_corpus_assembly_end_to_end(ray_session):
     assert eng["text"].tolist() == ora["text"].tolist()
     assert eng["n_spans_removed"].tolist() == ora["n_spans_removed"].tolist()
     assert len(eng) < 120  # stages actually dropped rows
+
+
+def test_sql_audio_fingerprint_bit_exact():
+    """audio_fingerprint_select reproduces the engine's integer square-wave
+    fingerprint bit-for-bit from the raw RIFF/PCM16 payload (positional
+    sample decode + baked period constants + HUGEINT energy comparisons)."""
+    from daft_minhash_dedupe_ray.functions.audio import (
+        audio_fingerprints64_int,
+        cached_audio_dups_path,
+        wav_decode,
+    )
+    import pyarrow.parquet as pq
+
+    path = cached_audio_dups_path(60, seed=3, dup_rate=0.4)
+    t = pq.read_table(path)
+    truth = {}
+    for aid, blob, fmt in zip(
+        t["audio_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        if fmt != "wav" or blob is None:
+            continue
+        s = wav_decode(blob)[0]
+        if len(s) < 4:
+            continue
+        truth[aid] = int(audio_fingerprints64_int([s])[0])
+    rows = duckdb.sql(
+        "SELECT * FROM " + so.audio_fingerprint_select(path) + " q"
+    ).fetchall()
+    assert len(rows) == len(truth)
+    for aid, afp in rows:
+        assert truth[aid] == int(afp)
+
+
+def test_sql_audio_dedupe_keep_end_to_end(ray_session):
+    """audio_dedupe_keep_sql == the engine's audio near-dup survivor set
+    (fingerprint + Hamming banding + verify + CC + min-id keep) on a fixture
+    with planted gain-scaled noisy duplicates."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.audio import (
+        audio_dedupe_candidates,
+        cached_audio_dups_path,
+    )
+    from daft_minhash_dedupe_ray.stages.merge import merge_keep
+    from daft_minhash_dedupe_ray.state.dist_union_find import cluster_edges
+
+    path = cached_audio_dups_path(60, seed=3, dup_rate=0.4)
+    cfg = DedupeConfig(
+        index_col="audio_id", content_col="bytes", phash_col=None, phash_max_hamming=3
+    )
+    ds = rd.read_parquet(path)
+    edges = audio_dedupe_candidates(ds, cfg)
+    assign = cluster_edges(edges, num_actors=2)
+    out = merge_keep(ds, assign, cfg)
+    eng = sorted(out.select_columns(["audio_id"]).to_pandas()["audio_id"].tolist())
+    ora = [r[0] for r in duckdb.sql(so.audio_dedupe_keep_sql(path, 3)).fetchall()]
+    assert eng == ora
+    assert len(ora) < 60 + 24  # some planted dups must collapse
