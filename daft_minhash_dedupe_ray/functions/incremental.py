@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -40,6 +41,55 @@ from ..hashing import hash64_str_array
 from ..stages.util import partition_groupby_prekeyed
 
 _STATS_SCHEMA = pa.schema([("part", pa.int64()), ("n_hashes", pa.int64())])
+
+# LSM absorb knobs: a wave appends a sorted delta segment (wave-sized I/O)
+# and incrementally ORs into the partition Bloom; the partition is compacted
+# (full union-rewrite, Bloom re-sized with headroom) only when the segment
+# count exceeds _MAX_SEGMENTS or the row total outgrows the Bloom's sized
+# capacity — so per-wave absorb cost is amortised O(wave), not O(corpus).
+_MAX_SEGMENTS = 16
+_BLOOM_HEADROOM = 2
+_DELTA_RE = re.compile(r"delta-\d{8}\.parquet")
+
+
+def _segment_files(d: str) -> list[str]:
+    """Base + delta segment paths for one partition dir, base first."""
+    if not os.path.isdir(d):
+        return []
+    out = []
+    if os.path.exists(f"{d}/hashes.parquet"):
+        out.append(f"{d}/hashes.parquet")
+    out += [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if _DELTA_RE.fullmatch(f)
+    ]
+    return out
+
+
+def _next_delta_path(d: str) -> str:
+    seqs = [
+        int(f[6:14]) for f in os.listdir(d) if _DELTA_RE.fullmatch(f)
+    ] if os.path.isdir(d) else []
+    return f"{d}/delta-{(max(seqs) + 1 if seqs else 0):08d}.parquet"
+
+
+def _read_segments(d: str, lo=None, hi=None) -> list[pa.Table]:
+    """Read every segment of a partition (optionally range-filtered on the
+    sorted ``__h__`` column — row-group stats prune within each file)."""
+    filters = None
+    if lo is not None:
+        filters = (pc.field("__h__") >= lo) & (pc.field("__h__") <= hi)
+    return [pq.read_table(f, filters=filters) for f in _segment_files(d)]
+
+
+def _read_part_hashes(d: str, lo=None, hi=None) -> np.ndarray:
+    """Sorted distinct hashes across base + delta segments (range-filtered)."""
+    tabs = _read_segments(d, lo, hi)
+    if not tabs:
+        return np.zeros(0, np.uint64)
+    arrs = [t["__h__"].to_numpy(zero_copy_only=False) for t in tabs]
+    return np.unique(np.concatenate(arrs))
 
 
 def _shift_for(num_partitions: int) -> int:
@@ -93,42 +143,106 @@ def _build_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa
         f"{d}/hashes.parquet",
         row_group_size=16384,
     )
-    bloom = BloomFilter.sized(len(h), fp_rate)
+    # headroom-sized: later LSM delta absorbs OR into this same sketch
+    # until the row total outgrows the capacity, deferring compaction
+    bloom = BloomFilter.sized(max(len(h) * _BLOOM_HEADROOM, 1024), fp_rate)
     bloom.add_hashes(h)
     bloom.save(f"{d}/_bloom.npz")
     return pa.table({"part": [part], "n_hashes": [len(h)]})
 
 
-def _update_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa.Table:
-    """Absorb a wave's hashes into one existing hash-range partition:
-    union-merge with the on-disk sorted hashes, rewrite atomically, rebuild
-    the Bloom sketch sized to the merged count.  Idempotent (union), so a
-    torn multi-partition update is safely retried.  Swap order is hashes
+def _count_new_hashes(d: str, h: np.ndarray, bloom) -> int:
+    """Exact count of ``h`` entries NOT already in the partition's segments.
+    Cheap in the steady state: absorbed rows already survived the dedupe
+    probe, so their keys are new and the Bloom rejects them without any
+    file read — only FP-rate × wave candidates open the (range-filtered)
+    segments.  An idempotent retry re-finds everything (full-range read,
+    rare by construction)."""
+    maybe = bloom.contains(h)
+    new = int((~maybe).sum())
+    if maybe.any():
+        pos = h[maybe]
+        seen = _read_part_hashes(
+            d, pa.scalar(int(pos.min()), pa.uint64()), pa.scalar(int(pos.max()), pa.uint64())
+        )
+        if len(seen):
+            at = np.searchsorted(seen, pos)
+            at[at == len(seen)] = 0
+            new += int((seen[at] != pos).sum())
+        else:
+            new += len(pos)
+    return new
+
+
+def _update_partition(
+    tab: pa.Table, path: str, shift: int, fp_rate: float, parts_prev=None
+) -> pa.Table:
+    """Absorb a wave's hashes into one existing hash-range partition at
+    WAVE-sized cost (LSM-style): append the wave's sorted distinct hashes
+    as a new immutable delta segment and OR them into the partition's Bloom
+    sketch — nothing corpus-sized is read or rewritten.  The partition
+    compacts (full union into the base file, Bloom re-sized with headroom)
+    only when the segment count exceeds ``_MAX_SEGMENTS`` or the row total
+    outgrows the Bloom's sized capacity, so absorb cost is amortised
+    O(wave) per wave, never O(corpus).
+
+    Idempotent: a retried torn update appends a duplicate delta whose
+    hashes union away at probe/compaction time.  Swap order is segment
     first, bloom second: a probe racing the swap sees either the old
     snapshot (valid for the pre-update corpus) or new hashes under the old
     bloom — the bloom's misses then concern only not-yet-blessed wave
     hashes, never the already-indexed corpus, so probes stay exact for
-    blessed data throughout."""
+    blessed data throughout.  Compaction writes the union base and a
+    superset bloom before removing deltas, so every crash window leaves a
+    consistent (possibly duplicated) hash set under a no-false-negative
+    sketch."""
     from ..state.bloom import BloomFilter
 
     h = np.unique(tab["__h__"].to_numpy(zero_copy_only=False))
     part = int(h[0] >> np.uint64(shift))
     d = _part_dir(path, part)
-    f_h = f"{d}/hashes.parquet"
-    if os.path.exists(f_h):
-        old = pq.read_table(f_h)["__h__"].to_numpy(zero_copy_only=False)
-        if len(old):
-            h = np.union1d(old, h)
     os.makedirs(d, exist_ok=True)
-    tmp = f_h + ".tmp"
-    pq.write_table(pa.table({"__h__": pa.array(h, pa.uint64())}), tmp, row_group_size=16384)
-    bloom = BloomFilter.sized(len(h), fp_rate)
-    bloom.add_hashes(h)
+    f_h = f"{d}/hashes.parquet"
+    f_b = f"{d}/_bloom.npz"
     btmp = f"{d}/_bloom.tmp.npz"  # np.savez appends .npz to other suffixes
-    bloom.save(btmp)
-    os.replace(tmp, f_h)
-    os.replace(btmp, f"{d}/_bloom.npz")
-    return pa.table({"part": [part], "n_hashes": [len(h)]})
+    segs = _segment_files(d)
+    n_existing = sum(pq.read_metadata(f).num_rows for f in segs)
+    n_deltas = sum(1 for f in segs if not f.endswith("hashes.parquet"))
+    total = n_existing + len(h)
+    bloom = BloomFilter.load(f_b) if os.path.exists(f_b) else None
+    prev_n = parts_prev.get(part) if parts_prev else None
+    compact = (
+        bloom is None
+        or prev_n is None  # count unknown (torn meta): recount exactly
+        or n_deltas + 1 > _MAX_SEGMENTS
+        or (bloom.capacity and total > bloom.capacity)
+    )
+    if compact:
+        h = np.union1d(_read_part_hashes(d), h)
+        tmp = f_h + ".tmp"
+        pq.write_table(
+            pa.table({"__h__": pa.array(h, pa.uint64())}), tmp, row_group_size=16384
+        )
+        bloom = BloomFilter.sized(max(len(h) * _BLOOM_HEADROOM, 1024), fp_rate)
+        bloom.add_hashes(h)
+        bloom.save(btmp)
+        os.replace(tmp, f_h)
+        os.replace(btmp, f_b)
+        for f in segs:
+            if not f.endswith("hashes.parquet"):
+                os.remove(f)
+        n = len(h)
+    else:
+        n = prev_n + _count_new_hashes(d, h, bloom)  # exact, pre-append
+        tmp = f"{d}/_delta.tmp.parquet"
+        pq.write_table(
+            pa.table({"__h__": pa.array(h, pa.uint64())}), tmp, row_group_size=16384
+        )
+        bloom.add_hashes(h)
+        bloom.save(btmp)
+        os.replace(tmp, _next_delta_path(d))
+        os.replace(btmp, f_b)
+    return pa.table({"part": [part], "n_hashes": [n]})
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -186,7 +300,13 @@ def update_corpus_index(new_ds, index_path: str, text_col: str | None = None) ->
         meta = json.load(f)
     if meta.get("kind") == "band":
         raise ValueError(f"{index_path!r} is a band index — use update_band_index")
-    text_col = text_col or meta["text_col"]
+    if text_col is not None and text_col != meta["text_col"]:
+        raise ValueError(
+            f"corpus index at {index_path!r} was built over column "
+            f"{meta['text_col']!r}; absorbing {text_col!r} would silently mix "
+            "hash spaces — rebuild the index for the new column"
+        )
+    text_col = meta["text_col"]
     num_partitions = meta["num_partitions"]
     shift = _shift_for(num_partitions)
     keyed = new_ds.select_columns([text_col]).map_batches(
@@ -196,7 +316,11 @@ def update_corpus_index(new_ds, index_path: str, text_col: str | None = None) ->
     stats = partition_groupby_prekeyed(
         keyed,
         functools.partial(
-            _update_partition, path=index_path, shift=shift, fp_rate=meta["fp_rate"]
+            _update_partition,
+            path=index_path,
+            shift=shift,
+            fp_rate=meta["fp_rate"],
+            parts_prev={int(p): v for p, v in meta["parts"].items()},
         ),
         _STATS_SCHEMA,
         num_partitions,
@@ -241,10 +365,7 @@ def _dedupe_partition(
             pos = cand[maybe]
             lo = pa.scalar(int(pos.min()), pa.uint64())
             hi = pa.scalar(int(pos.max()), pa.uint64())
-            seen = pq.read_table(
-                f"{d}/hashes.parquet",
-                filters=(pc.field("__h__") >= lo) & (pc.field("__h__") <= hi),
-            )["__h__"].to_numpy(zero_copy_only=False)
+            seen = _read_part_hashes(d, lo, hi)
             confirmed = np.zeros(len(cand), bool)
             if len(seen):
                 at = np.searchsorted(seen, pos)
@@ -262,6 +383,12 @@ def incremental_dedupe_indexed(new_ds, index_path: str, text_col: str, id_col: s
         raise FileNotFoundError(f"no completed corpus index at {index_path}")
     with open(f"{index_path}/_META.json") as f:
         meta = json.load(f)
+    if text_col != meta.get("text_col", text_col):
+        raise ValueError(
+            f"corpus index at {index_path!r} was built over column "
+            f"{meta['text_col']!r}; probing {text_col!r} compares disjoint "
+            "hash spaces and would pass every duplicate — rebuild the index"
+        )
     num_partitions = int(meta["num_partitions"])
     shift = _shift_for(num_partitions)
     schema = pa.schema(list(zip(new_ds.schema().names, new_ds.schema().types)))
@@ -428,6 +555,8 @@ def _anti_filter_wave(new_ds, dup_nodes: np.ndarray, cfg):
         return batch.filter(pa.array(dups[idx] != nodes))
 
     s = new_ds.schema()
+    if s is None:  # fully-empty materialized wave: nothing to filter or pin
+        return new_ds
     # pin the schema so an all-duplicates wave still yields typed columns
     # downstream (to_pandas of all-empty blocks otherwise drops them)
     return ensure_schema(
@@ -537,7 +666,11 @@ def update_band_index(new_ds, index_path: str, cfg) -> dict:
     stats = partition_groupby_prekeyed(
         keyed,
         functools.partial(
-            _update_partition, path=index_path, shift=shift, fp_rate=meta["fp_rate"]
+            _update_partition,
+            path=index_path,
+            shift=shift,
+            fp_rate=meta["fp_rate"],
+            parts_prev={int(p): v for p, v in meta["parts"].items()},
         ),
         _STATS_SCHEMA,
         num_partitions,
@@ -613,10 +746,7 @@ def incremental_near_dedupe_indexed(new_ds, index_path: str, cfg):
         pos = hh[maybe]
         lo = pa.scalar(int(pos.min()), pa.uint64())
         hi = pa.scalar(int(pos.max()), pa.uint64())
-        seen = pq.read_table(
-            f"{d}/hashes.parquet",
-            filters=(pc.field("__h__") >= lo) & (pc.field("__h__") <= hi),
-        )["__h__"].to_numpy(zero_copy_only=False)
+        seen = _read_part_hashes(d, lo, hi)
         if not len(seen):
             return HIT_SCHEMA.empty_table()
         at = np.searchsorted(seen, pos)
@@ -753,27 +883,43 @@ def _image_band_batch(b: pa.Table, stage, shift: int) -> pa.Table:
     )
 
 
+def _triple_table(k, kind, pay) -> pa.Table:
+    return pa.table(
+        {
+            "__h__": pa.array(k, pa.uint64()),
+            "kind": pa.array(kind.astype(np.uint8), pa.uint8()),
+            "payload": pa.array(pay, pa.uint64()),
+        }
+    )
+
+
+def _read_image_part(d: str, lo=None, hi=None):
+    """(keys, kinds, payloads) across base + delta segments, sorted by key
+    (the probe's searchsorted contract; intra-key order is irrelevant)."""
+    tabs = _read_segments(d, lo, hi)
+    if not tabs:
+        z = np.zeros(0, np.uint64)
+        return z, np.zeros(0, np.uint8), z
+    t = pa.concat_tables(tabs)
+    k = t["__h__"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    pay = t["payload"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(k, kind="stable")
+    return k[order], kind[order], pay[order]
+
+
 def _write_image_partition(d: str, k, kind, pay, fp_rate: float) -> int:
-    """Sorted (key, kind, payload) triples + Bloom over distinct keys,
-    written with the same atomic-swap discipline as :func:`_update_partition`."""
+    """Sorted (key, kind, payload) triples + headroom-sized Bloom over
+    distinct keys, written with the same atomic-swap discipline as
+    :func:`_update_partition`."""
     from ..state.bloom import BloomFilter
 
     os.makedirs(d, exist_ok=True)
     f_h = f"{d}/hashes.parquet"
     tmp = f_h + ".tmp"
-    pq.write_table(
-        pa.table(
-            {
-                "__h__": pa.array(k, pa.uint64()),
-                "kind": pa.array(kind.astype(np.uint8), pa.uint8()),
-                "payload": pa.array(pay, pa.uint64()),
-            }
-        ),
-        tmp,
-        row_group_size=16384,
-    )
+    pq.write_table(_triple_table(k, kind, pay), tmp, row_group_size=16384)
     distinct_k = np.unique(k)
-    bloom = BloomFilter.sized(len(distinct_k), fp_rate)
+    bloom = BloomFilter.sized(max(len(distinct_k) * _BLOOM_HEADROOM, 1024), fp_rate)
     bloom.add_hashes(distinct_k)
     btmp = f"{d}/_bloom.tmp.npz"
     bloom.save(btmp)
@@ -793,20 +939,87 @@ def _build_image_partition(tab: pa.Table, path: str, shift: int, fp_rate: float)
     return pa.table({"part": [part], "n_hashes": [n]})
 
 
-def _update_image_partition(tab: pa.Table, path: str, shift: int, fp_rate: float) -> pa.Table:
+def _count_new_pairs(d: str, k: np.ndarray, pay: np.ndarray, bloom) -> int:
+    """Exact count of (key, payload) pairs NOT already in the partition's
+    segments — the pair-membership analogue of :func:`_count_new_hashes`
+    (caption payloads are already zeroed by :func:`_dedupe_pairs` on both
+    the wave and the stored sides)."""
+    maybe = bloom.contains(k)
+    new = int((~maybe).sum())
+    if maybe.any():
+        pos, wp = k[maybe], pay[maybe]
+        sk, _, sp = _read_image_part(
+            d, pa.scalar(int(pos.min()), pa.uint64()), pa.scalar(int(pos.max()), pa.uint64())
+        )
+        if not len(sk):
+            return new + len(pos)
+        from ..hashing import _segment_aranges
+
+        lo = np.searchsorted(sk, pos, side="left")
+        hi = np.searchsorted(sk, pos, side="right")
+        sizes = (hi - lo).astype(np.int64)
+        nz = sizes > 0
+        found = np.zeros(len(pos), bool)
+        if nz.any():
+            idx = np.repeat(lo[nz], sizes[nz]) + _segment_aranges(sizes[nz])
+            eq = (sp[idx] == np.repeat(wp[nz], sizes[nz])).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(eq)))
+            bounds = np.concatenate(([0], np.cumsum(sizes[nz])))
+            found[nz] = (csum[bounds[1:]] - csum[bounds[:-1]]) > 0
+        new += int((~found).sum())
+    return new
+
+
+def _update_image_partition(
+    tab: pa.Table, path: str, shift: int, fp_rate: float, parts_prev=None
+) -> pa.Table:
+    """Image-tier absorb with the same LSM contract as
+    :func:`_update_partition`: a wave appends its distinct (key, kind,
+    payload) triples as a delta segment and ORs the keys into the Bloom;
+    compaction (pair-union rewrite + re-sized Bloom) runs only past the
+    segment/capacity bounds — amortised O(wave) per wave."""
+    from ..state.bloom import BloomFilter
+
     k = tab["__h__"].to_numpy(zero_copy_only=False)
     kind = tab["kind"].to_numpy(zero_copy_only=False)
     pay = tab["payload"].to_numpy(zero_copy_only=False)
+    k, kind, pay = _dedupe_pairs(k, kind, pay)
     part = int(k[0] >> np.uint64(shift))
     d = _part_dir(path, part)
-    f_h = f"{d}/hashes.parquet"
-    if os.path.exists(f_h):
-        old = pq.read_table(f_h)
-        k = np.concatenate([old["__h__"].to_numpy(zero_copy_only=False), k])
-        kind = np.concatenate([old["kind"].to_numpy(zero_copy_only=False), kind])
-        pay = np.concatenate([old["payload"].to_numpy(zero_copy_only=False), pay])
-    k, kind, pay = _dedupe_pairs(k, kind, pay)
-    n = _write_image_partition(d, k, kind, pay, fp_rate)
+    os.makedirs(d, exist_ok=True)
+    f_b = f"{d}/_bloom.npz"
+    segs = _segment_files(d)
+    n_existing = sum(pq.read_metadata(f).num_rows for f in segs)
+    n_deltas = sum(1 for f in segs if not f.endswith("hashes.parquet"))
+    total = n_existing + len(k)
+    bloom = BloomFilter.load(f_b) if os.path.exists(f_b) else None
+    prev_n = parts_prev.get(part) if parts_prev else None
+    compact = (
+        bloom is None
+        or prev_n is None
+        or n_deltas + 1 > _MAX_SEGMENTS
+        or (bloom.capacity and total > bloom.capacity)
+    )
+    if compact:
+        ok, okind, opay = _read_image_part(d)
+        k, kind, pay = _dedupe_pairs(
+            np.concatenate([ok, k]),
+            np.concatenate([okind, kind]),
+            np.concatenate([opay, pay]),
+        )
+        n = _write_image_partition(d, k, kind, pay, fp_rate)
+        for f in segs:
+            if not f.endswith("hashes.parquet"):
+                os.remove(f)
+    else:
+        n = prev_n + _count_new_pairs(d, k, pay, bloom)  # exact, pre-append
+        tmp = f"{d}/_delta.tmp.parquet"
+        pq.write_table(_triple_table(k, kind, pay), tmp, row_group_size=16384)
+        bloom.add_hashes(np.unique(k))
+        btmp = f"{d}/_bloom.tmp.npz"
+        bloom.save(btmp)
+        os.replace(tmp, _next_delta_path(d))
+        os.replace(btmp, f_b)
     return pa.table({"part": [part], "n_hashes": [n]})
 
 
@@ -876,7 +1089,11 @@ def update_image_band_index(new_ds, index_path: str, cfg) -> dict:
     stats = partition_groupby_prekeyed(
         keyed,
         functools.partial(
-            _update_image_partition, path=index_path, shift=shift, fp_rate=meta["fp_rate"]
+            _update_image_partition,
+            path=index_path,
+            shift=shift,
+            fp_rate=meta["fp_rate"],
+            parts_prev={int(p): v for p, v in meta["parts"].items()},
         ),
         _STATS_SCHEMA,
         num_partitions,
@@ -928,15 +1145,9 @@ def incremental_image_near_dedupe_indexed(new_ds, index_path: str, cfg):
         pos = wk[maybe]
         lo_s = pa.scalar(int(pos.min()), pa.uint64())
         hi_s = pa.scalar(int(pos.max()), pa.uint64())
-        seen = pq.read_table(
-            f"{d}/hashes.parquet",
-            filters=(pc.field("__h__") >= lo_s) & (pc.field("__h__") <= hi_s),
-        )
-        sk = seen["__h__"].to_numpy(zero_copy_only=False)
+        sk, skind, sp = _read_image_part(d, lo_s, hi_s)
         if not len(sk):
             return HIT_SCHEMA.empty_table()
-        sp = seen["payload"].to_numpy(zero_copy_only=False)
-        skind = seen["kind"].to_numpy(zero_copy_only=False)
         wkind = tab["kind"].to_numpy(zero_copy_only=False)[maybe]
         wp = tab["payload"].to_numpy(zero_copy_only=False).astype(np.uint64)[maybe]
         wn = tab["node_id"].to_numpy(zero_copy_only=False).astype(np.uint64)[maybe]

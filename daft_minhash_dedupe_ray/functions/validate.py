@@ -65,20 +65,16 @@ def _verdict_partition(
 
     def _index(t):
         if t is None:
-            return {}, set()
-        vals = t["image_id"].to_pylist()
-        idx, dup = {}, set()
-        for j, v in enumerate(vals):
-            if v in idx:
-                dup.add(v)
-            idx[v] = j
-        return idx, dup
+            return {}, set(), {}
+        pos: dict = {}
+        for j, v in enumerate(t["image_id"].to_pylist()):
+            pos.setdefault(v, []).append(j)
+        idx = {v: js[0] for v, js in pos.items()}
+        dup = {v for v, js in pos.items() if len(js) > 1}
+        return idx, dup, pos
 
-    li, dup_l = _index(left)
-    ri, dup_r = _index(right)
-    # an id appearing twice on a side is itself a corruption (duplicate-row
-    # inflation) — always reported as failing, even in inner mode
-    dup_ids = dup_l | dup_r
+    li, dup_l, pos_l = _index(left)
+    ri, dup_r, _ = _index(right)
     ids = sorted(set(li) & set(ri) if how == "inner" else set(li) | set(ri))
     if not ids:
         return None
@@ -98,6 +94,24 @@ def _verdict_partition(
 
     lb, lf, lc = _cols(left)
     rb, rf, rc = _cols(right)
+    if how == "inner" and dup_l:
+        # survivor audits: an input-side re-send of the same id with
+        # byte-identical payload+caption is an input property, not a
+        # pipeline defect — audit it against one occurrence.  Divergent
+        # content under one id stays failing (ambiguous reference), and
+        # OUTPUT-side duplicates always fail (duplicate-row inflation).
+        j0 = {v: pos_l[v][0] for v in dup_l}
+        dup_l = {
+            v
+            for v in dup_l
+            if any(
+                (lb[j], lf[j], lc[j]) != (lb[j0[v]], lf[j0[v]], lc[j0[v]])
+                for j in pos_l[v][1:]
+            )
+        }
+    # an id appearing twice on a side is otherwise itself a corruption
+    # (duplicate-row inflation) — reported as failing
+    dup_ids = dup_l | dup_r
     for k, i in enumerate(ids):
         if i in dup_ids or i not in li or i not in ri:
             continue  # duplicated / missing: sse stays -1, verdicts False

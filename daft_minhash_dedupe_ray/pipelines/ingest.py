@@ -95,14 +95,55 @@ class IngestCorpus:
 
     def rebuild_band_index(self) -> dict:
         """Rebuild the near index from the FULL committed corpus under the
-        current config — the safe remediation for a tier/config change
-        (building from a single wave would silently drop every earlier
-        wave's keys from the index)."""
+        current config — the safe remediation for a tier/config change or a
+        torn/lost index (building from a single wave would silently drop
+        every earlier wave's keys).  Builds into a sibling tmp dir and swaps
+        so a crash mid-rebuild leaves either the old index intact or no
+        index (never a single-wave index passing as complete)."""
         from ..functions.incremental import build_band_index, build_image_band_index
 
-        shutil.rmtree(self.band_index, ignore_errors=True)
         build = build_image_band_index if self.image_tier else build_band_index
-        return build(self.read_corpus(), self.band_index, self.cfg)
+        tmp = self.band_index + ".build.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        meta = build(self.read_corpus(), tmp, self.cfg)
+        shutil.rmtree(self.band_index, ignore_errors=True)
+        os.replace(tmp, self.band_index)
+        return meta
+
+    def rebuild_exact_index(self) -> dict:
+        """Exact-index counterpart of :meth:`rebuild_band_index` (same
+        full-corpus build + tmp-dir swap discipline)."""
+        from ..functions.incremental import build_corpus_index
+
+        tmp = self.exact_index + ".build.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        meta = build_corpus_index(
+            self.read_corpus(), tmp, text_col=self.cfg.content_col
+        )
+        shutil.rmtree(self.exact_index, ignore_errors=True)
+        os.replace(tmp, self.exact_index)
+        return meta
+
+    def _check_indexes_complete(self) -> None:
+        """With committed waves on disk, BOTH indexes must carry _SUCCESS:
+        a missing/torn index silently skips its probe AND would otherwise be
+        rebuilt from a single wave in _absorb — either way every earlier
+        wave's keys vanish and future waves pass pre-existing duplicates
+        undetected (permanent silent under-dedupe).  Fail loudly instead and
+        direct to the full-corpus rebuild."""
+        if not self.committed_waves():
+            return
+        for path, fix in (
+            (self.exact_index, "rebuild_exact_index()"),
+            (self.band_index, "rebuild_band_index()"),
+        ):
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise RuntimeError(
+                    f"corpus at {self.root!r} has committed waves but "
+                    f"{path!r} has no _SUCCESS (torn or deleted index) — "
+                    f"run IngestCorpus.{fix} to rebuild it from the full "
+                    "committed corpus before ingesting"
+                )
 
     def read_corpus(self):
         """One Dataset over every committed wave (column-prunable parquet)."""
@@ -128,6 +169,7 @@ class IngestCorpus:
         import ray.data as rd
 
         self._check_band_kind()
+        self._check_indexes_complete()
         committed = set(self.committed_waves())
         recovered = []
         cdir = os.path.join(self.root, "corpus")

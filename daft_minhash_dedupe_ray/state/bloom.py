@@ -34,12 +34,17 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 class BloomFilter:
     """Bit-array membership sketch keyed by uint64 hashes (vectorised)."""
 
-    def __init__(self, n_bits: int, n_hashes: int, seed: int = 0xB100, words=None):
+    def __init__(
+        self, n_bits: int, n_hashes: int, seed: int = 0xB100, words=None, capacity: int = 0
+    ):
         if n_bits <= 0 or n_hashes <= 0:
             raise ValueError("n_bits and n_hashes must be positive")
         self.n_bits = int(n_bits)
         self.n_hashes = int(n_hashes)
         self.seed = int(seed)
+        # the item count this filter was sized for (0 = unknown/legacy);
+        # incremental absorbs use it to decide when a resize/compaction is due
+        self.capacity = int(capacity)
         n_words = (self.n_bits + 63) // 64
         self.words = (
             np.zeros(n_words, np.uint64) if words is None else np.asarray(words, np.uint64)
@@ -55,7 +60,7 @@ class BloomFilter:
         n = max(1, int(capacity))
         m = max(64, int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2))))
         k = max(1, min(12, round(m / n * math.log(2))))
-        return cls(m, k, seed=seed)
+        return cls(m, k, seed=seed, capacity=n)
 
     def _positions(self, h: np.ndarray) -> np.ndarray:
         """(k, n) int64 bit positions for each item hash."""
@@ -104,11 +109,15 @@ class BloomFilter:
         np.savez(
             path,
             words=self.words,
-            meta=np.array([self.n_bits, self.n_hashes, self.seed], np.int64),
+            meta=np.array(
+                [self.n_bits, self.n_hashes, self.seed, self.capacity], np.int64
+            ),
         )
 
     @classmethod
     def load(cls, path: str) -> "BloomFilter":
         z = np.load(path)
-        n_bits, n_hashes, seed = (int(x) for x in z["meta"])
-        return cls(n_bits, n_hashes, seed=seed, words=z["words"])
+        meta = [int(x) for x in z["meta"]]
+        n_bits, n_hashes, seed = meta[:3]
+        capacity = meta[3] if len(meta) > 3 else 0  # legacy 3-field saves
+        return cls(n_bits, n_hashes, seed=seed, words=z["words"], capacity=capacity)

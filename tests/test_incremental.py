@@ -545,3 +545,163 @@ def test_ingest_loop_catches_phash_only_dups(ray_session, tmp_path):
     assert e2["rows_kept"] == 10  # every pHash near-copy rejected
     kept2 = set(ic.read_corpus().to_pandas()["image_id"]) - {f"i{j}" for j in range(50)}
     assert kept2 == {f"i{1000 + j}" for j in range(10, 20)}
+
+
+def test_lsm_absorb_appends_deltas_then_compacts(ray_session, tmp_path):
+    """100-TB absorb contract (round-3 advice): update_corpus_index appends
+    a wave-sized delta segment — the corpus-sized base file is NOT rewritten
+    — and the partition compacts only when the row total outgrows the
+    Bloom's sized capacity; the probe and the reported distinct counts stay
+    exact through both regimes."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_corpus_index,
+        incremental_dedupe_indexed,
+        update_corpus_index,
+    )
+
+    def tab(texts, start):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(start, start + len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+    base_texts = [f"base doc {i}" for i in range(600)]
+    idx = str(tmp_path / "ix")
+    build_corpus_index(rd.from_arrow(tab(base_texts, 0)), idx, num_partitions=2)
+    bases = sorted(glob.glob(f"{idx}/part=*/hashes.parquet"))
+    stat0 = {f: (os.stat(f).st_size, os.stat(f).st_mtime_ns) for f in bases}
+
+    w1 = [f"wave one {i}" for i in range(100)]
+    meta1 = update_corpus_index(rd.from_arrow(tab(w1, 1000)), idx)
+    assert sum(meta1["parts"].values()) == 700  # exact distinct, not an upper bound
+    for f in bases:  # absorb did not rewrite the corpus-sized base
+        assert (os.stat(f).st_size, os.stat(f).st_mtime_ns) == stat0[f]
+    assert glob.glob(f"{idx}/part=*/delta-*.parquet")
+
+    # probe is exact across base + delta segments
+    wave = base_texts[:20] + w1[:20] + [f"fresh {i}" for i in range(30)]
+    got = incremental_dedupe_indexed(
+        rd.from_arrow(tab(wave, 5000)), idx, text_col="text", id_col="doc_id"
+    )
+    assert sorted(got.to_pandas()["text"]) == sorted(f"fresh {i}" for i in range(30))
+
+    # a big wave outgrows the per-partition Bloom capacity -> compaction:
+    # deltas fold into the base, counts still exact, probe still exact
+    w2 = [f"wave two {i}" for i in range(2500)]
+    meta2 = update_corpus_index(rd.from_arrow(tab(w2, 10_000)), idx)
+    assert sum(meta2["parts"].values()) == 3200
+    assert not glob.glob(f"{idx}/part=*/delta-*.parquet")
+    wave = base_texts[:5] + w1[:5] + w2[:5] + ["never seen"]
+    got = incremental_dedupe_indexed(
+        rd.from_arrow(tab(wave, 50_000)), idx, text_col="text", id_col="doc_id"
+    )
+    assert got.to_pandas()["text"].tolist() == ["never seen"]
+
+
+def test_image_lsm_absorb_and_count_idempotency(ray_session, tmp_path):
+    """Image-tier LSM absorb: deltas appended (base untouched), re-absorbing
+    the same wave leaves the meta counts unchanged (exact pair counting),
+    and re-sends of absorbed rows are rejected at probe time."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_image_band_index,
+        incremental_image_near_dedupe_indexed,
+        update_image_band_index,
+    )
+
+    rng, cap, tab = _image_fixture(53)
+    cfg = DedupeConfig(index_col="image_id", content_col="caption", phash_col="phash")
+    corpus = rd.from_arrow(
+        tab([cap() for _ in range(120)], rng.integers(0, 2**63, 120, dtype=np.int64), 0)
+    )
+    p = str(tmp_path / "imgidx")
+    build_image_band_index(corpus, p, cfg, num_partitions=4)
+    bases = sorted(glob.glob(f"{p}/part=*/hashes.parquet"))
+    stat0 = {f: (os.stat(f).st_size, os.stat(f).st_mtime_ns) for f in bases}
+
+    surv = tab([cap() for _ in range(40)], rng.integers(0, 2**63, 40, dtype=np.int64), 1000)
+    meta1 = update_image_band_index(rd.from_arrow(surv), p, cfg)
+    for f in bases:
+        assert (os.stat(f).st_size, os.stat(f).st_mtime_ns) == stat0[f]
+    assert glob.glob(f"{p}/part=*/delta-*.parquet")
+
+    meta2 = update_image_band_index(rd.from_arrow(surv), p, cfg)
+    assert meta2["parts"] == meta1["parts"]  # idempotent exact counts
+
+    assert incremental_image_near_dedupe_indexed(rd.from_arrow(surv), p, cfg).count() == 0
+
+
+def test_text_col_mismatch_guards(ray_session, tmp_path):
+    """Absorbing or probing a corpus index with a different text column
+    would silently mix hash spaces — both paths must refuse."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_corpus_index,
+        incremental_dedupe_indexed,
+        update_corpus_index,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"], "other": ["c", "d"]})
+    idx = str(tmp_path / "ix")
+    build_corpus_index(rd.from_arrow(t), idx, text_col="text")
+    with pytest.raises(ValueError, match="hash spaces"):
+        update_corpus_index(rd.from_arrow(t), idx, text_col="other")
+    with pytest.raises(ValueError, match="hash spaces"):
+        incremental_dedupe_indexed(rd.from_arrow(t), idx, text_col="other", id_col="doc_id")
+
+
+def test_bloom_capacity_roundtrip_and_legacy_load(tmp_path):
+    bf = BloomFilter.sized(100, 1e-3)
+    assert bf.capacity == 100
+    p = str(tmp_path / "bf.npz")
+    bf.save(p)
+    assert BloomFilter.load(p).capacity == 100
+    # a pre-capacity 3-field save still loads (capacity unknown -> 0)
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(
+        legacy,
+        words=bf.words,
+        meta=np.array([bf.n_bits, bf.n_hashes, bf.seed], np.int64),
+    )
+    old = BloomFilter.load(legacy)
+    assert old.capacity == 0 and old.n_bits == bf.n_bits
+
+
+def test_near_indexed_accepts_schemaless_empty_wave(ray_session, tmp_path):
+    """A fully-empty MATERIALIZED wave (ray 2.49: ds.schema() is None) must
+    flow through the indexed near-dedupe as an empty result, not raise."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        build_band_index,
+        incremental_near_dedupe_indexed,
+    )
+
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    texts = [f"common phrase repeated {i} times over" for i in range(30)]
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()), "text": pa.array(texts)})
+    )
+    p = str(tmp_path / "bix")
+    build_band_index(corpus, p, cfg, num_partitions=4)
+    wave = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(100, 130), pa.int64()), "text": pa.array(texts)})
+    )
+    emptied = incremental_near_dedupe_indexed(wave, p, cfg).materialize()
+    assert emptied.count() == 0
+    # replaying the emptied (possibly schema-less) wave is a no-op, not a crash
+    assert incremental_near_dedupe_indexed(emptied, p, cfg).count() == 0

@@ -191,3 +191,34 @@ def test_band_index_tier_mismatch_guard(ray_session, tmp_path):
     assert meta["kind"] == "image_band"
     e = ic2.ingest(rd.from_arrow(_tab([f"doc {i}" for i in range(10)], 200)))
     assert e["rows_kept"] == 0
+
+
+def test_torn_index_guard_and_full_rebuild(ray_session, tmp_path):
+    """Round-3 advice: a committed corpus whose index lost its _SUCCESS
+    (crash mid-rebuild, operator deletion) must fail LOUDLY instead of
+    silently skipping the probe and rebuilding the index from a single
+    wave; the remediation is the full-corpus rebuild, after which earlier
+    waves' duplicates are still caught."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(400)]
+    ic = IngestCorpus(str(tmp_path / "ic"), _cfg())
+    w1 = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    ic.ingest(rd.from_arrow(_tab(w1, 0)))
+
+    os.remove(os.path.join(ic.band_index, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="rebuild_band_index"):
+        ic.ingest(rd.from_arrow(_tab(["x"], 500)))
+    ic.rebuild_band_index()
+    e2 = ic.ingest(
+        rd.from_arrow(_tab([t + " zz" for t in w1[:10]] + ["beta 0"], 1000))
+    )
+    assert e2["rows_kept"] == 1  # near-copies of wave-1 still caught
+
+    os.remove(os.path.join(ic.exact_index, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="rebuild_exact_index"):
+        ic.ingest(rd.from_arrow(_tab(["y"], 600)))
+    ic.rebuild_exact_index()
+    e3 = ic.ingest(rd.from_arrow(_tab(w1[:10] + ["gamma 0"], 2000)))
+    assert e3["rows_kept"] == 1  # exact re-sends of wave-1 still caught

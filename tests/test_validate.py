@@ -244,3 +244,39 @@ def test_cli_audit_uses_content_col(ray_session, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["row_invariants"]["passed"]
     assert report["row_invariants"]["rows"] == report["rows_after"]
+
+
+def test_inner_mode_tolerates_identical_input_resends(ray_session):
+    """Round-3 advice: in survivor audits (how='inner', the CLI
+    --audit-rows path) an INPUT-side re-send of the same id with
+    byte-identical content is an input property, not a pipeline defect —
+    it must audit cleanly; divergent content under one id stays failing."""
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "image_id": ["a", "a", "b", "c", "c"],
+            "caption": ["x", "x", "y", "z1", "z2"],
+        }
+    )
+    right = pa.table({"image_id": ["a", "b", "c"], "caption": ["x", "y", "z1"]})
+    rep = (
+        verify_row_invariants(
+            rd.from_arrow(left), rd.from_arrow(right), num_partitions=2, how="inner"
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert rep.loc["a", "psnr_ok"] and rep.loc["a", "caption_equal"]
+    assert rep.loc["b", "psnr_ok"]
+    # 'c' has two DIFFERENT captions on the input side: ambiguous reference
+    assert not rep.loc["c", "psnr_ok"] and rep.loc["c", "sse"] == -1
+    # outer mode still charges any duplicate
+    rep_o = (
+        verify_row_invariants(
+            rd.from_arrow(left), rd.from_arrow(right), num_partitions=2, how="outer"
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert not rep_o.loc["a", "psnr_ok"]
