@@ -222,13 +222,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     pipe = MinHashDedupePipeline(cfg)
-    if args.checkpoint_dir:
+    if args.checkpoint_dir and args.modular:
         out, assign = pipe.run_with_checkpoints(ds, args.checkpoint_dir, num_actors=args.num_actors)
         rows_before, rows_after = ds.count(), out.count()
         report = {
             "rows_before": rows_before,
             "rows_after": rows_after,
             "pct_kept": round(100.0 * rows_after / max(1, rows_before), 2),
+        }
+    elif args.checkpoint_dir:
+        # fused path with the assignments checkpoint: a rerun under the same
+        # config restores the converged clusters and recomputes only the merge
+        out, assign, rep = pipe.run_fused(
+            ds,
+            num_actors=args.num_actors,
+            materialize_output=False,
+            ckpt_root=args.checkpoint_dir,
+        )
+        report = {
+            "rows_before": rep.rows_before,
+            "rows_after": rep.rows_after,
+            "n_components": rep.n_components,
+            "pct_kept": round(rep.pct_kept, 2),
+            "phase_walls": {k: round(v, 2) for k, v in (rep.phase_walls or {}).items()},
         }
     elif args.modular:
         out, assign, rep = pipe.run_with_report(ds, num_actors=args.num_actors)

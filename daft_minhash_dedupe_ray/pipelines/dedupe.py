@@ -175,12 +175,24 @@ class MinHashDedupePipeline:
         assign = self.assignments(edges, num_actors=num_actors)
         return self.merge(ds, assign)
 
-    def run_fused(self, ds, num_actors: int = 4, materialize_output: bool = True):
+    def run_fused(
+        self,
+        ds,
+        num_actors: int = 4,
+        materialize_output: bool = True,
+        ckpt_root: str | None = None,
+    ):
         """Minimal-data-movement execution (the throughput path): one map pass
         computes signatures + local contraction and streams edges straight
         into the union-find pool; the explicit exchange's reduce tasks ingest
         the chain edges; nothing edge-shaped hits the object store.  Returns
-        (deduped Dataset, assignments Dataset, DedupeReport)."""
+        (deduped Dataset, assignments Dataset, DedupeReport).
+
+        ``ckpt_root`` adds crash-resume at the natural cut point: the
+        converged ASSIGNMENTS table (O(clustered nodes), tiny next to the
+        input) lands as a config-hash-manifested parquet checkpoint; a rerun
+        under the same config restores it and skips signature + ingest +
+        convergence entirely, recomputing only the merge."""
         import time as _time
 
         from ..stages.candidates import fused_candidate_ingest
@@ -190,23 +202,50 @@ class MinHashDedupePipeline:
             # the fused map pass doesn't carry the substring edge stream or
             # salted chain rounds; route through the modular path so those
             # config knobs keep their semantics instead of being ignored
+            if ckpt_root is not None:
+                out, assign = self.run_with_checkpoints(ds, ckpt_root, num_actors=num_actors)
+                return out, assign, None
             out, assign, report = self.run_with_report(ds, num_actors=num_actors)
             return out, assign, report
 
         t0 = _time.perf_counter()
         walls: dict[str, float] = {}
         rows_before = ds.count()
-        actors = get_uf_pool(num_actors)
-        import ray as _ray
 
-        _ray.get([a.reset.remote() for a in actors])
-        walls["setup"] = _time.perf_counter() - t0
-        t = _time.perf_counter()
-        fused_candidate_ingest(self.prep(ds), self.cfg, actors)
-        walls["ingest"] = _time.perf_counter() - t
-        t = _time.perf_counter()
-        assign = converge_and_collect(actors)
-        walls["converge"] = _time.perf_counter() - t
+        def _cluster():
+            import ray as _ray
+
+            actors = get_uf_pool(num_actors)
+            _ray.get([a.reset.remote() for a in actors])
+            walls["setup"] = _time.perf_counter() - t0
+            t = _time.perf_counter()
+            # size the exchange from the band-row volume (rows x keys/doc) —
+            # the fused pass bakes the partition key, so P is chosen here
+            # where the row count is already known (cfg.num_partitions
+            # overrides)
+            from ..stages.util import sized_partitions
+
+            keys_per_doc = self.bands + (
+                self.cfg.phash_bands if self.cfg.phash_col else 0
+            )
+            P = self.cfg.num_partitions or sized_partitions(rows_before * keys_per_doc)
+            fused_candidate_ingest(self.prep(ds), self.cfg, actors, num_partitions=P)
+            walls["ingest"] = _time.perf_counter() - t
+            t = _time.perf_counter()
+            assign = converge_and_collect(actors)
+            walls["converge"] = _time.perf_counter() - t
+            return assign
+
+        if ckpt_root is not None:
+            from ..sources.io import CheckpointManager
+
+            ckpt = CheckpointManager(ckpt_root)
+            restored = ckpt.is_complete("assignments", self.cfg)
+            assign = ckpt.run("assignments", self.cfg, _cluster)
+            if restored:
+                walls["restored_assignments"] = _time.perf_counter() - t0
+        else:
+            assign = _cluster()
         t = _time.perf_counter()
         out = self.merge(ds, assign)
         if materialize_output:

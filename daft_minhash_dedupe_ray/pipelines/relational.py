@@ -575,7 +575,7 @@ def customers_without_orders(sf_dir: str, min_price: float = 400_000.0) -> pa.Ta
     the probe side has billions of keys."""
     import pyarrow.dataset as pads
 
-    from ..stages.util import DEFAULT_PARTITIONS, raw_cogroup_exchange
+    from ..stages.util import raw_cogroup_exchange
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(
@@ -611,7 +611,7 @@ def customers_without_orders(sf_dir: str, min_price: float = 400_000.0) -> pa.Ta
         )
 
     out = raw_cogroup_exchange(
-        cust, orders, ["c_custkey"], ["o_custkey"], kernel, schema, DEFAULT_PARTITIONS
+        cust, orders, ["c_custkey"], ["o_custkey"], kernel, schema  # input-sized
     )
     agg = (
         out.groupby("c_mktsegment")

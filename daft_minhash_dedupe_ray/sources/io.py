@@ -145,6 +145,16 @@ class CheckpointManager:
         os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp, compression="snappy")
         files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        if not files:
+            # an empty stage (e.g. a dup-free corpus's assignments) must
+            # still restore: pin one empty typed file so read_parquet works
+            import pyarrow as _pa
+
+            s = ds.schema()
+            if s is not None:
+                empty = _pa.schema(list(zip(s.names, s.types))).empty_table()
+                pq.write_table(empty, os.path.join(tmp, "empty-0.parquet"))
+                files = ["empty-0.parquet"]
         per_partition = []
         total = 0
         for fname in files:

@@ -191,7 +191,7 @@ def _pack(edges_u, edges_v, reps: pa.Table, with_salt: bool, cfg: DedupeConfig) 
     return pa.table(cols)
 
 
-def _local_combine(batch: pa.Table, cfg: DedupeConfig) -> pa.Table:
+def _local_combine(batch: pa.Table, cfg: DedupeConfig, num_partitions: int | None = None) -> pa.Table:
     keys = batch["band_key"].to_numpy(zero_copy_only=False).astype(_U64)
     nodes = batch["node_id"].to_numpy(zero_copy_only=False).astype(_U64)
     kinds = batch["kind"].to_numpy(zero_copy_only=False)
@@ -200,10 +200,12 @@ def _local_combine(batch: pa.Table, cfg: DedupeConfig) -> pa.Table:
         keys, nodes, kinds, payloads, cfg.phash_max_hamming, cross_payload_pairs=False
     )
     out = _pack(eu, ev, reps, with_salt=cfg.num_salts > 1, cfg=cfg)
-    if cfg.num_salts <= 1:
+    if cfg.num_salts <= 1 and num_partitions is not None:
         # fuse the shuffle-partition key into this pass (saves a map over the
-        # full rep stream before the groupby)
-        P = np.uint64(cfg.num_partitions or DEFAULT_PARTITIONS)
+        # full rep stream before the groupby); skipped when the exchange is
+        # input-sized (P unknown until the contracted stream materializes —
+        # the keyed splitter hashes at split time instead, same total work)
+        P = np.uint64(num_partitions)
         bk = out["band_key"].to_numpy(zero_copy_only=False)
         out = out.append_column("__p__", pa.array(splitmix64(bk * _SALT_MIX) % P, pa.uint64()))
     return out
@@ -238,10 +240,10 @@ def candidate_edges(candidates, cfg: DedupeConfig):
     markers.  Intermediate contracted streams are materialised once so edges
     and forwarded representatives can be split without recomputing upstream.
     """
-    P = cfg.num_partitions or DEFAULT_PARTITIONS
+    P = cfg.num_partitions  # None -> input-sized exchanges (stages/util)
 
     combined = candidates.map_batches(
-        functools.partial(_local_combine, cfg=cfg),
+        functools.partial(_local_combine, cfg=cfg, num_partitions=P),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     ).materialize()  # two consumers; contracted, far smaller than the band table
@@ -261,12 +263,21 @@ def candidate_edges(candidates, cfg: DedupeConfig):
         # fraction f of the corpus contributes <= n_batches rows to its
         # partition — bounded, and spread over many keys per partition.  For
         # adversarially hot keys beyond that bound, set num_salts > 1.
-        chain = partition_groupby_prekeyed(
-            reps_prekeyed.select_columns(["__p__", "band_key", "node_id", "kind", "payload"]),
-            functools.partial(_chain_star, cfg=cfg),
-            EDGE_SCHEMA,
-            num_partitions=P,
-        )
+        rep_cols = ["band_key", "node_id", "kind", "payload"]
+        if P is not None:
+            chain = partition_groupby_prekeyed(
+                reps_prekeyed.select_columns(["__p__"] + rep_cols),
+                functools.partial(_chain_star, cfg=cfg),
+                EDGE_SCHEMA,
+                num_partitions=P,
+            )
+        else:
+            chain = partition_groupby(
+                reps_prekeyed.select_columns(rep_cols),
+                ["band_key"],
+                functools.partial(_chain_star, cfg=cfg),
+                EDGE_SCHEMA,
+            )
         return local_edges.union(chain)
 
     # skew-hardened path: partition on salt_key (hot band keys spread across
@@ -294,7 +305,9 @@ def candidate_edges(candidates, cfg: DedupeConfig):
     return local_edges.union(salted_edges).union(chain_edges)
 
 
-def fused_candidate_ingest(prepped, cfg: DedupeConfig, actors: list) -> None:
+def fused_candidate_ingest(
+    prepped, cfg: DedupeConfig, actors: list, num_partitions: int | None = None
+) -> None:
     """Minimal-data-movement fan-in of candidate edges into the union-find
     actor pool (the bench/throughput path; ``candidate_edges`` is the modular
     Dataset-producing equivalent — a test asserts they yield identical
@@ -326,7 +339,9 @@ def fused_candidate_ingest(prepped, cfg: DedupeConfig, actors: list) -> None:
             refs.append(actors[int(o)].ingest.remote(eu[m], ev[m]))
         ray.get(refs)
 
-    P = cfg.num_partitions or DEFAULT_PARTITIONS
+    # the partition key is fused into the signature pass, so P must be known
+    # up front — callers with a row count pass an input-sized value
+    P = num_partitions or cfg.num_partitions or DEFAULT_PARTITIONS
 
     # locally-emitted star edges travel through the exchange as tagged rows
     # (kind=KIND_LOCAL_EDGE, band_key<-u, node_id<-v, partitioned by hash(u))
@@ -437,5 +452,5 @@ def distinct_edges(edges, cfg: DedupeConfig):
     canonical = edges.map_batches(canon, batch_format="pyarrow")
     return partition_groupby(
         canonical, ["u", "v"], dedup_partition, EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
+        num_partitions=cfg.num_partitions,  # None -> input-sized
     )

@@ -61,9 +61,7 @@ def _dups_from_assign_blocks(*tables) -> np.ndarray:
 def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int | None = None):
     """Input Dataset + assignments Dataset (u, rep) -> deduplicated Dataset
     (input schema unchanged; duplicates dropped, representatives kept)."""
-    from .util import DEFAULT_PARTITIONS
-
-    P = num_partitions or cfg.num_partitions or DEFAULT_PARTITIONS
+    P = num_partitions or cfg.num_partitions  # None -> input-sized exchange
     # assignments is small relative to input (one row per clustered node);
     # counting it is metadata-cheap when materialized, and the duplicate set
     # is reduced to a broadcast drop-array inside a task when it fits the

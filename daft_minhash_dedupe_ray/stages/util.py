@@ -30,10 +30,26 @@ import ray
 
 from ..hashing import splitmix64
 
-# default partition count for keyed exchanges; each reduce partition holds
-# rows/P of the stream — raise via DedupeConfig.num_partitions for larger
-# inputs (rule of thumb: rows/P ~ a few hundred thousand)
+# static fallback partition count for keyed exchanges whose partition key is
+# baked upstream before the stream size is knowable; prefer the input-sized
+# forms (``sized_partitions`` from a row estimate, or ``num_partitions=None``
+# on :func:`partition_groupby`, which measures the materialized blocks) —
+# a fixed 64 is simultaneously too many tasks for a 4-edge graph and
+# multi-GB reduce tasks at 100x scale.  ``DedupeConfig.num_partitions``
+# overrides everywhere.
 DEFAULT_PARTITIONS = 64
+
+# exchange sizing rule: ~rows/P of a few hundred thousand keeps reduce tasks
+# in tens of MB; the cap bounds scheduler pressure (override cfg.num_partitions
+# for a 256-node cluster where > 1024 reduce tasks are warranted)
+ROWS_PER_PARTITION = 250_000
+MAX_PARTITIONS = 1024
+
+
+def sized_partitions(total_rows: int, rows_per_partition: int = ROWS_PER_PARTITION) -> int:
+    """Input-sized exchange partition count (reference's own save formula
+    shape, workload/minhash_dedupe.py:663: ceil(rows/chunk) clamped)."""
+    return max(1, min(MAX_PARTITIONS, -(-int(total_rows) // rows_per_partition)))
 
 
 def _restore(b: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -50,8 +66,11 @@ def ensure_schema(ds, schema: pa.Schema):
 
 def _hash_key_col(col: pa.ChunkedArray) -> np.ndarray:
     """Stable uint64 hash of one key column.  String/binary keys are
-    dictionary-encoded so only the per-block distinct values are hashed
-    (Python blake2b per unique, vectorised gather per row)."""
+    dictionary-encoded so only the per-block distinct values are hashed —
+    via the vectorised byte-polynomial fold (``hashing.poly_hash64_array``,
+    no per-unique Python) for ordinary keys; kilobyte-scale values fall back
+    to the blake2b C core, which wins once values are long (its per-unique
+    Python overhead is amortised by the value length)."""
     t = col.type
     if (
         pa.types.is_string(t)
@@ -61,15 +80,19 @@ def _hash_key_col(col: pa.ChunkedArray) -> np.ndarray:
     ):
         import pyarrow.compute as pc
 
-        from ..hashing import hash64_bytes, hash64_str
+        from ..hashing import hash64_bytes, hash64_str, poly_hash64_array
 
         enc = pc.dictionary_encode(col.combine_chunks())
         idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = enc.dictionary.to_pylist()
+        vals = enc.dictionary
         dh = np.empty(len(vals) + 1, dtype=np.uint64)
         dh[0] = 0  # nulls
-        for i, v in enumerate(vals):
-            dh[i + 1] = hash64_bytes(v) if isinstance(v, bytes) else hash64_str(v)
+        max_len = int(pc.max(pc.binary_length(vals)).as_py() or 0) if len(vals) else 0
+        if max_len <= 512:
+            dh[1:] = poly_hash64_array(vals)
+        else:
+            for i, v in enumerate(vals.to_pylist()):
+                dh[i + 1] = hash64_bytes(v) if isinstance(v, bytes) else hash64_str(v)
         return dh[idx + 1]
     arr = col.to_numpy(zero_copy_only=False)
     if arr.dtype == object or np.issubdtype(arr.dtype, np.floating):
@@ -119,18 +142,29 @@ def _split_block(block: pa.Table, num_partitions: int):
 _split_block_remote = ray.remote(_split_block)
 
 
-def raw_partition_exchange(ds, fn, schema: pa.Schema, num_partitions: int):
-    """``__p__``-keyed explicit hash exchange; see module docstring.
+def _split_block_keyed(block: pa.Table, key_cols: list[str], num_partitions: int):
+    """Key-then-split fused into one task — lets the partition count be
+    chosen AFTER the stream is materialized (no extra pass: the hash rides
+    the split that happens anyway)."""
+    if len(block) == 0 or block.num_columns == 0:
+        out = [None] * num_partitions
+        return out if num_partitions > 1 else out[0]
+    return _split_block(_key_partition(block, key_cols, num_partitions), num_partitions)
 
-    ``ds`` must carry a ``__p__`` column in [0, num_partitions).  Returns a
-    Dataset of ``fn``-outputs, one block per partition, cast to ``schema``.
-    """
+
+_split_block_keyed_remote = ray.remote(_split_block_keyed)
+
+
+@ray.remote
+def _block_len(t) -> int:
+    # runs local to the block (no transfer); used to size the exchange
+    return 0 if t is None else len(t)
+
+
+def _assemble_exchange(parts, fn, schema: pa.Schema, num_partitions: int):
     import ray.data as rd
 
-    blocks = ds.to_arrow_refs()
     schema_ser = schema.serialize().to_pybytes()
-    splitter = _split_block_remote.options(num_returns=num_partitions)
-    parts = [splitter.remote(b, num_partitions) for b in blocks]
     if num_partitions == 1:
         parts = [[p] for p in parts]
     out_refs = [
@@ -138,6 +172,18 @@ def raw_partition_exchange(ds, fn, schema: pa.Schema, num_partitions: int):
         for p in range(num_partitions)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def raw_partition_exchange(ds, fn, schema: pa.Schema, num_partitions: int):
+    """``__p__``-keyed explicit hash exchange; see module docstring.
+
+    ``ds`` must carry a ``__p__`` column in [0, num_partitions).  Returns a
+    Dataset of ``fn``-outputs, one block per partition, cast to ``schema``.
+    """
+    blocks = ds.to_arrow_refs()
+    splitter = _split_block_remote.options(num_returns=num_partitions)
+    parts = [splitter.remote(b, num_partitions) for b in blocks]
+    return _assemble_exchange(parts, fn, schema, num_partitions)
 
 
 @ray.remote
@@ -159,31 +205,46 @@ def _reduce_cogroup(fn, schema_ser: bytes, n_left: int, *tables) -> pa.Table:
     return out.select([f.name for f in schema]).cast(schema)
 
 
-def raw_cogroup_exchange(ds_a, ds_b, key_cols_a, key_cols_b, fn, schema, num_partitions):
+def raw_cogroup_exchange(
+    ds_a, ds_b, key_cols_a, key_cols_b, fn, schema, num_partitions: int | None = None
+):
     """Two-sided keyed exchange: both datasets are hash-partitioned on their
     key columns; ``fn(left_table_or_None, right_table_or_None)`` runs once per
     partition with the co-located shards — the building block for exact
     distributed joins/anti-joins without Ray Data's join operator (whose hash
-    backend mishandles empty partitions in 2.49)."""
+    backend mishandles empty partitions in 2.49).
+
+    ``num_partitions=None`` sizes the exchange from the two streams' summed
+    block rows (see :func:`partition_groupby`)."""
     import functools as _ft
 
     import ray.data as rd
 
-    keyed_a = ds_a.map_batches(
-        _ft.partial(_key_partition, key_cols=key_cols_a, num_partitions=num_partitions),
-        batch_format="pyarrow",
-    )
-    keyed_b = ds_b.map_batches(
-        _ft.partial(_key_partition, key_cols=key_cols_b, num_partitions=num_partitions),
-        batch_format="pyarrow",
-    )
-    blocks_a = keyed_a.to_arrow_refs()
-    blocks_b = keyed_b.to_arrow_refs()
+    if num_partitions is not None:
+        keyed_a = ds_a.map_batches(
+            _ft.partial(_key_partition, key_cols=key_cols_a, num_partitions=num_partitions),
+            batch_format="pyarrow",
+        )
+        keyed_b = ds_b.map_batches(
+            _ft.partial(_key_partition, key_cols=key_cols_b, num_partitions=num_partitions),
+            batch_format="pyarrow",
+        )
+        blocks_a = keyed_a.to_arrow_refs()
+        blocks_b = keyed_b.to_arrow_refs()
+        P = num_partitions
+        splitter = _split_block_remote.options(num_returns=P)
+        parts_a = [splitter.remote(b, P) for b in blocks_a]
+        parts_b = [splitter.remote(b, P) for b in blocks_b]
+    else:
+        blocks_a = ds_a.to_arrow_refs()
+        blocks_b = ds_b.to_arrow_refs()
+        total = sum(ray.get([_block_len.remote(b) for b in blocks_a + blocks_b]))
+        P = sized_partitions(total)
+        splitter = _split_block_keyed_remote.options(num_returns=P)
+        parts_a = [splitter.remote(b, key_cols_a, P) for b in blocks_a]
+        parts_b = [splitter.remote(b, key_cols_b, P) for b in blocks_b]
     schema_ser = schema.serialize().to_pybytes()
-    splitter = _split_block_remote.options(num_returns=num_partitions)
-    parts_a = [splitter.remote(b, num_partitions) for b in blocks_a]
-    parts_b = [splitter.remote(b, num_partitions) for b in blocks_b]
-    if num_partitions == 1:
+    if P == 1:
         parts_a = [[p] for p in parts_a]
         parts_b = [[p] for p in parts_b]
     out_refs = [
@@ -194,24 +255,40 @@ def raw_cogroup_exchange(ds_a, ds_b, key_cols_a, key_cols_b, fn, schema, num_par
             *[pb[p] for pb in parts_a],
             *[pb[p] for pb in parts_b],
         )
-        for p in range(num_partitions)
+        for p in range(P)
     ]
     return rd.from_arrow_refs(out_refs)
 
 
 def partition_groupby(
-    ds, key_cols: list[str], fn, schema: pa.Schema, num_partitions: int = DEFAULT_PARTITIONS
+    ds, key_cols: list[str], fn, schema: pa.Schema, num_partitions: int | None = None
 ):
     """Hash the key columns to ``__p__`` and run the partition-granular
     exchange.  ``fn`` must handle multiple keys per call (sort/segment
     internally); every row of a given key lands in exactly one partition, so
     per-key semantics are preserved while UDF invocations drop from O(keys)
-    to O(num_partitions)."""
-    keyed = ds.map_batches(
-        functools.partial(_key_partition, key_cols=key_cols, num_partitions=num_partitions),
-        batch_format="pyarrow",
-    )
-    return raw_partition_exchange(keyed, fn, schema, num_partitions)
+    to O(num_partitions).
+
+    ``num_partitions=None`` (default) sizes the exchange from the stream
+    itself: the input blocks materialize (they would anyway — the exchange
+    operates on object refs), their row counts are summed block-locally,
+    and P = :func:`sized_partitions` of the total — so a 4-edge graph gets
+    1 reduce task and a 10^9-row stream gets :data:`MAX_PARTITIONS`, instead
+    of a fixed 64 either way."""
+    if num_partitions is not None:
+        keyed = ds.map_batches(
+            functools.partial(
+                _key_partition, key_cols=key_cols, num_partitions=num_partitions
+            ),
+            batch_format="pyarrow",
+        )
+        return raw_partition_exchange(keyed, fn, schema, num_partitions)
+    blocks = ds.to_arrow_refs()
+    total = sum(ray.get([_block_len.remote(b) for b in blocks]))
+    P = sized_partitions(total)
+    splitter = _split_block_keyed_remote.options(num_returns=P)
+    parts = [splitter.remote(b, key_cols, P) for b in blocks]
+    return _assemble_exchange(parts, fn, schema, P)
 
 
 def partition_groupby_prekeyed(

@@ -76,7 +76,7 @@ def _dedup_partition(b: pa.Table) -> pa.Table:
 def _dedup_uv(edges, cfg: DedupeConfig):
     return partition_groupby(
         edges, ["u", "v"], _dedup_partition, EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
+        num_partitions=cfg.num_partitions,  # None -> input-sized (stages/util)
     )
 
 
@@ -117,7 +117,7 @@ def large_star(edges, cfg: DedupeConfig):
     sym = symmetrize(edges)
     return partition_groupby(
         sym, ["u"], functools.partial(_star_partition, large=True), EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
+        num_partitions=cfg.num_partitions,
     )
 
 
@@ -140,7 +140,7 @@ def small_star(edges, cfg: DedupeConfig):
     directed = edges.map_batches(orient, batch_format="pyarrow")
     return partition_groupby(
         directed, ["u"], functools.partial(_star_partition, large=False), EDGE_SCHEMA,
-        num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS,
+        num_partitions=cfg.num_partitions,
     )
 
 
@@ -272,7 +272,7 @@ def construct_assignments(b, cfg: DedupeConfig):
         )
 
     return partition_groupby(
-        sym, ["u"], min_per_u, ASSIGN_SCHEMA, num_partitions=cfg.num_partitions or DEFAULT_PARTITIONS
+        sym, ["u"], min_per_u, ASSIGN_SCHEMA, num_partitions=cfg.num_partitions
     )
 
 
@@ -356,7 +356,10 @@ def global_min_label_propagation(edges, assignments, cfg: DedupeConfig):
             {"u": pa.array(u[starts], pa.uint64()), "rep": pa.array(rep[starts], pa.uint64())}
         )
 
-    P = cfg.num_partitions or DEFAULT_PARTITIONS
+    # size the per-iteration exchanges once from the (materialized) edge
+    # volume — the loop reuses P every round, so per-call measurement would
+    # just repeat the same count
+    P = cfg.num_partitions or max(1, min(DEFAULT_PARTITIONS, -(-sym.count() // 50_000)))
     edge_msgs = sym.map_batches(edges_as_msgs, batch_format="pyarrow").materialize()
 
     prev_fp = None

@@ -106,3 +106,32 @@ def test_hash64_stability():
     assert H.hash64_str("img-00000000") == H.hash64_str("img-00000000")
     a = H.hash64_str_array(["x", "y", "x", None])
     assert a[0] == a[2] and a[0] != a[1] and a[3] == 0
+
+
+def test_poly_hash64_array_semantics():
+    """Vectorised key hash (round-3 verdict item 4): null -> 0, distinct
+    values -> distinct hashes (w.h.p.), equal across chunking/offsets and
+    string/large_string, prefix-nesting doesn't collide."""
+    import pyarrow as pa
+
+    from daft_minhash_dedupe_ray.hashing import poly_hash64_array
+
+    vals = ["", "a", "ab", "abc", "b", None, "abc", "x" * 100]
+    h = poly_hash64_array(pa.array(vals, pa.string()))
+    assert h[5] == 0  # null
+    assert h[3] == h[6]  # equal values agree
+    nn = [h[i] for i in (0, 1, 2, 3, 4, 7)]
+    assert len(set(nn)) == len(nn)  # distinct values distinct
+    # sliced/offset arrays hash identically
+    arr = pa.array(vals, pa.string())
+    assert list(poly_hash64_array(arr.slice(2, 3))) == list(h[2:5])
+    # chunked + large_string agree with the flat small form
+    ch = pa.chunked_array([vals[:3], vals[3:]], pa.string())
+    assert list(poly_hash64_array(ch)) == list(h)
+    ls = pa.array(vals, pa.large_string())
+    assert list(poly_hash64_array(ls)) == list(h)
+    # binary form hashes the same bytes
+    bv = [v.encode() if v is not None else None for v in vals]
+    hb = poly_hash64_array(pa.array(bv, pa.binary()))
+    assert list(hb) == list(h)
+    assert len(poly_hash64_array(pa.array([], pa.string()))) == 0

@@ -209,3 +209,54 @@ def test_documents_table_matches_oracle_sf001(ray_session):
     assert dup_pair_recall(pred, pairs) >= 0.99
     surv = oracle_survivors(nodes.tolist(), pairs)
     assert abs(report.rows_after - len(surv)) <= max(2, 0.01 * len(surv))
+
+
+def test_run_fused_checkpoint_resume(ray_session, tmp_path):
+    """Crash-resume for the throughput path (round-3 verdict item 5): the
+    converged assignments land as a config-hash checkpoint; a rerun under
+    the same config restores them (skipping signature/ingest/converge) and
+    yields the identical survivor set; a config change recomputes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(400)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(120)]
+    texts = base + [base[i] + " tail" for i in range(40)]  # planted near-dups
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    cfg = DedupeConfig(index_col="doc_id", content_col="text", phash_col=None)
+    ck = str(tmp_path / "ck")
+
+    pipe = MinHashDedupePipeline(cfg)
+    out1, assign1, rep1 = pipe.run_fused(ds, num_actors=2, ckpt_root=ck)
+    import os
+
+    assert os.path.exists(os.path.join(ck, "assignments", "_SUCCESS"))
+    assert "ingest" in rep1.phase_walls
+    kept1 = sorted(out1.to_pandas()["doc_id"])
+    assert len(kept1) < len(texts)  # planted dups dropped
+
+    # crash-after-converge: a FRESH pipeline restores, never re-ingests
+    out2, assign2, rep2 = MinHashDedupePipeline(cfg).run_fused(
+        ds, num_actors=2, ckpt_root=ck
+    )
+    assert "restored_assignments" in rep2.phase_walls
+    assert "ingest" not in rep2.phase_walls
+    assert sorted(out2.to_pandas()["doc_id"]) == kept1
+    assert assign2.count() == assign1.count()
+
+    # a config change invalidates the checkpoint (no stale restore)
+    cfg2 = cfg.with_overrides(num_perm=64, bands=8, rows=8)
+    out3, _, rep3 = MinHashDedupePipeline(cfg2).run_fused(ds, num_actors=2, ckpt_root=ck)
+    assert "ingest" in rep3.phase_walls
