@@ -313,18 +313,19 @@ def fused_candidate_ingest(
     Dataset-producing equivalent — a test asserts they yield identical
     clusters).
 
-    One map pass computes signature -> local combine and ingests the locally
-    emitted star edges straight into the actors (side effect; unions are
-    idempotent, so task retries are safe), emitting only the partition-keyed
-    representative stream.  The explicit exchange's reduce tasks then run the
-    chain contraction and likewise ingest their edges, returning only counts.
-    Nothing edge-shaped is ever materialised in the object store.
+    One map task per input block computes signature -> local combine -> the
+    partition SPLIT, all fused (``num_returns=P``): the representative
+    stream never materialises as whole blocks — only its pre-split
+    per-partition shards hit the object store, once.  Locally-emitted star
+    edges ride the same shards as tagged rows; the reduce tasks run the
+    chain contraction and stream all edges into the actors, returning only
+    counts.  Nothing edge-shaped is ever materialised in the object store.
     """
     import ray
 
     from ..state.dist_union_find import owner_of
     from ..stages.signature import SignatureStage
-    from .util import _reduce_apply, _split_block_remote
+    from .util import _reduce_apply, _split_block
 
     num_actors = len(actors)
     sig = SignatureStage(cfg)
@@ -387,6 +388,19 @@ def fused_candidate_ingest(
         )
         return out.append_column("__p__", pa.array(part, pa.uint64()))
 
+    def sig_combine_split(block: pa.Table):
+        """signature + combine + partition split in ONE task: the rep stream
+        goes straight from the kernel to its P shards (one object-store write
+        instead of write-block / read-block / write-shards), with the
+        routing column dropped before shipping."""
+        shards = _split_block(sig_combine(block), P)
+        if P == 1:
+            shards = [shards]
+        out = [
+            s.drop_columns(["__p__"]) if s is not None else None for s in shards
+        ]
+        return out if P > 1 else out[0]
+
     def chain_ingest(batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
         is_local = kinds == KIND_LOCAL_EDGE
@@ -403,14 +417,11 @@ def fused_candidate_ingest(
         )
         return pa.table({"n": pa.array([len(out) + n_local], pa.int64())})
 
-    reps = prepped.map_batches(
-        sig_combine, batch_format="pyarrow", batch_size=cfg.batch_size
-    )
     count_schema = pa.schema([("n", pa.int64())])
-    blocks = reps.to_arrow_refs()
     schema_ser = count_schema.serialize().to_pybytes()
-    splitter = _split_block_remote.options(num_returns=P)
-    parts = [splitter.remote(b, P) for b in blocks]
+    blocks = prepped.to_arrow_refs()
+    mapper = ray.remote(sig_combine_split).options(num_returns=P)
+    parts = [mapper.remote(b) for b in blocks]
     if P == 1:
         parts = [[p] for p in parts]
     out_refs = [
