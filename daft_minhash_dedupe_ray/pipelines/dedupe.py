@@ -203,8 +203,18 @@ class MinHashDedupePipeline:
             # salted chain rounds; route through the modular path so those
             # config knobs keep their semantics instead of being ignored
             if ckpt_root is not None:
+                t0 = _time.perf_counter()
                 out, assign = self.run_with_checkpoints(ds, ckpt_root, num_actors=num_actors)
-                return out, assign, None
+                rows_before, rows_after = ds.count(), out.count()
+                n_dups = rows_before - rows_after
+                report = DedupeReport(
+                    rows_before=rows_before,
+                    rows_after=rows_after,
+                    n_components=assign.count() - n_dups,
+                    n_duplicates=n_dups,
+                    wall_seconds=_time.perf_counter() - t0,
+                )
+                return out, assign, report
             out, assign, report = self.run_with_report(ds, num_actors=num_actors)
             return out, assign, report
 
