@@ -120,8 +120,11 @@ class MinHashDedupePipeline:
         the original input."""
         cfg = self.cfg
         cols = [cfg.index_col, cfg.content_col]
-        if cfg.phash_col and cfg.phash_col in ds.schema().names:
+        schema = ds.schema()  # None for a fully-empty dataset (round-3 gotcha)
+        if cfg.phash_col and schema is not None and cfg.phash_col in schema.names:
             cols.append(cfg.phash_col)
+        if schema is None:
+            return ds
         return ds.select_columns(cols)
 
     def band_candidates(self, ds):

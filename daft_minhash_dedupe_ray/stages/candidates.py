@@ -402,20 +402,42 @@ def fused_candidate_ingest(
         return out if P > 1 else out[0]
 
     def chain_ingest(batch: pa.Table) -> pa.Table:
+        from ..state.numpy_cc import forest_pairs
+
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
         is_local = kinds == KIND_LOCAL_EDGE
         n_local = int(is_local.sum())
+        parts = []
         if n_local:
             eu = batch["band_key"].to_numpy(zero_copy_only=False)[is_local].astype(np.uint64)
             ev = batch["node_id"].to_numpy(zero_copy_only=False)[is_local].astype(np.uint64)
-            _ingest_edges(eu, ev)
+            parts.append(np.stack([eu, ev], axis=1))
             batch = batch.filter(pa.array(~is_local))
         out = _chain_star(batch, cfg)
-        _ingest_edges(
-            out["u"].to_numpy(zero_copy_only=False).astype(np.uint64),
-            out["v"].to_numpy(zero_copy_only=False).astype(np.uint64),
-        )
-        return pa.table({"n": pa.array([len(out) + n_local], pa.int64())})
+        if len(out):
+            parts.append(
+                np.stack(
+                    [
+                        out["u"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        out["v"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    ],
+                    axis=1,
+                )
+            )
+        n_raw = len(out) + n_local
+        if parts:
+            # contract this partition's full edge set (forwarded local stars +
+            # chain stars) to its spanning forest before it reaches the
+            # union-find pool: the same duplicate pair arrives from up to
+            # bands(+phash_bands) band keys, so the raw stream is ~B-fold
+            # redundant.  Replacing an edge subset by its spanning forest
+            # never changes global connectivity, and this moves the collapse
+            # into the P CPU-scalable reduce tasks instead of the actors'
+            # memory-bandwidth-bound bulk contraction (measured: converge
+            # round 1 was 16 s at 4M rows with 2 AND 4 actors alike).
+            pairs = forest_pairs(np.concatenate(parts))
+            _ingest_edges(pairs[:, 0], pairs[:, 1])
+        return pa.table({"n": pa.array([n_raw], pa.int64())})
 
     count_schema = pa.schema([("n", pa.int64())])
     schema_ser = count_schema.serialize().to_pybytes()
