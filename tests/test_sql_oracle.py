@@ -445,7 +445,7 @@ def test_sql_video_keep_end_to_end():
     from daft_minhash_dedupe_ray.config import DedupeConfig
     from daft_minhash_dedupe_ray.functions.video import cached_video_path, video_dedupe
 
-    path = cached_video_path(40, seed=5, dup_rate=0.4)
+    path = cached_video_path(24, seed=5, dup_rate=0.4)
     cfg = DedupeConfig(
         index_col="video_id", content_col="bytes", phash_col=None, threshold=0.2
     )
@@ -453,7 +453,7 @@ def test_sql_video_keep_end_to_end():
     eng = sorted(out.select_columns(["video_id"]).to_pandas()["video_id"].tolist())
     ora = [r[0] for r in duckdb.sql(so.video_keep_sql(path, 24, 18)).fetchall()]
     assert eng == ora
-    assert len(ora) < 40 + 16  # some planted dups must collapse
+    assert len(ora) < 24 + 9  # some planted dups must collapse
 
 
 def test_sql_node_hash_matches_id_hash64():
