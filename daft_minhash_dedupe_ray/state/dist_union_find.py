@@ -58,9 +58,12 @@ _CONTRACT_MIN_ROWS = 1_500_000
 
 @ray.remote
 class UnionFindActor:
-    def __init__(self, actor_id: int, num_actors: int) -> None:
+    def __init__(
+        self, actor_id: int, num_actors: int, contract_min_rows: int = _CONTRACT_MIN_ROWS
+    ) -> None:
         self.actor_id = actor_id
         self.num_actors = num_actors
+        self.contract_min_rows = contract_min_rows
         self.pool: list | None = None  # peer handles (set once per run)
         self.buffers: list[np.ndarray] = []  # pending (n, 2) edge arrays
         self._buffered = 0  # rows across self.buffers (contract trigger)
@@ -96,7 +99,7 @@ class UnionFindActor:
         # ack release their CPU slots inside ray.get, so other reducers
         # keep the cores busy).
         self._buffered += len(u)
-        if self._buffered >= max(_CONTRACT_MIN_ROWS, len(self.nodes)):
+        if self._buffered >= max(self.contract_min_rows, len(self.nodes)):
             self.contract()
         return len(u)
 

@@ -118,3 +118,35 @@ def test_numpy_cc_matches_union_find(edge_list):
     got = dict(zip(nodes.tolist(), roots.tolist()))
     want = connected_components_oracle(edges)
     assert got == want
+
+
+def test_contract_on_ingest_matches_oracle(ray_session):
+    """Mid-ingest amortised contraction (contract_min_rows tiny so every
+    few ingests trigger a fold — at production scale the trigger is 1.5M
+    buffered rows) must leave converge with identical assignments."""
+    import ray
+
+    from daft_minhash_dedupe_ray.state.dist_union_find import (
+        UnionFindActor,
+        converge_and_collect,
+        owner_of,
+    )
+
+    edges = _random_edges(7, n_nodes=300, n_edges=400)
+    want = connected_components_oracle(edges)
+    actors = [UnionFindActor.remote(i, 3, contract_min_rows=8) for i in range(3)]
+    u = np.array([e[0] for e in edges], np.uint64)
+    v = np.array([e[1] for e in edges], np.uint64)
+    # route in small slices so the threshold fires many times mid-stream
+    for s in range(0, len(u), 16):
+        uu, vv = u[s : s + 16], v[s : s + 16]
+        owners = owner_of(uu, 3)
+        ray.get(
+            [
+                actors[o].ingest.remote(uu[owners == o], vv[owners == o])
+                for o in np.unique(owners)
+            ]
+        )
+    out = converge_and_collect(actors).to_pandas()
+    got = dict(zip(out["u"].astype(np.uint64).astype(int), out["rep"].astype(np.uint64).astype(int)))
+    assert got == want
