@@ -40,16 +40,29 @@ from ..hashing import splitmix64
 DEFAULT_PARTITIONS = 64
 
 # exchange sizing rule: ~rows/P of a few hundred thousand keeps reduce tasks
-# in tens of MB; the cap bounds scheduler pressure (override cfg.num_partitions
-# for a 256-node cluster where > 1024 reduce tasks are warranted)
+# in tens of MB; the cap bounds scheduler pressure but must grow with the
+# cluster — a fixed 1024 on a 256-node x 64-core cluster would both starve
+# the reduce wave (16k cores, 1024 tasks) and inflate each task to
+# corpus/1024 rows.  ``DedupeConfig.num_partitions`` overrides everywhere.
 ROWS_PER_PARTITION = 250_000
-MAX_PARTITIONS = 1024
+MAX_PARTITIONS = 1024  # single-node floor for the cap
+
+
+def _partition_cap() -> int:
+    """max(MAX_PARTITIONS, 8 x cluster CPUs): enough reduce tasks to feed
+    every core several waves on any cluster size, without unbounded
+    scheduler pressure when the row formula asks for millions."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:  # Ray not initialised (pure-driver sizing)
+        cpus = 0
+    return max(MAX_PARTITIONS, 8 * cpus)
 
 
 def sized_partitions(total_rows: int, rows_per_partition: int = ROWS_PER_PARTITION) -> int:
     """Input-sized exchange partition count (reference's own save formula
     shape, workload/minhash_dedupe.py:663: ceil(rows/chunk) clamped)."""
-    return max(1, min(MAX_PARTITIONS, -(-int(total_rows) // rows_per_partition)))
+    return max(1, min(_partition_cap(), -(-int(total_rows) // rows_per_partition)))
 
 
 def _restore(b: pa.Table, schema: pa.Schema) -> pa.Table:

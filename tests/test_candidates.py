@@ -174,7 +174,12 @@ def test_input_sized_exchange_partitions(ray_session):
     assert sized_partitions(ROWS_PER_PARTITION) == 1
     assert sized_partitions(ROWS_PER_PARTITION + 1) == 2
     assert sized_partitions(10 * ROWS_PER_PARTITION) == 10
-    assert sized_partitions(10**12) == MAX_PARTITIONS
+    # cap scales with the cluster: max(MAX_PARTITIONS, 8 x cluster CPUs) —
+    # at this 4-CPU test session that is the single-node floor
+    import ray
+
+    cap = max(MAX_PARTITIONS, 8 * int(ray.cluster_resources().get("CPU", 0)))
+    assert sized_partitions(10**12) == cap
 
     ds = rd.from_arrow(
         pa.table({"k": pa.array(list(range(10)) * 3, pa.int64())})
