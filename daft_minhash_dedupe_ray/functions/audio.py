@@ -208,6 +208,14 @@ def fingerprint_periods(
 # fingerprint (keeps a^2+b^2 inside int64; shared with the SQL oracle)
 FP_WINDOW = 32768
 
+
+def fp_window_start(n_samples: int) -> int:
+    """Start sample of the fingerprint window: the centered, 4-sample
+    (one 8-byte decode chunk) aligned position — ``4 * (((n - W) // 2) // 4)``
+    for clips longer than the window, else 0.  Pure arithmetic on the clip
+    length (SQL-expressible from the payload byte count; gain-invariant)."""
+    return 4 * ((max(0, n_samples - FP_WINDOW) // 2) // 4)
+
 _SIGN_TABLE: dict[int, np.ndarray] = {}
 
 
@@ -244,12 +252,19 @@ def audio_fingerprints64_int(clips: list[np.ndarray]) -> np.ndarray:
 
     Zero-padding to the batch max length is free: padded samples contribute
     0 to every correlation, so per-clip results are length-independent.
-    Clips are fingerprinted over their first ``FP_WINDOW`` samples (~4 s at
+    Clips are fingerprinted over a ``FP_WINDOW``-sample window (~4 s at
     8 kHz) — this keeps |correlation| <= 2**30.5 so a^2 + b^2 can never
-    overflow int64, and bounds the kernel's work per clip."""
+    overflow int64, and bounds the kernel's work per clip.  The window is
+    CENTERED in the clip (chunk-aligned so the SQL oracle's 8-byte decode
+    stays chunk-based): a first-window prefix systematically collides any
+    two clips sharing ~4 s of leading content (shared intros, and exact
+    digital leading silence fingerprints to 0) — the centered window only
+    collides clips whose middles match.  The start index derives from the
+    clip LENGTH alone, so it is exactly gain-invariant and identical for
+    same-length near-dup variants."""
     if not clips:
         return np.zeros(0, np.uint64)
-    clips = [c[:FP_WINDOW] for c in clips]
+    clips = [c[fp_window_start(len(c)) : fp_window_start(len(c)) + FP_WINDOW] for c in clips]
     lens = np.array([len(c) for c in clips], np.int64)
     L = int(lens.max())
     tab = _sign_table(L)[:, :L]

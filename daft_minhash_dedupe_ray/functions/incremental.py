@@ -49,7 +49,39 @@ _STATS_SCHEMA = pa.schema([("part", pa.int64()), ("n_hashes", pa.int64())])
 # capacity — so per-wave absorb cost is amortised O(wave), not O(corpus).
 _MAX_SEGMENTS = 16
 _BLOOM_HEADROOM = 2
-_DELTA_RE = re.compile(r"delta-\d{8}\.parquet")
+_DELTA_RE = re.compile(r"delta-\d{8}(-[0-9a-f]{16})?\.parquet")
+
+
+def _wave_fp(*arrays) -> str:
+    """Deterministic 16-hex content fingerprint of a wave's (sorted,
+    deduped) partition payload — names the delta segment so a REPLAYED
+    absorb task (Ray retry after the delta landed) or a deliberate
+    re-absorb of the same wave is detectable on disk and the partition
+    count can be recounted exactly instead of double- or under-counted."""
+    from ..hashing import splitmix64
+
+    acc = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for a in arrays:
+            a = np.asarray(a)
+            if a.dtype.kind not in "ui":
+                a = np.frombuffer(a.tobytes(), dtype=np.uint8)
+            v = splitmix64(a.astype(np.uint64, copy=False))
+            acc = splitmix64(
+                np.array([acc ^ np.bitwise_xor.reduce(v) ^ np.uint64(len(v))])
+            )[0]
+    return f"{int(acc):016x}"
+
+
+def _own_delta(d: str, fp: str) -> str | None:
+    """Path of an existing delta carrying this wave fingerprint, if any."""
+    if not os.path.isdir(d):
+        return None
+    suffix = f"-{fp}.parquet"
+    for f in sorted(os.listdir(d)):
+        if f.endswith(suffix) and _DELTA_RE.fullmatch(f):
+            return os.path.join(d, f)
+    return None
 
 
 def _segment_files(d: str) -> list[str]:
@@ -67,11 +99,12 @@ def _segment_files(d: str) -> list[str]:
     return out
 
 
-def _next_delta_path(d: str) -> str:
+def _next_delta_path(d: str, fp: str | None = None) -> str:
     seqs = [
         int(f[6:14]) for f in os.listdir(d) if _DELTA_RE.fullmatch(f)
     ] if os.path.isdir(d) else []
-    return f"{d}/delta-{(max(seqs) + 1 if seqs else 0):08d}.parquet"
+    tag = f"-{fp}" if fp else ""
+    return f"{d}/delta-{(max(seqs) + 1 if seqs else 0):08d}{tag}.parquet"
 
 
 def _read_segments(d: str, lo=None, hi=None) -> list[pa.Table]:
@@ -233,15 +266,28 @@ def _update_partition(
                 os.remove(f)
         n = len(h)
     else:
-        n = prev_n + _count_new_hashes(d, h, bloom)  # exact, pre-append
-        tmp = f"{d}/_delta.tmp.parquet"
-        pq.write_table(
-            pa.table({"__h__": pa.array(h, pa.uint64())}), tmp, row_group_size=16384
-        )
-        bloom.add_hashes(h)
-        bloom.save(btmp)
-        os.replace(tmp, _next_delta_path(d))
-        os.replace(btmp, f_b)
+        fp = _wave_fp(h)
+        if _own_delta(d, fp) is not None:
+            # This exact wave's delta already landed (Ray task retry after
+            # the os.replace, or a deliberate re-absorb of the same wave):
+            # a pre-append count would return 0 new and report prev_n —
+            # undercounting on retry (prev_n never absorbed the wave) or
+            # staying flat on re-absorb.  Recount exactly from disk, which
+            # is right in both cases (rare by construction).
+            n = len(_read_part_hashes(d))
+            bloom.add_hashes(h)  # idempotent OR (covers a pre-bloom crash)
+            bloom.save(btmp)
+            os.replace(btmp, f_b)
+        else:
+            n = prev_n + _count_new_hashes(d, h, bloom)  # exact, pre-append
+            tmp = f"{d}/_delta.tmp.parquet"
+            pq.write_table(
+                pa.table({"__h__": pa.array(h, pa.uint64())}), tmp, row_group_size=16384
+            )
+            bloom.add_hashes(h)
+            bloom.save(btmp)
+            os.replace(tmp, _next_delta_path(d, fp))
+            os.replace(btmp, f_b)
     return pa.table({"part": [part], "n_hashes": [n]})
 
 
@@ -1012,14 +1058,23 @@ def _update_image_partition(
             if not f.endswith("hashes.parquet"):
                 os.remove(f)
     else:
-        n = prev_n + _count_new_pairs(d, k, pay, bloom)  # exact, pre-append
-        tmp = f"{d}/_delta.tmp.parquet"
-        pq.write_table(_triple_table(k, kind, pay), tmp, row_group_size=16384)
-        bloom.add_hashes(np.unique(k))
+        fp = _wave_fp(k, kind, pay)
         btmp = f"{d}/_bloom.tmp.npz"
-        bloom.save(btmp)
-        os.replace(tmp, _next_delta_path(d))
-        os.replace(btmp, f_b)
+        if _own_delta(d, fp) is not None:
+            # replayed task / re-absorbed wave (see _update_partition):
+            # recount the distinct pairs exactly from disk.
+            n = len(_dedupe_pairs(*_read_image_part(d))[0])
+            bloom.add_hashes(np.unique(k))
+            bloom.save(btmp)
+            os.replace(btmp, f_b)
+        else:
+            n = prev_n + _count_new_pairs(d, k, pay, bloom)  # exact, pre-append
+            tmp = f"{d}/_delta.tmp.parquet"
+            pq.write_table(_triple_table(k, kind, pay), tmp, row_group_size=16384)
+            bloom.add_hashes(np.unique(k))
+            bloom.save(btmp)
+            os.replace(tmp, _next_delta_path(d, fp))
+            os.replace(btmp, f_b)
     return pa.table({"part": [part], "n_hashes": [n]})
 
 

@@ -78,54 +78,28 @@ def id_hash64_str_array(strings) -> np.ndarray:
         arr = pa.array(
             [s if isinstance(s, str) else None for s in strings], pa.string()
         )
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    if n == 0:
-        return np.zeros(0, dtype=np.uint64)
-    if pa.types.is_large_string(arr.type):
-        arr = arr.cast(pa.string())
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data_buf = arr.buffers()[2]
-    data = (
-        np.frombuffer(data_buf, dtype=np.uint8)
-        if data_buf is not None
-        else np.zeros(0, np.uint8)
-    )
-    starts, L = offs[:-1], np.diff(offs)
-    h = np.zeros(n, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(int(L.max()) if n else 0):
-            m = L > j
-            h[m] = h[m] * _POLY_P + data[starts[m] + j]
+    h, _L, arr = _byte_poly_fold(arr)
     out = splitmix64(h)
-    if arr.null_count:
+    if arr is not None and arr.null_count:
         out[np.asarray(arr.is_null())] = 0
     return out
 
 
-def id_hash64_str(s: str) -> int:
-    """Scalar form of ``id_hash64_str_array``."""
-    return int(id_hash64_str_array([s])[0])
-
-
-def poly_hash64_array(arr) -> np.ndarray:
-    """Vectorised stable 64-bit hash of an Arrow string/binary array — the
-    masked byte-polynomial fold over the value buffer (one numpy pass per
-    byte POSITION, no per-value Python), length mixed in so nested-prefix
-    values don't share a fold state.  ``None`` -> 0.  Built for partition-key
-    hashing (`stages/util._hash_key_col`): cost scales with the LONGEST
-    value, so callers with kilobyte values should pre-hash upstream
-    (blake2b's C core wins ~100x there — see ``id_hash64_str_array``)."""
+def _byte_poly_fold(arr):
+    """Shared masked byte-polynomial fold over an Arrow string/binary
+    value buffer (one numpy pass per byte POSITION).  Returns
+    ``(fold_state, lengths, combined_array)`` so callers apply their own
+    finaliser (plain splitmix64 for node-id hashing; length-mixed for
+    partition-key hashing) and null-zeroing.  ``combined_array`` is None
+    when the input is empty."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
-        return np.zeros(0, dtype=np.uint64)
+        z = np.zeros(0, dtype=np.uint64)
+        return z, np.zeros(0, dtype=np.int64), None
     t = arr.type
     if pa.types.is_large_string(t):
         arr = arr.cast(pa.string())
@@ -143,9 +117,29 @@ def poly_hash64_array(arr) -> np.ndarray:
     starts, L = offs[:-1], np.diff(offs)
     h = np.zeros(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for j in range(int(L.max()) if n else 0):
+        for j in range(int(L.max())):
             m = L > j
             h[m] = h[m] * _POLY_P + data[starts[m] + j]
+    return h, L, arr
+
+
+def id_hash64_str(s: str) -> int:
+    """Scalar form of ``id_hash64_str_array``."""
+    return int(id_hash64_str_array([s])[0])
+
+
+def poly_hash64_array(arr) -> np.ndarray:
+    """Vectorised stable 64-bit hash of an Arrow string/binary array — the
+    masked byte-polynomial fold over the value buffer (one numpy pass per
+    byte POSITION, no per-value Python), length mixed in so nested-prefix
+    values don't share a fold state.  ``None`` -> 0.  Built for partition-key
+    hashing (`stages/util._hash_key_col`): cost scales with the LONGEST
+    value, so callers with kilobyte values should pre-hash upstream
+    (blake2b's C core wins ~100x there — see ``id_hash64_str_array``)."""
+    h, L, arr = _byte_poly_fold(arr)
+    if arr is None:
+        return h
+    with np.errstate(over="ignore"):
         out = splitmix64(h ^ (L.astype(np.uint64) * _POLY_P))
     if arr.null_count:
         out[np.asarray(arr.is_null())] = 0

@@ -151,10 +151,17 @@ class CheckpointManager:
             import pyarrow as _pa
 
             s = ds.schema()
-            if s is not None:
-                empty = _pa.schema(list(zip(s.names, s.types))).empty_table()
-                pq.write_table(empty, os.path.join(tmp, "empty-0.parquet"))
-                files = ["empty-0.parquet"]
+            if s is None:
+                # schema-less fully-empty Dataset (ray 2.49 gotcha): there is
+                # nothing restore() could read back.  Marking the stage
+                # complete anyway would poison every future run under this
+                # config (is_complete True, restore() crashes on a fileless
+                # dir) — leave it incomplete so the stage recomputes.
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            empty = _pa.schema(list(zip(s.names, s.types))).empty_table()
+            pq.write_table(empty, os.path.join(tmp, "empty-0.parquet"))
+            files = ["empty-0.parquet"]
         per_partition = []
         total = 0
         for fname in files:
@@ -183,6 +190,10 @@ class CheckpointManager:
             return self.restore(stage)
         ds = fn()
         self.save(stage, ds, cfg)
+        if not self.is_complete(stage, cfg):
+            # save declined to checkpoint (schema-less empty stage) — hand
+            # the computed Dataset through; next run recomputes.
+            return ds
         return self.restore(stage)
 
 

@@ -1192,8 +1192,9 @@ def audio_fingerprint_select(parquet_path: str) -> str:
     decode (rpad'ed tail — zero samples contribute nothing to a
     correlation), square-wave in-phase/quadrature correlations per baked
     period, HUGEINT energies a^2+b^2, and exact ``e[j+1] > e[j]`` bit packs.
-    The period/offset constants and the FP_WINDOW truncation are baked from
-    the shared ``fingerprint_periods`` / ``FP_WINDOW`` definitions."""
+    The period/offset constants, the FP_WINDOW truncation, and the centered
+    chunk-aligned window start (``audio.fp_window_start`` — pure arithmetic
+    on the payload byte count) are baked from the shared definitions."""
     from .functions.audio import FP_WINDOW, fingerprint_periods
 
     ps = fingerprint_periods()
@@ -1221,25 +1222,30 @@ def audio_fingerprint_select(parquet_path: str) -> str:
             FROM __af_src WHERE dpos > 0
         ),
         __af_nb AS MATERIALIZED (
-            SELECT audio_id, hx, dpos,
-                   CAST(((szbe >> 24) & 255) + 256*((szbe >> 16) & 255)
-                        + 65536*((szbe >> 8) & 255)
-                        + 16777216*(szbe & 255) AS BIGINT) AS nb
-            FROM __af_sized
-            WHERE CAST(((szbe >> 24) & 255) + 256*((szbe >> 16) & 255)
-                       + 65536*((szbe >> 8) & 255)
-                       + 16777216*(szbe & 255) AS BIGINT) >= 8
+            SELECT audio_id, hx, dpos, nb,
+                   -- centered chunk-aligned window start (in chunks):
+                   -- fp_window_start(nb // 2) / 4
+                   (greatest(nb // 2 - {FP_WINDOW}, 0) // 2) // 4 AS sc
+            FROM (
+                SELECT audio_id, hx, dpos,
+                       CAST(((szbe >> 24) & 255) + 256*((szbe >> 16) & 255)
+                            + 65536*((szbe >> 8) & 255)
+                            + 16777216*(szbe & 255) AS BIGINT) AS nb
+                FROM __af_sized
+            ) __af_nb0
+            WHERE nb >= 8
         ),
         __af_samp AS MATERIALIZED (
-            SELECT audio_id, CAST(4*j + m AS BIGINT) AS n,
+            SELECT audio_id, CAST(4*j + m - 4*sc AS BIGINT) AS n,
                    (CASE m {val_case} END) AS val
             FROM (
-                SELECT audio_id, j,
+                SELECT audio_id, sc, j,
                        CAST('0x' || rpad(substring(hx,
                             CAST(dpos + 16 + 16*j AS BIGINT), 16), 16, '0')
                             AS UBIGINT) AS x
                 FROM __af_nb,
-                     unnest(range(least((nb + 7) // 8, {max_chunks}))) AS u(j)
+                     unnest(range(sc, least((nb + 7) // 8, sc + {max_chunks})))
+                         AS u(j)
             ) __af_ch, unnest(range(4)) AS mm(m)
         ),
         __af_corr AS MATERIALIZED (

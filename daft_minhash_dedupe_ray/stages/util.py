@@ -83,7 +83,11 @@ def _hash_key_col(col: pa.ChunkedArray) -> np.ndarray:
     via the vectorised byte-polynomial fold (``hashing.poly_hash64_array``,
     no per-unique Python) for ordinary keys; kilobyte-scale values fall back
     to the blake2b C core, which wins once values are long (its per-unique
-    Python overhead is amortised by the value length)."""
+    Python overhead is amortised by the value length).  The poly/blake2b
+    choice is a function of EACH VALUE's own length — never of the block it
+    happens to share (a block-level max-length switch would hash the same
+    key differently across blocks, splitting one key over two partitions
+    and making hash-derived placement depend on block composition)."""
     t = col.type
     if (
         pa.types.is_string(t)
@@ -100,12 +104,18 @@ def _hash_key_col(col: pa.ChunkedArray) -> np.ndarray:
         vals = enc.dictionary
         dh = np.empty(len(vals) + 1, dtype=np.uint64)
         dh[0] = 0  # nulls
-        max_len = int(pc.max(pc.binary_length(vals)).as_py() or 0) if len(vals) else 0
-        if max_len <= 512:
-            dh[1:] = poly_hash64_array(vals)
-        else:
-            for i, v in enumerate(vals.to_pylist()):
-                dh[i + 1] = hash64_bytes(v) if isinstance(v, bytes) else hash64_str(v)
+        if len(vals):
+            lens = pc.binary_length(vals).to_numpy(zero_copy_only=False)
+            long_mask = lens > 512
+            if long_mask.any():
+                short = np.flatnonzero(~long_mask)
+                if len(short):
+                    dh[short + 1] = poly_hash64_array(vals.take(pa.array(short)))
+                for i in np.flatnonzero(long_mask):
+                    v = vals[int(i)].as_py()
+                    dh[i + 1] = hash64_bytes(v) if isinstance(v, bytes) else hash64_str(v)
+            else:
+                dh[1:] = poly_hash64_array(vals)
         return dh[idx + 1]
     arr = col.to_numpy(zero_copy_only=False)
     if arr.dtype == object or np.issubdtype(arr.dtype, np.floating):
@@ -168,10 +178,13 @@ def _split_block_keyed(block: pa.Table, key_cols: list[str], num_partitions: int
 _split_block_keyed_remote = ray.remote(_split_block_keyed)
 
 
-@ray.remote
-def _block_len(t) -> int:
-    # runs local to the block (no transfer); used to size the exchange
-    return 0 if t is None else len(t)
+def _materialized_blocks(ds):
+    """Materialize and return ``(total_rows, block_refs)`` — the row count
+    comes from block METADATA (zero tasks, zero transfer), not a remote
+    ``len()`` wave; the blocks materialize anyway because the exchange
+    operates on object refs."""
+    mat = ds.materialize()
+    return mat.count(), mat.to_arrow_refs()
 
 
 def _assemble_exchange(parts, fn, schema: pa.Schema, num_partitions: int):
@@ -249,10 +262,9 @@ def raw_cogroup_exchange(
         parts_a = [splitter.remote(b, P) for b in blocks_a]
         parts_b = [splitter.remote(b, P) for b in blocks_b]
     else:
-        blocks_a = ds_a.to_arrow_refs()
-        blocks_b = ds_b.to_arrow_refs()
-        total = sum(ray.get([_block_len.remote(b) for b in blocks_a + blocks_b]))
-        P = sized_partitions(total)
+        n_a, blocks_a = _materialized_blocks(ds_a)
+        n_b, blocks_b = _materialized_blocks(ds_b)
+        P = sized_partitions(n_a + n_b)
         splitter = _split_block_keyed_remote.options(num_returns=P)
         parts_a = [splitter.remote(b, key_cols_a, P) for b in blocks_a]
         parts_b = [splitter.remote(b, key_cols_b, P) for b in blocks_b]
@@ -296,8 +308,7 @@ def partition_groupby(
             batch_format="pyarrow",
         )
         return raw_partition_exchange(keyed, fn, schema, num_partitions)
-    blocks = ds.to_arrow_refs()
-    total = sum(ray.get([_block_len.remote(b) for b in blocks]))
+    total, blocks = _materialized_blocks(ds)
     P = sized_partitions(total)
     splitter = _split_block_keyed_remote.options(num_returns=P)
     parts = [splitter.remote(b, key_cols, P) for b in blocks]

@@ -135,3 +135,32 @@ def test_poly_hash64_array_semantics():
     hb = poly_hash64_array(pa.array(bv, pa.binary()))
     assert list(hb) == list(h)
     assert len(poly_hash64_array(pa.array([], pa.string()))) == 0
+
+
+def test_hash_key_col_per_value_not_per_block():
+    """Round-4 review fix: the poly/blake2b switch in _hash_key_col is a
+    function of EACH value's length, never of the block's max — the same
+    key must hash identically whatever block it shares (a block-level
+    switch split one key across two partitions whenever values straddled
+    the 512-byte threshold across blocks)."""
+    import pyarrow as pa
+
+    from daft_minhash_dedupe_ray.stages.util import _hash_key_col
+
+    long1, long2 = "u" * 600, "v" * 9000
+    solo = _hash_key_col(pa.chunked_array([pa.array(["the", "quick"])]))
+    mixed = _hash_key_col(pa.chunked_array([pa.array(["the", long1, "quick"])]))
+    assert solo[0] == mixed[0] and solo[1] == mixed[2]
+    # long values are themselves block-independent (blake2b path)
+    a = _hash_key_col(pa.chunked_array([pa.array([long1, long2])]))
+    b = _hash_key_col(pa.chunked_array([pa.array([long2, "x"])]))
+    c = _hash_key_col(pa.chunked_array([pa.array([long1])]))
+    assert a[0] == c[0] and a[1] == b[0] and a[0] != a[1]
+    # null and binary forms
+    d = _hash_key_col(pa.chunked_array([pa.array([None, "the", long1])]))
+    assert d[0] == 0 and d[1] == solo[0] and d[2] == a[0]
+    bb = _hash_key_col(
+        pa.chunked_array([pa.array([b"ab", b"z" * 1000], pa.binary())])
+    )
+    bc = _hash_key_col(pa.chunked_array([pa.array([b"z" * 1000], pa.binary())]))
+    assert bb[1] == bc[0]

@@ -705,3 +705,103 @@ def test_near_indexed_accepts_schemaless_empty_wave(ray_session, tmp_path):
     assert emptied.count() == 0
     # replaying the emptied (possibly schema-less) wave is a no-op, not a crash
     assert incremental_near_dedupe_indexed(emptied, p, cfg).count() == 0
+
+
+def test_absorb_task_retry_is_idempotent(ray_session, tmp_path):
+    """Round-4 review fix: a Ray retry of _update_partition AFTER its delta
+    + bloom landed but before the result was consumed must report the
+    absorbed count, not prev_n + 0 (the wave's own hashes would otherwise
+    all read as 'already present').  Deltas are wave-fingerprint-named so
+    the replay is detectable on disk and recounts exactly."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        _segment_files,
+        _shift_for,
+        _update_partition,
+        build_corpus_index,
+    )
+
+    def tab(texts, start):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(start, start + len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+    idx = str(tmp_path / "ix")
+    meta = build_corpus_index(
+        rd.from_arrow(tab([f"corpus doc {i}" for i in range(300)], 0)),
+        idx,
+        num_partitions=1,
+    )
+    n0 = meta["parts"]["0"]
+    shift = _shift_for(1)
+    wave = pa.table(
+        {"__h__": pa.array([7, 11, 13, 7, 999_999_999_999], pa.uint64())}
+    )  # 4 distinct new hashes (values far below any blake2b corpus hash range
+    #    would still be fine — exactness is checked, not assumed)
+
+    first = _update_partition(wave, idx, shift, 1e-3, parts_prev={0: n0})
+    n_after = first["n_hashes"][0].as_py()
+    segs_after = _segment_files(f"{idx}/part={0:05d}")
+
+    # simulate the Ray task retry: same inputs, same pre-wave parts_prev
+    retry = _update_partition(wave, idx, shift, 1e-3, parts_prev={0: n0})
+    assert retry["n_hashes"][0].as_py() == n_after  # NOT n0
+    # and the replay appended no second delta
+    assert _segment_files(f"{idx}/part={0:05d}") == segs_after
+    assert n_after == n0 + 4
+
+
+def test_image_absorb_task_retry_is_idempotent(ray_session, tmp_path):
+    """Image-tier analogue of the retry fix: replayed _update_image_partition
+    recounts distinct (key, kind, payload) pairs from disk."""
+    import numpy as np
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+    from daft_minhash_dedupe_ray.functions.incremental import (
+        _segment_files,
+        _shift_for,
+        _update_image_partition,
+        build_image_band_index,
+    )
+
+    cfg = DedupeConfig(
+        num_perm=16,
+        threshold=0.5,
+        index_col="doc_id",
+        content_col="text",
+        phash_col="phash",
+    )
+
+    rows = 40
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(rows)]),
+            "text": pa.array([f"caption text number {i} with words" for i in range(rows)]),
+            "phash": pa.array(np.arange(rows, dtype=np.int64) * 7919, pa.int64()),
+        }
+    )
+    idx = str(tmp_path / "imgix")
+    meta = build_image_band_index(rd.from_arrow(corpus), idx, cfg, num_partitions=1)
+    n0 = meta["parts"]["0"]
+    shift = _shift_for(1)
+    wave = pa.table(
+        {
+            "__h__": pa.array([3, 5, 5, 17], pa.uint64()),
+            "kind": pa.array([0, 1, 1, 1], pa.uint8()),
+            "payload": pa.array([0, 123, 123, 456], pa.uint64()),
+        }
+    )  # 3 distinct new (key, kind, payload) triples
+
+    first = _update_image_partition(wave, idx, shift, 1e-3, parts_prev={0: n0})
+    n_after = first["n_hashes"][0].as_py()
+    segs_after = _segment_files(f"{idx}/part={0:05d}")
+
+    retry = _update_image_partition(wave, idx, shift, 1e-3, parts_prev={0: n0})
+    assert retry["n_hashes"][0].as_py() == n_after
+    assert _segment_files(f"{idx}/part={0:05d}") == segs_after
+    assert n_after == n0 + 3

@@ -217,3 +217,39 @@ def test_read_shuffled_round_trip_and_shard_slicing(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_shuffled(str(tmp_path / "missing"))
+
+
+def test_checkpoint_schema_less_empty_stage_not_poisoned(ray_session, tmp_path):
+    """Round-4 review fix: a stage yielding a fully-empty SCHEMA-LESS
+    Dataset (ray 2.49: ds.schema() is None) must not be marked complete —
+    a _SUCCESS over a fileless dir would make every future restore()
+    crash under that config.  save() declines, run() hands the computed
+    dataset through, and a later run recomputes instead of crashing."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.sources.io import CheckpointManager
+
+    cfg = {"x": 1}
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return rd.from_items([{"a": 1}]).filter(lambda r: False).materialize()
+
+    out = ckpt.run("empty_stage", cfg, fn)
+    assert out.count() == 0
+    assert not ckpt.is_complete("empty_stage", cfg)
+    # second run recomputes (no poisoned checkpoint, no restore crash)
+    out2 = ckpt.run("empty_stage", cfg, fn)
+    assert out2.count() == 0 and len(calls) == 2
+
+    # contrast: an empty-but-TYPED stage still checkpoints and restores
+    def fn_typed():
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64())}))
+
+    out3 = ckpt.run("typed_empty", cfg, fn_typed)
+    assert ckpt.is_complete("typed_empty", cfg)
+    assert out3.count() == 0

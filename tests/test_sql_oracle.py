@@ -632,3 +632,68 @@ def test_sql_audio_dedupe_keep_end_to_end(ray_session):
     ora = [r[0] for r in duckdb.sql(so.audio_dedupe_keep_sql(path, 3)).fetchall()]
     assert eng == ora
     assert len(ora) < 60 + 24  # some planted dups must collapse
+
+
+def test_sql_audio_fingerprint_centered_window_long_clips(tmp_path):
+    """Round-4 review fix: the fingerprint window is CENTERED (chunk-aligned)
+    so clips sharing ~4 s of leading content — shared intros, exact leading
+    silence — no longer systematically collide; same-length gain variants
+    still match; and the SQL oracle reproduces the centered window
+    bit-for-bit on clips LONGER than FP_WINDOW."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.functions.audio import (
+        FP_WINDOW,
+        audio_fingerprints64_int,
+        fp_window_start,
+        wav_encode,
+    )
+
+    assert fp_window_start(FP_WINDOW) == 0
+    assert fp_window_start(100) == 0
+    s = fp_window_start(200_000)
+    assert s % 4 == 0 and abs(s - (200_000 - FP_WINDOW) // 2) < 4
+
+    sr = 8_000
+    n = 80_000  # 10 s: window covers the middle 4.1 s
+    rng = np.random.RandomState(7)
+    t = np.arange(n) / sr
+    tail_a = np.clip(np.round(6000 * np.sin(2 * np.pi * 440 * t)), -32768, 32767)
+    tail_b = np.clip(np.round(6000 * np.sin(2 * np.pi * 1337 * t)), -32768, 32767)
+    shared = np.clip(np.round(5000 * np.sin(2 * np.pi * 220 * t[:40_000])), -32768, 32767)
+    clip_a = np.concatenate([shared, tail_a[40_000:]]).astype(np.int16)
+    clip_b = np.concatenate([shared, tail_b[40_000:]]).astype(np.int16)
+    silent_a = np.concatenate([np.zeros(40_000, np.int16), tail_a[40_000:].astype(np.int16)])
+    silent_b = np.concatenate([np.zeros(40_000, np.int16), tail_b[40_000:].astype(np.int16)])
+    fps = audio_fingerprints64_int([clip_a, clip_b, silent_a, silent_b])
+    # distinct middles -> distinct fingerprints despite 5 s shared prefix
+    assert fps[0] != fps[1] and fps[2] != fps[3]
+    # gain variant of a long clip still matches (window start is length-only)
+    ga = np.clip(np.round(clip_a.astype(np.float64) * 0.6), -32768, 32767)
+    fg = audio_fingerprints64_int([ga])[0]
+    assert bin(int(fps[0]) ^ int(fg)).count("1") <= 3
+
+    # SQL parity on long clips (the centered start actually fires)
+    blobs = [wav_encode(c.astype(np.int16), sr) for c in (clip_a, clip_b, silent_a)]
+    path = str(tmp_path / "aud.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "audio_id": pa.array([0, 1, 2], pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["wav"] * 3),
+                "sample_rate": pa.array([sr] * 3, pa.int32()),
+            }
+        ),
+        path,
+    )
+    rows = dict(
+        duckdb.sql("SELECT * FROM " + so.audio_fingerprint_select(path) + " q").fetchall()
+    )
+    assert {k: int(v) for k, v in rows.items()} == {
+        0: int(fps[0]),
+        1: int(fps[1]),
+        2: int(fps[2]),
+    }
