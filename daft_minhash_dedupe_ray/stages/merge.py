@@ -35,11 +35,13 @@ BROADCAST_LIMIT = 5_000_000
 
 def _broadcast_filter(batch: pa.Table, cfg: DedupeConfig, drop_ref) -> pa.Table:
     drop_sorted = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
-    if len(drop_sorted) == 0:
+    if len(drop_sorted) == 0 or len(batch) == 0:
         return batch
     nodes = node_ids_for(batch, cfg)
-    is_dup = np.isin(nodes, drop_sorted, kind="sort")
-    return batch.filter(pa.array(~is_dup))
+    # drop array is pre-sorted: probe via searchsorted (np.isin kind="sort"
+    # would re-sort the drop side on every batch)
+    idx = np.minimum(np.searchsorted(drop_sorted, nodes), len(drop_sorted) - 1)
+    return batch.filter(pa.array(drop_sorted[idx] != nodes))
 
 
 @ray.remote
@@ -74,6 +76,7 @@ def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int | N
         return input_ds.map_batches(
             functools.partial(_broadcast_filter, cfg=cfg, drop_ref=drop_ref),
             batch_format="pyarrow",
+            batch_size=None,  # whole blocks: one UDF call per block, not 1024 rows
         )
     # at scale: exact hash-partitioned anti-join via the cogroup exchange
     # (ray.data.Dataset.join's hash backend mishandles empty partitions in
