@@ -236,12 +236,12 @@ class MinHashDedupePipeline:
             # the fused pass bakes the partition key, so P is chosen here
             # where the row count is already known (cfg.num_partitions
             # overrides)
-            from ..stages.util import sized_partitions
+            from ..stages.util import band_sized_partitions
 
             keys_per_doc = self.bands + (
                 self.cfg.phash_bands if self.cfg.phash_col else 0
             )
-            P = self.cfg.num_partitions or sized_partitions(rows_before * keys_per_doc)
+            P = self.cfg.num_partitions or band_sized_partitions(rows_before * keys_per_doc)
             fused_candidate_ingest(self.prep(ds), self.cfg, actors, num_partitions=P)
             walls["ingest"] = _time.perf_counter() - t
             t = _time.perf_counter()

@@ -29,8 +29,15 @@ import ray
 from ..config import DedupeConfig
 from .signature import NodeIdStage, node_ids_for
 
-# below this many duplicate ids, broadcast a numpy array instead of shuffling
-BROADCAST_LIMIT = 5_000_000
+# below this many assignment rows, broadcast a sorted u64 drop-array instead
+# of shuffling: 8 B/id (160 MB at the limit), ray.put once and zero-copy-read
+# per node, while the cogroup anti-join must EXCHANGE the full-width input —
+# payload bytes included — to co-locate it with the dup ids.  Single-node the
+# two are a wash (both read-dominated: 9.3 vs 8.8 s at 16M docs / 7.9M
+# assignments, same window); multi-node the broadcast avoids moving the
+# corpus, so the limit is set by driver/worker heap, not by preference.
+# Beyond it (billions of dups at 100 TB) the exact anti-join takes over.
+BROADCAST_LIMIT = 20_000_000
 
 
 def _broadcast_filter(batch: pa.Table, cfg: DedupeConfig, drop_ref) -> pa.Table:

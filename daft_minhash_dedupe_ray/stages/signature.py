@@ -78,6 +78,10 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        if batch.num_rows == 0:
+            # empty blocks out of ray 2.49's filter/map_groups can arrive
+            # ZERO-COLUMN (schema stripped), so column access would KeyError
+            return CANDIDATE_SCHEMA.empty_table()
         nodes, sig, has_sig = self.signatures(batch)
         keyparts: list[np.ndarray] = []
         nodeparts: list[np.ndarray] = []
@@ -118,5 +122,9 @@ class NodeIdStage:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 and self.cfg.index_col not in batch.column_names:
+            # zero-column empty block (ray 2.49 filter landmine): synthesize
+            # nothing — downstream cogroup treats it as an empty partition
+            return batch.append_column("node_id", pa.array([], pa.uint64()))
         nodes = node_ids_for(batch, self.cfg)
         return batch.append_column("node_id", pa.array(nodes, pa.uint64()))

@@ -48,21 +48,45 @@ ROWS_PER_PARTITION = 250_000
 MAX_PARTITIONS = 1024  # single-node floor for the cap
 
 
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 0))
+    except Exception:  # Ray not initialised (pure-driver sizing)
+        return 0
+
+
 def _partition_cap() -> int:
     """max(MAX_PARTITIONS, 8 x cluster CPUs): enough reduce tasks to feed
     every core several waves on any cluster size, without unbounded
     scheduler pressure when the row formula asks for millions."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 0))
-    except Exception:  # Ray not initialised (pure-driver sizing)
-        cpus = 0
-    return max(MAX_PARTITIONS, 8 * cpus)
+    return max(MAX_PARTITIONS, 8 * _cluster_cpus())
 
 
 def sized_partitions(total_rows: int, rows_per_partition: int = ROWS_PER_PARTITION) -> int:
     """Input-sized exchange partition count (reference's own save formula
     shape, workload/minhash_dedupe.py:663: ceil(rows/chunk) clamped)."""
     return max(1, min(_partition_cap(), -(-int(total_rows) // rows_per_partition)))
+
+
+# fused band exchange: ~48 MB of narrow (32 B) band rows per reduce task
+BAND_ROWS_PER_PARTITION = 1_500_000
+
+
+def band_sized_partitions(band_rows: int) -> int:
+    """Partition count for the fused band exchange.  Every map task ships a
+    shard to every partition (``num_returns=P``), so the exchange creates
+    M x P objects — at 250k band rows per partition a 16M-doc input pays
+    ~200 map tasks x 1024 partitions of ~375-row shards and the reduce wave
+    is fetch-overhead-dominated (measured ~11% of ingest wall; P=256 was
+    the knee).  The band stream is narrow (~32 B/row), so coarse
+    ``BAND_ROWS_PER_PARTITION`` reduce tasks stay comfortably in memory;
+    the floor keeps enough partitions to feed the cluster (2 tasks/CPU)
+    whenever the stream is large enough to split that far at the generic
+    ``ROWS_PER_PARTITION`` granularity (small inputs keep few partitions —
+    the round-2 near-empty-task lesson)."""
+    coarse = sized_partitions(band_rows, BAND_ROWS_PER_PARTITION)
+    par_floor = min(2 * _cluster_cpus(), sized_partitions(band_rows))
+    return max(coarse, par_floor)
 
 
 def _restore(b: pa.Table, schema: pa.Schema) -> pa.Table:

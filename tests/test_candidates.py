@@ -181,6 +181,25 @@ def test_input_sized_exchange_partitions(ray_session):
     cap = max(MAX_PARTITIONS, 8 * int(ray.cluster_resources().get("CPU", 0)))
     assert sized_partitions(10**12) == cap
 
+    # fused band exchange sizing: coarse BAND_ROWS_PER_PARTITION target
+    # (narrow rows; M x P shard-count economics) with a 2-tasks-per-CPU
+    # parallelism floor that never over-splits small streams
+    from daft_minhash_dedupe_ray.stages.util import (
+        BAND_ROWS_PER_PARTITION,
+        band_sized_partitions,
+    )
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert band_sized_partitions(0) == 1
+    assert band_sized_partitions(1000) == 1  # tiny stream -> one reduce task
+    # 500k docs x 24 keys: coarse asks for 8, the floor feeds the cluster
+    assert band_sized_partitions(12_000_000) == max(8, min(2 * cpus, 48))
+    # 16M docs x 24 keys: coarse target dominates (the measured knee)
+    assert band_sized_partitions(256 * BAND_ROWS_PER_PARTITION) == max(
+        256, min(2 * cpus, sized_partitions(256 * BAND_ROWS_PER_PARTITION))
+    )
+    assert band_sized_partitions(10**13) == cap  # still capped
+
     ds = rd.from_arrow(
         pa.table({"k": pa.array(list(range(10)) * 3, pa.int64())})
     ).repartition(3)

@@ -106,6 +106,29 @@ def test_empty_and_short_captions_survive(ray_session):
     assert len(out) == 4
 
 
+def test_filtered_to_empty_input_both_paths(ray_session):
+    """ray 2.49's filter can emit ZERO-COLUMN empty blocks (schema stripped);
+    the signature kernel must not KeyError on them — bit the verify probe
+    this round through run_fused on a filtered-to-empty read."""
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b"], pa.string()),
+            "caption": pa.array(["one caption here", "another caption"], pa.string()),
+            "phash": pa.array([1, 2], pa.int64()),
+        }
+    )
+    empty = rd.from_arrow(t).filter(expr="image_id == 'nope'")
+    pipe = MinHashDedupePipeline(NORTH_STAR_CONFIG)
+    out, assign, rep = pipe.run_fused(empty, num_actors=2, materialize_output=False)
+    assert rep.rows_before == 0 and rep.rows_after == 0
+    out2 = pipe(rd.from_arrow(t).filter(expr="image_id == 'nope'"), num_actors=2)
+    assert out2.count() == 0
+
+
 def test_cc_algorithms_agree_end_to_end(ray_session):
     import ray.data as rd
 
