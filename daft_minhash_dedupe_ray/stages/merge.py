@@ -92,12 +92,15 @@ def merge_keep(input_ds, assignments, cfg: DedupeConfig, num_partitions: int | N
 
     dups = assignments.filter(expr="u != rep").select_columns(["u"])
     with_ids = input_ds.map_batches(NodeIdStage(cfg), batch_format="pyarrow")
+    # derive the output schema from the INPUT dataset, not with_ids: if Ray's
+    # schema resolution ever surfaced a node_id-only guard block's schema from
+    # the NodeIdStage map, out_schema would silently collapse to empty and the
+    # anti-join path would emit empty tables — fail loudly instead
+    in_schema = input_ds.schema()
+    if in_schema is None or not in_schema.names:
+        raise ValueError("merge_keep: input dataset has no resolvable schema")
     out_schema = pa.schema(
-        [
-            (n, t)
-            for n, t in zip(with_ids.schema().names, with_ids.schema().types)
-            if n != "node_id"
-        ]
+        [(n, t) for n, t in zip(in_schema.names, in_schema.types) if n != "node_id"]
     )
 
     def anti(left: pa.Table | None, right: pa.Table | None) -> pa.Table | None:

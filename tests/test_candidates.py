@@ -189,16 +189,30 @@ def test_input_sized_exchange_partitions(ray_session):
         band_sized_partitions,
     )
 
-    cpus = int(ray.cluster_resources().get("CPU", 0))
     assert band_sized_partitions(0) == 1
     assert band_sized_partitions(1000) == 1  # tiny stream -> one reduce task
-    # 500k docs x 24 keys: coarse asks for 8, the floor feeds the cluster
-    assert band_sized_partitions(12_000_000) == max(8, min(2 * cpus, 48))
-    # 16M docs x 24 keys: coarse target dominates (the measured knee)
-    assert band_sized_partitions(256 * BAND_ROWS_PER_PARTITION) == max(
-        256, min(2 * cpus, sized_partitions(256 * BAND_ROWS_PER_PARTITION))
-    )
-    assert band_sized_partitions(10**13) == cap  # still capped
+
+    # pin CONCRETE counts at fixed cluster sizes (not the formula restated):
+    # monkeypatch the CPU probe so a regression in the floor/coarse interplay
+    # actually fails (ADVICE r4)
+    import daft_minhash_dedupe_ray.stages.util as util_mod
+
+    real_cpus = util_mod._cluster_cpus
+    try:
+        util_mod._cluster_cpus = lambda: 32
+        # 500k docs x 24 keys = 12M band rows: coarse asks for 8, the
+        # 2-tasks/CPU floor feeds the 32-CPU cluster -> 48
+        assert band_sized_partitions(12_000_000) == 48
+        # 16M docs x 24 keys = 384M band rows: coarse target dominates -> 256
+        assert band_sized_partitions(256 * BAND_ROWS_PER_PARTITION) == 256
+        assert band_sized_partitions(10**13) == 1024  # capped at MAX_PARTITIONS
+        util_mod._cluster_cpus = lambda: 4
+        assert band_sized_partitions(12_000_000) == 8  # coarse >= tiny floor
+        util_mod._cluster_cpus = lambda: 16384  # 256 nodes x 64 cores
+        assert band_sized_partitions(10**13) == 8 * 16384  # cap grows w/ cluster
+    finally:
+        util_mod._cluster_cpus = real_cpus
+    assert band_sized_partitions(10**13) == cap  # live-session cap unchanged
 
     ds = rd.from_arrow(
         pa.table({"k": pa.array(list(range(10)) * 3, pa.int64())})
