@@ -153,6 +153,14 @@ def run_bench() -> dict:
 
     samples: list[float] = []
     sample_membw: list[float] = []
+    # plasma high-water probe: the object store backs onto /dev/shm and its
+    # mmap footprint grows monotonically with peak live bytes (freed objects
+    # leave the memory mapped for reuse), so the /dev/shm-used delta across
+    # the run IS the object-store high-water mark — zero-overhead, no
+    # sampling thread (grpc-backed memory_summary is unavailable here)
+    import shutil as _shutil
+
+    shm0 = _shutil.disk_usage("/dev/shm").used
     t_bench0 = time.perf_counter()
     while True:
         sample_membw.append(gated_probe())
@@ -177,6 +185,9 @@ def run_bench() -> dict:
     headline_detail = {
         "headline_samples": [round(x, 3) for x in samples],
         "headline_membw_probes": sample_membw,
+        "object_store_high_water_mib": round(
+            (_shutil.disk_usage("/dev/shm").used - shm0) / 2**20, 1
+        ),
     }
 
     # north-star metric clause 1 (dup-pair recall >= 0.99): estimate it on

@@ -388,11 +388,15 @@ def fused_candidate_ingest(
         )
         return out.append_column("__p__", pa.array(part, pa.uint64()))
 
-    def sig_combine_split(block: pa.Table):
+    def sig_combine_split(block):
         """signature + combine + partition split in ONE task: the rep stream
         goes straight from the kernel to its P shards (one object-store write
         instead of write-block / read-block / write-shards), with the
         routing column dropped before shipping."""
+        if not isinstance(block, pa.Table):  # streaming bundles may be pandas
+            from ray.data.block import BlockAccessor
+
+            block = BlockAccessor.for_block(block).to_arrow()
         shards = _split_block(sig_combine(block), P)
         if P == 1:
             shards = [shards]
@@ -441,11 +445,39 @@ def fused_candidate_ingest(
 
     count_schema = pa.schema([("n", pa.int64())])
     schema_ser = count_schema.serialize().to_pybytes()
-    blocks = prepped.to_arrow_refs()
     mapper = ray.remote(sig_combine_split).options(num_returns=P)
-    parts = [mapper.remote(b) for b in blocks]
-    if P == 1:
-        parts = [[p] for p in parts]
+
+    # Windowed in-flight map wave (VERDICT r4 #1): pull input blocks from the
+    # STREAMING executor only as map slots free up, instead of materializing
+    # every prepped block up front (to_arrow_refs).  At most ``window`` map
+    # tasks are outstanding, so the map wave backpressures the upstream read
+    # and the object-store high-water is bounded by window x block_size plus
+    # the contracted (narrow) rep shards — never the whole input.  The driver
+    # drops its handle to each input block right after submission, so plasma
+    # can evict the block the moment its map task finishes.
+    from .util import _cluster_cpus
+
+    window = max(8, 4 * _cluster_cpus())
+    parts: list = []
+    inflight: dict = {}
+
+    def _drain(n: int) -> None:
+        done, _ = ray.wait(list(inflight.keys()), num_returns=n, fetch_local=False)
+        for d in done:
+            parts.append(inflight.pop(d))
+
+    block_refs = (br for bundle in prepped.iter_internal_ref_bundles() for br in bundle.block_refs)
+    for bref in block_refs:
+        if len(inflight) >= window:
+            _drain(1)
+        refs = mapper.remote(bref)
+        if P == 1:
+            refs = [refs]
+        inflight[refs[0]] = refs
+        del bref, refs
+    while inflight:
+        _drain(len(inflight))
+
     out_refs = [
         _reduce_apply.remote(chain_ingest, schema_ser, *[pb[p] for pb in parts])
         for p in range(P)
