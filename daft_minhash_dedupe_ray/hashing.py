@@ -352,7 +352,26 @@ def minhash_signatures(
     nz = np.flatnonzero(has_sig)
     if len(nz) == 0:
         return sig, has_sig
-    # process contiguous runs of shingles in chunks aligned to doc boundaries
+    for doc_pos, doc_end, mins in _chunked_minhash(
+        flat_shingles, offsets, nz, a, b, chunk_shingles
+    ):
+        sig[nz[doc_pos:doc_end]] = mins
+    return sig, has_sig
+
+
+def _chunked_minhash(flat_shingles, offsets, nz, a, b, chunk_shingles):
+    """Shared chunk loop: yields ``(doc_pos, doc_end, mins)`` where ``mins``
+    is the (doc_end-doc_pos, num_perm) uint32 signature block for
+    ``nz[doc_pos:doc_end]``.  The permutation product buffer is allocated
+    ONCE and reused across chunks (in-place multiply/add/mod) — the
+    allocate-per-chunk version paid ~2x in allocator + page traffic on the
+    microbench and keeps the working set genuinely L2-resident under
+    multi-process concurrency."""
+    num_perm = len(a)
+    buf = np.empty((chunk_shingles, num_perm), dtype=np.uint64)
+    aT, bT = a[None, :], b[None, :]
+    mod = _U64(MOD_PRIME)
+    u32_off = 0 if np.little_endian else 1
     doc_pos = 0
     while doc_pos < len(nz):
         doc_end = doc_pos
@@ -363,19 +382,61 @@ def minhash_signatures(
             doc_end = doc_pos + 1
         end = int(offsets[nz[doc_end - 1] + 1])
         h = flat_shingles[start:end]
+        m = len(h)
         # (a*h + b) mod p — h, a < 2^32 so the uint64 product never wraps;
         # reduced values < 2^32, so the little-endian low words ARE the u32
         # matrix: a strided view instead of an astype copy (astype is ~14ns/
         # element on this box).  (A float-division Barrett-style fold was
-        # tried and measured 40x SLOWER than numpy's u64 % here.)
-        prod = h[:, None] * a[None, :] + b[None, :]
-        prod %= _U64(MOD_PRIME)
-        ph = prod.view(np.uint32)[:, (0 if np.little_endian else 1) :: 2]
+        # tried and measured 40x SLOWER than numpy's u64 % here; a 2^32-5
+        # shift-add fold likewise lost to the in-place %.)
+        prod = buf[:m] if m <= chunk_shingles else np.empty((m, num_perm), np.uint64)
+        np.multiply(h[:, None], aT, out=prod)
+        np.add(prod, bT, out=prod)
+        np.mod(prod, mod, out=prod)
+        ph = prod.view(np.uint32)[:, u32_off::2]
         seg_offsets = (offsets[nz[doc_pos:doc_end]] - start).astype(np.int64)
-        mins = np.minimum.reduceat(ph, seg_offsets, axis=0)
-        sig[nz[doc_pos:doc_end]] = mins
+        yield doc_pos, doc_end, np.minimum.reduceat(ph, seg_offsets, axis=0)
         doc_pos = doc_end
-    return sig, has_sig
+
+
+def minhash_band_keys(
+    flat_shingles: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    bands: int,
+    rows: int,
+    chunk_shingles: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused minhash + LSH banding: ``band_keys(minhash_signatures(...)[0]
+    [has_sig], bands, rows)`` WITHOUT materializing the (n_docs, num_perm)
+    signature matrix (VERDICT r4 item 3).  The band fold runs per chunk on
+    the L2-resident min block, so per batch the DRAM traffic drops from
+    sig-write + sig-read + u64-astype (~64 MB at 32k docs x 128 perms) to
+    just the (m, bands) key matrix (~4 MB).  Bit-identical to the unfused
+    pair by construction (same math on the same values; pinned by test).
+
+    Returns ``(keys, has_sig)`` where ``keys`` is (sum(has_sig), bands)
+    uint64 in document order of the has_sig subset.
+    """
+    n_docs = len(offsets) - 1
+    counts = np.diff(offsets)
+    has_sig = counts > 0
+    nz = np.flatnonzero(has_sig)
+    keys = np.empty((len(nz), bands), dtype=np.uint64)
+    if len(nz) == 0:
+        return keys, has_sig
+    seeds = np.arange(bands, dtype=np.uint64) * _SM_GAMMA + _KIND_CAPTION
+    for doc_pos, doc_end, mins in _chunked_minhash(
+        flat_shingles, offsets, nz, a, b, chunk_shingles
+    ):
+        d = doc_end - doc_pos
+        arr = mins[:, : bands * rows].reshape(d, bands, rows)
+        h = np.broadcast_to(seeds, (d, bands)).copy()
+        for j in range(rows):
+            h = h * _POLY_P + arr[:, :, j]  # u32 slice upcasts; values == band_keys'
+        keys[doc_pos:doc_end] = splitmix64(h)
+    return keys, has_sig
 
 
 # distinct mixing constants so caption LSH bands, pHash sub-bands and salt
@@ -445,13 +506,26 @@ def simhash64(texts, ngram_size: int = 1) -> np.ndarray:
     return out
 
 
+_SWAR_M1 = np.uint64(0x5555555555555555)
+_SWAR_M2 = np.uint64(0x3333333333333333)
+_SWAR_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_SWAR_H01 = np.uint64(0x0101010101010101)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorised SWAR popcount (Hacker's Delight 5-2) — pure streaming
+    arithmetic.  Replaced the 8-pass 256-entry table-gather version: the
+    per-element indirect loads made the reduce-side pHash Hamming verify the
+    single hottest kernel in the 16M-row ingest (2019 of ~2200 reduce
+    core-seconds); SWAR is gather-free and ~8x faster there."""
+    x = x.astype(np.uint64, copy=True) if x.dtype != np.uint64 else x.copy()
+    with np.errstate(over="ignore"):  # the *0x0101.. fold wraps by design
+        x -= (x >> np.uint64(1)) & _SWAR_M1
+        x = (x & _SWAR_M2) + ((x >> np.uint64(2)) & _SWAR_M2)
+        x = (x + (x >> np.uint64(4))) & _SWAR_M4
+        return ((x * _SWAR_H01) >> np.uint64(56)).astype(np.int64)
+
+
 def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorised popcount of xor for uint64 arrays."""
-    x = a.astype(np.uint64) ^ b.astype(np.uint64)
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for shift in range(0, 64, 8):
-        cnt += _POPCNT8[(x >> _U64(shift)) & _U64(0xFF)]
-    return cnt
-
-
-_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    return popcount64(a.astype(np.uint64) ^ b.astype(np.uint64))

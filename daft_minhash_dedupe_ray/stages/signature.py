@@ -25,9 +25,10 @@ import pyarrow as pa
 
 from ..config import DedupeConfig
 from ..hashing import (
-    band_keys,
+    band_keys,  # noqa: F401  (re-export: unfused-path consumers import it from here)
     id_hash64_str_array,
     make_permutations,
+    minhash_band_keys,
     minhash_signatures,
     phash_band_keys,
     shingle_hashes,
@@ -82,13 +83,20 @@ class SignatureStage:
             # empty blocks out of ray 2.49's filter/map_groups can arrive
             # ZERO-COLUMN (schema stripped), so column access would KeyError
             return CANDIDATE_SCHEMA.empty_table()
-        nodes, sig, has_sig = self.signatures(batch)
+        nodes = node_ids_for(batch, cfg)
+        norm = normalize_array(batch[cfg.content_col], cfg.normalize)
+        flat, offsets = shingle_hashes(norm, cfg.ngram_size, cfg.min_length)
+        # fused minhash+banding: the (n, num_perm) signature matrix never
+        # materializes (identical keys to band_keys(sig[has_sig]) — pinned
+        # by tests/test_hashing.py)
+        bk, has_sig = minhash_band_keys(
+            flat, offsets, self.a, self.b, self.bands, self.rows
+        )
         keyparts: list[np.ndarray] = []
         nodeparts: list[np.ndarray] = []
         kindparts: list[np.ndarray] = []
         payloadparts: list[np.ndarray] = []
         if has_sig.any():
-            bk = band_keys(sig[has_sig], self.bands, self.rows)  # (m, B)
             m = int(has_sig.sum())
             nodeparts.append(np.repeat(nodes[has_sig], self.bands))
             keyparts.append(bk.reshape(-1))

@@ -164,3 +164,40 @@ def test_hash_key_col_per_value_not_per_block():
     )
     bc = _hash_key_col(pa.chunked_array([pa.array([b"z" * 1000], pa.binary())]))
     assert bb[1] == bc[0]
+
+
+@given(
+    st.lists(
+        st.one_of(st.text(alphabet="abcdef ", max_size=160), st.none()),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 1000),
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_band_keys_matches_unfused(texts, seed):
+    """The fused minhash+banding path must be bit-identical to
+    band_keys(minhash_signatures(...)[0][has_sig]) — includes empty/None
+    docs, sub-ngram docs, and docs spanning chunk boundaries."""
+    num_perm, bands, rows = 32, 8, 4
+    flat, off = H.shingle_hashes(texts, 3)
+    a, b = H.make_permutations(num_perm, seed)
+    sig, has = H.minhash_signatures(flat, off, a, b)
+    expected = H.band_keys(sig[has], bands, rows)
+    keys, has2 = H.minhash_band_keys(flat, off, a, b, bands, rows)
+    assert np.array_equal(has, has2)
+    assert np.array_equal(keys, expected)
+
+
+def test_minhash_band_keys_chunk_boundaries_and_huge_doc():
+    # one doc larger than the chunk (forces the single-huge-doc branch) mixed
+    # with many small docs, at a tiny chunk size
+    texts = ["tok%d " % i * 40 for i in range(30)]
+    texts[7] = " ".join("w%d" % i for i in range(5000))  # ~5k shingles
+    flat, off = H.shingle_hashes(texts, 3)
+    a, b = H.make_permutations(128, 42)
+    sig, has = H.minhash_signatures(flat, off, a, b, chunk_shingles=256)
+    expected = H.band_keys(sig[has], 16, 8)
+    keys, has2 = H.minhash_band_keys(flat, off, a, b, 16, 8, chunk_shingles=256)
+    assert np.array_equal(has, has2)
+    assert np.array_equal(keys, expected)
