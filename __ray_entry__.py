@@ -201,11 +201,17 @@ def _extract_text_blocks(sf_dir: str):
         payload = pc.binary_join_element_wise(
             pa.array(["HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><head><title>Doc "] * n),
             did,
-            pa.array(["</title><script>var x = 1;</script></head><body><h1>Heading "] * n),
+            pa.array(['</title><meta property="og:description" content="OG about '] * n),
+            did,
+            pa.array(['"><meta content="MetaDesc '] * n),
+            did,
+            pa.array(['" name="description"><script>var x = 1;</script></head><body><h1>Heading '] * n),
             did,
             pa.array(["</h1><p>"] * n),
             b["text"],
-            pa.array(["</p><!-- hidden --><div>tail "] * n),
+            pa.array(['</p><img src="x.png" alt="Alt text '] * n),
+            did,
+            pa.array(['"><!-- hidden --><div>tail '] * n),
             did,
             pa.array(["</div></body></html>"] * n),
             pa.array([""] * n),
@@ -1639,9 +1645,12 @@ def oracle_sql() -> dict[str, str]:
                        'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
                        'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
                        '<html><head><title>Doc ' || doc_id ||
-                       '</title><script>var x = 1;</script></head><body><h1>Heading ' ||
+                       '</title><meta property="og:description" content="OG about ' || doc_id ||
+                       '"><meta content="MetaDesc ' || doc_id ||
+                       '" name="description"><script>var x = 1;</script></head><body><h1>Heading ' ||
                        doc_id || '</h1><p>' || text ||
-                       '</p><!-- hidden --><div>tail ' || doc_id ||
+                       '</p><img src="x.png" alt="Alt text ' || doc_id ||
+                       '"><!-- hidden --><div>tail ' || doc_id ||
                        '</div></body></html>' AS payload
                 FROM documents),
             body AS (
@@ -1653,12 +1662,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT record_id,
                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                         replace(replace(replace(replace(replace(replace(
-                        regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                         regexp_replace(regexp_replace(regexp_replace(regexp_replace(b,
                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                           '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
                           '(?s)<!--.*?-->', ' ', 'g'),
+                          '(?is)<meta\b[^>]*?(?:name\s*=\s*"description"|property\s*=\s*"og:(?:title|description)")[^>]*?\bcontent\s*=\s*"([^"]*)"[^>]*>', chr(10) || '\1' || chr(10), 'g'),
+                          '(?is)<meta\b[^>]*?\bcontent\s*=\s*"([^"]*)"[^>]*?(?:name\s*=\s*"description"|property\s*=\s*"og:(?:title|description)")[^>]*>', chr(10) || '\1' || chr(10), 'g'),
+                          '(?is)<img\b[^>]*?\balt\s*=\s*"([^"]*)"[^>]*>', chr(10) || '\1' || chr(10), 'g'),
                           '(?i)</?(?:p|h[1-6]|li|div|section|article|main|title|blockquote|td|th|pre|code|figcaption|caption|summary|ul|ol|table|tr|br|head|body|html)(?:\s[^>]*)?>', chr(10), 'g'),
                           '<[^>]+>', ' ', 'g'),
                           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),

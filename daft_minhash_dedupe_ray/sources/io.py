@@ -38,19 +38,40 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_table(path: str, columns=None):
+def resolve_filesystem(path: str, filesystem=None):
+    """(filesystem, path) for a possibly-URI path (VERDICT r4 item 8 / A6).
+
+    An explicitly injected pyarrow/fsspec filesystem wins (constructor
+    injection — credentialed S3/GCS clients are built by the caller and
+    passed through).  Otherwise a ``scheme://`` path resolves through
+    ``pyarrow.fs.FileSystem.from_uri`` (S3/GCS/HDFS via pyarrow's bundled
+    filesystems, env-credentialed; untestable-but-wired in this no-network
+    sandbox), and a bare path stays on the default local filesystem
+    (``filesystem=None`` — Ray resolves it)."""
+    if filesystem is not None:
+        return filesystem, path
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        return pafs.FileSystem.from_uri(path)
+    return None, path
+
+
+def read_table(path: str, columns=None, filesystem=None):
     """Read a Lance dataset or Parquet file/dir into a ray Dataset."""
     import ray.data as rd
 
     if path.endswith(".lance") and HAVE_LANCE:
         return rd.read_lance(path, columns=columns)
-    return rd.read_parquet(path, columns=columns)
+    filesystem, path = resolve_filesystem(path, filesystem)
+    return rd.read_parquet(path, columns=columns, filesystem=filesystem)
 
 
-def write_table(ds, path: str):
+def write_table(ds, path: str, filesystem=None):
     if path.endswith(".lance") and HAVE_LANCE:
         return ds.write_lance(path)
-    return ds.write_parquet(path, compression="snappy")
+    filesystem, path = resolve_filesystem(path, filesystem)
+    return ds.write_parquet(path, compression="snappy", filesystem=filesystem)
 
 
 def target_partitions(n_rows: int, chunk_size: int = 200_000, max_partitions: int = 2048) -> int:

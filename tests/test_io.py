@@ -253,3 +253,45 @@ def test_checkpoint_schema_less_empty_stage_not_poisoned(ray_session, tmp_path):
     out3 = ckpt.run("typed_empty", cfg, fn_typed)
     assert ckpt.is_complete("typed_empty", cfg)
     assert out3.count() == 0
+
+
+def test_filesystem_passthrough(ray_session, tmp_path):
+    """VERDICT r4 item 8 (A6): read_table/write_table accept an injected
+    pyarrow filesystem, and scheme:// paths resolve via FileSystem.from_uri.
+    Tested with the local FS and a SubTreeFileSystem (the mock: paths are
+    RELATIVE to the subtree root, so success proves the injected FS is the
+    one actually used)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pyarrow import fs as pafs
+
+    from daft_minhash_dedupe_ray.sources.io import (
+        read_table,
+        resolve_filesystem,
+        write_table,
+    )
+
+    t = pa.table({"a": pa.array(np.arange(100, dtype=np.int64))})
+    pq.write_table(t, tmp_path / "t.parquet")
+
+    # explicit local FS injection
+    local = pafs.LocalFileSystem()
+    assert read_table(str(tmp_path / "t.parquet"), filesystem=local).count() == 100
+
+    # subtree FS: relative path only resolvable through the injected FS
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    assert read_table("t.parquet", filesystem=sub).count() == 100
+    write_table(rd.from_arrow(t), "out_dir", filesystem=sub)
+    assert read_table("out_dir", filesystem=sub).count() == 100
+    assert (tmp_path / "out_dir").is_dir()  # really landed under the subtree
+
+    # scheme URI resolution (file:// is the sandbox-testable scheme)
+    fs, p = resolve_filesystem(f"file://{tmp_path}/t.parquet")
+    assert isinstance(fs, pafs.LocalFileSystem) and p.endswith("t.parquet")
+    assert read_table(f"file://{tmp_path}/t.parquet").count() == 100
+
+    # bare paths keep the default behavior
+    fs, p = resolve_filesystem(str(tmp_path / "t.parquet"))
+    assert fs is None

@@ -511,3 +511,49 @@ def test_estimate_precision_detects_false_merge(ray_session):
     r = estimate_cluster_precision(rd.from_arrow(t), bogus, cfg, k_clusters=1)
     assert r["n_sampled_clusters"] == 1
     assert r["pair_purity"] == 0.0
+
+
+def test_extract_blocks_attribute_selectors_golden():
+    """Round-5 fidelity pass (VERDICT r4 item 6): the attribute-text
+    selectors from the reference's css list — img[alt],
+    meta[name=description], meta[property=og:title|og:description] —
+    extract the ATTRIBUTE value as its own block, in document order
+    (goldens shaped like the reference's tag-coverage test,
+    tests/test_minhash_dedupe_unit.py:101-116)."""
+    import pyarrow as pa
+
+    from daft_minhash_dedupe_ray.functions.ingest import extract_blocks_array
+
+    html = (
+        "<html><head>"
+        '<meta name="description" content="desc text">'
+        '<meta property="og:title" content="ogt text">'
+        '<meta content="ogd text" property="og:description">'  # content-first order
+        '<meta name="keywords" content="not extracted">'       # unselected meta
+        "<style>.x{color:red}</style><script>var a=1;</script></head>"
+        "<body>"
+        '<img src="p.png" alt="pic alt" />'
+        "<figure><figcaption>caption text</figcaption></figure>"
+        "<noscript>nope</noscript><p>ok body</p>"
+        "</body></html>"
+    )
+    out = extract_blocks_array(pa.array([html], pa.string()))
+    blocks = out[0].as_py().split("\n")
+    # document order: head metas first, then body blocks
+    assert blocks == [
+        "desc text",
+        "ogt text",
+        "ogd text",
+        "pic alt",
+        "caption text",
+        "ok body",
+    ]
+
+    # reference's basic shape: script/style/noscript stripped, empty gone
+    html2 = (
+        "<html><head><style>.x{}</style><script>var a=1</script></head>"
+        "<body><h1>Title</h1><p>Hello <b>world</b>.</p>"
+        "<noscript>ignore me</noscript></body></html>"
+    )
+    blocks2 = extract_blocks_array(pa.array([html2], pa.string()))[0].as_py().split("\n")
+    assert blocks2 == ["Title", "Hello world ."]
