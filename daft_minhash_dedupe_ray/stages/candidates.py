@@ -456,25 +456,41 @@ def fused_candidate_ingest(
         eu_l = np.concatenate([s[2][0] for s in shards]) if shards else z64
         ev_l = np.concatenate([s[2][1] for s in shards]) if shards else z64
         n_local = len(eu_l)
-        # reconstruct the packed kind/payload arrays REDUCE-SIDE (cheap RAM,
-        # never shipped) and run the chain contraction
-        keys = np.concatenate([cap_k, ph_k])
-        nodes = np.concatenate([cap_n, ph_n])
-        kinds_arr = np.concatenate(
-            [np.zeros(len(cap_k), np.uint8), np.full(len(ph_k), KIND_PHASH, np.uint8)]
-        )
-        pays = np.concatenate([np.zeros(len(cap_k), _U64), ph_p])
         t1 = _t.perf_counter()
-        eu_c, ev_c, _reps = _group_contract(
-            keys, nodes, kinds_arr, pays, cfg.phash_max_hamming, cross_payload_pairs=True
-        )
-        t2 = _t.perf_counter()
-        n_raw = len(eu_c) + n_local
         parts = []
+        # caption stream: payload is 0 by construction, so the (key, payload)
+        # run IS the whole key group — the per-key star is ONE 2-key-sorted
+        # run-min pass (the 3-key mixed-kind lexsort over the concatenated
+        # streams was the contract's hottest part; captions are 2/3 of rows)
+        if len(cap_k):
+            order = np.lexsort((cap_n, cap_k))
+            k_s, n_s = cap_k[order], cap_n[order]
+            new = np.r_[True, k_s[1:] != k_s[:-1]]
+            rid = np.cumsum(new) - 1
+            mins = n_s[np.flatnonzero(new)]
+            u = mins[rid]
+            m = u != n_s
+            if m.any():
+                parts.append(np.stack([u[m], n_s[m]], axis=1))
+        # phash stream: run contraction per (key, payload) + per-key
+        # Hamming-verified pairs between run minima (the sgemm verify)
+        n_ph_edges = 0
+        if len(ph_k):
+            eu_c, ev_c, _reps = _group_contract(
+                ph_k,
+                ph_n,
+                np.full(len(ph_k), KIND_PHASH, np.uint8),
+                ph_p,
+                cfg.phash_max_hamming,
+                cross_payload_pairs=True,
+            )
+            n_ph_edges = len(eu_c)
+            if n_ph_edges:
+                parts.append(np.stack([eu_c, ev_c], axis=1))
+        t2 = _t.perf_counter()
+        n_raw = sum(len(p) for p in parts) + n_local
         if n_local:
             parts.append(np.stack([eu_l, ev_l], axis=1))
-        if len(eu_c):
-            parts.append(np.stack([eu_c, ev_c], axis=1))
         t3 = t2
         if parts:
             # contract this partition's full edge set (forwarded local stars +
