@@ -224,6 +224,78 @@ def _extract_text_blocks(sf_dir: str):
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def _warc_ingest_blocks(sf_dir: str):
+    """Reference A1 end to end: deterministic .warc.gz segment files are
+    synthesised from the documents table (one gzip member per record, the
+    Common Crawl layout, plus one non-html record per file that the
+    payload-type filter must drop), then read back through the REAL
+    container reader (``sources/warc.read_warc``) and the B1-B8 chain.
+    SQL-checked: the framing round-trips byte-exactly, so the DuckDB
+    oracle replays the extraction directly from ``documents`` with
+    ``record_id = '<urn:uuid:' || doc_id || '>'`` — any reader bug
+    (mangled body, wrong filter, lost record) breaks the hash."""
+    import gzip
+    import os
+
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.sources.warc import preprocess_common_crawl_warc
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}_{docs.num_rows}"
+    d = f"/tmp/graft_synth_cache/warc_{tag}"
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        os.makedirs(d, exist_ok=True)
+        per_file = 500
+        for fi in range(0, docs.num_rows, per_file):
+            chunk = docs.slice(fi, per_file)
+            members = []
+            for did, text in zip(
+                chunk["doc_id"].to_pylist(), chunk["text"].to_pylist()
+            ):
+                body = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    f"<html><head><title>Doc {did}</title>"
+                    f'<meta property="og:description" content="OG about {did}">'
+                    f'<meta content="MetaDesc {did}" name="description">'
+                    "<script>var x = 1;</script></head>"
+                    f"<body><h1>Heading {did}</h1><p>{text or ''}</p>"
+                    f'<img src="x.png" alt="Alt text {did}">'
+                    f"<!-- hidden --><div>tail {did}</div></body></html>"
+                ).encode()
+                rec = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + b"WARC-Record-ID: <urn:uuid:%s>\r\n" % str(did).encode()
+                    + b"WARC-Identified-Payload-Type: text/html\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(body)
+                    + body
+                    + b"\r\n\r\n"
+                )
+                members.append(gzip.compress(rec))
+            junk = b"ignored pdf bytes"
+            members.append(
+                gzip.compress(
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"WARC-Record-ID: <urn:uuid:junk>\r\n"
+                    b"WARC-Identified-Payload-Type: application/pdf\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(junk)
+                    + junk
+                    + b"\r\n\r\n"
+                )
+            )
+            with open(os.path.join(d, f"seg-{fi // per_file:05d}.warc.gz"), "wb") as f:
+                f.write(b"".join(members))
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".warc.gz")
+    )
+    out = preprocess_common_crawl_warc(files)
+    pdf = out.to_pandas().sort_values(["warc_record_id", "block_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _quality_repetition_scores(sf_dir: str):
     """Heuristic quality features + Gopher repetition signals in one pass —
     consolidates quality_scores / repetition_scores for the driver cap.
@@ -1320,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_per_lang": _distinct_tokens_per_lang,  # SQL-checked
         "remove_dup_spans_any_docs": _remove_dup_spans_any_docs,  # SQL-checked (ROW_NUMBER oracle)
         "extract_text_blocks": _extract_text_blocks,  # SQL-checked (RE2 parity)
+        "warc_ingest_blocks": _warc_ingest_blocks,  # SQL-checked (A1 reader E2E)
         "doc_fingerprints": _fingerprints,  # SQL-checked (content-key + min-hash sketch oracle)
         "incremental_near_dedupe_indexed_docs": _incremental_near_dedupe_indexed_docs,  # SQL-checked (shares the direct-path oracle)
         "ivf_topk": _ivf_topk,  # rows-only (approximate by design)
@@ -1692,6 +1765,60 @@ def oracle_sql() -> dict[str, str]:
                    block_text
             FROM blocks WHERE block_text <> ''
             ORDER BY record_id, block_idx
+        """,
+        "warc_ingest_blocks": r"""
+            WITH rec AS (
+                SELECT '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS warc_record_id,
+                       'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                       'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+                       '<html><head><title>Doc ' || doc_id ||
+                       '</title><meta property="og:description" content="OG about ' || doc_id ||
+                       '"><meta content="MetaDesc ' || doc_id ||
+                       '" name="description"><script>var x = 1;</script></head><body><h1>Heading ' ||
+                       doc_id || '</h1><p>' || coalesce(text, '') ||
+                       '</p><img src="x.png" alt="Alt text ' || doc_id ||
+                       '"><!-- hidden --><div>tail ' || doc_id ||
+                       '</div></body></html>' AS payload
+                FROM documents),
+            body AS (
+                SELECT warc_record_id,
+                       string_split(payload || chr(13)||chr(10)||chr(13)||chr(10),
+                                    chr(13)||chr(10)||chr(13)||chr(10))[2] AS b
+                FROM rec),
+            ext AS (
+                SELECT warc_record_id,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(b,
+                          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                          '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+                          '(?s)<!--.*?-->', ' ', 'g'),
+                          '(?is)<meta\b[^>]*?(?:name\s*=\s*"description"|property\s*=\s*"og:(?:title|description)")[^>]*?\bcontent\s*=\s*"([^"]*)"[^>]*>', chr(10) || '\1' || chr(10), 'g'),
+                          '(?is)<meta\b[^>]*?\bcontent\s*=\s*"([^"]*)"[^>]*?(?:name\s*=\s*"description"|property\s*=\s*"og:(?:title|description)")[^>]*>', chr(10) || '\1' || chr(10), 'g'),
+                          '(?is)<img\b[^>]*?\balt\s*=\s*"([^"]*)"[^>]*>', chr(10) || '\1' || chr(10), 'g'),
+                          '(?i)</?(?:p|h[1-6]|li|div|section|article|main|title|blockquote|td|th|pre|code|figcaption|caption|summary|ul|ol|table|tr|br|head|body|html)(?:\s[^>]*)?>', chr(10), 'g'),
+                          '<[^>]+>', ' ', 'g'),
+                          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                          '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '),
+                          '[ \t\r\f\v]+', ' ', 'g'),
+                          ' ?\n ?', chr(10), 'g'),
+                          '\n+', chr(10), 'g'),
+                          '^\n|\n$', '', 'g') AS cleaned
+                FROM body),
+            blocks AS (
+                SELECT warc_record_id,
+                       unnest(string_split(cleaned, chr(10))) AS block_text,
+                       CAST(generate_subscripts(string_split(cleaned, chr(10)), 1) - 1
+                            AS BIGINT) AS block_idx
+                FROM ext)
+            SELECT warc_record_id,
+                   warc_record_id || '-' || block_idx AS block_id,
+                   block_idx,
+                   block_text
+            FROM blocks WHERE block_text <> ''
+            ORDER BY warc_record_id, block_idx
         """,
         "quality_filter_docs": r"""
             WITH tok AS (
