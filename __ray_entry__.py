@@ -244,7 +244,12 @@ def _warc_ingest_blocks(sf_dir: str):
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}_{docs.num_rows}"
+    import hashlib
+
+    # deterministic cache tag (python hash() is per-process randomized —
+    # it would re-synthesise every run and leak /tmp dirs)
+    path_h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tag = f"{path_h}_{docs.num_rows}"
     d = f"/tmp/graft_synth_cache/warc_{tag}"
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         os.makedirs(d, exist_ok=True)

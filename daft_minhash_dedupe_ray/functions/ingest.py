@@ -166,7 +166,20 @@ def preprocess_crawl_text(
             batch = batch.filter(mask)
         payload = batch[payload_col]
         if pa.types.is_binary(payload.type) or pa.types.is_large_binary(payload.type):
-            payload = pc.cast(payload, pa.string())  # raises on invalid UTF-8
+            try:
+                payload = pc.cast(payload, pa.string())
+            except pa.ArrowInvalid:
+                # real crawl payloads routinely carry non-UTF-8 pages
+                # (latin-1, gbk, truncated multibyte); a hard cast would kill
+                # the whole read over one page.  Lossy-decode the batch —
+                # U+FFFD replacement, the standard crawler behavior.
+                payload = pa.array(
+                    [
+                        v.decode("utf-8", "replace") if v is not None else None
+                        for v in payload.to_pylist()
+                    ],
+                    pa.string(),
+                )
         body = strip_http_headers_array(payload) if strip_headers else payload
         blocks = extract_blocks_array(body)
         keyed = pa.table({record_col: batch[record_col], "__blocks__": blocks})

@@ -512,13 +512,8 @@ _SWAR_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
 _SWAR_H01 = np.uint64(0x0101010101010101)
 
 
-def popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorised SWAR popcount (Hacker's Delight 5-2) — pure streaming
-    arithmetic.  Replaced the 8-pass 256-entry table-gather version: the
-    per-element indirect loads made the reduce-side pHash Hamming verify the
-    single hottest kernel in the 16M-row ingest (2019 of ~2200 reduce
-    core-seconds); SWAR is gather-free and ~8x faster there."""
-    x = x.astype(np.uint64, copy=True) if x.dtype != np.uint64 else x.copy()
+def _popcount64_consume(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over a uint64 array the CALLER owns — mutates ``x``."""
     with np.errstate(over="ignore"):  # the *0x0101.. fold wraps by design
         x -= (x >> np.uint64(1)) & _SWAR_M1
         x = (x & _SWAR_M2) + ((x >> np.uint64(2)) & _SWAR_M2)
@@ -526,6 +521,20 @@ def popcount64(x: np.ndarray) -> np.ndarray:
         return ((x * _SWAR_H01) >> np.uint64(56)).astype(np.int64)
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorised SWAR popcount (Hacker's Delight 5-2) — pure streaming
+    arithmetic.  Replaced the 8-pass 256-entry table-gather version: the
+    per-element indirect loads made the reduce-side pHash Hamming verify the
+    single hottest kernel in the 16M-row ingest (2019 of ~2200 reduce
+    core-seconds); SWAR is gather-free and ~8x faster there."""
+    return _popcount64_consume(x.astype(np.uint64, copy=True))
+
+
 def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorised popcount of xor for uint64 arrays."""
-    return popcount64(a.astype(np.uint64) ^ b.astype(np.uint64))
+    """Vectorised popcount of xor for uint64 arrays (int64 inputs wrap to
+    the same bit pattern).  ``asarray`` avoids copying already-uint64
+    inputs; the xor result is fresh, so the SWAR fold consumes it in
+    place — no redundant temporaries on this hot kernel."""
+    return _popcount64_consume(
+        np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    )

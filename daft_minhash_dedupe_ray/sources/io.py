@@ -62,6 +62,14 @@ def read_table(path: str, columns=None, filesystem=None):
     import ray.data as rd
 
     if path.endswith(".lance") and HAVE_LANCE:
+        if filesystem is not None:
+            # ray.data.read_lance has no filesystem parameter (lance carries
+            # its own storage-options mechanism) — silently ignoring the
+            # injected FS would read from the wrong place; fail loudly
+            raise ValueError(
+                "filesystem injection is not supported for .lance paths; "
+                "use lance storage_options / a URI path instead"
+            )
         return rd.read_lance(path, columns=columns)
     filesystem, path = resolve_filesystem(path, filesystem)
     return rd.read_parquet(path, columns=columns, filesystem=filesystem)
@@ -69,6 +77,11 @@ def read_table(path: str, columns=None, filesystem=None):
 
 def write_table(ds, path: str, filesystem=None):
     if path.endswith(".lance") and HAVE_LANCE:
+        if filesystem is not None:
+            raise ValueError(
+                "filesystem injection is not supported for .lance paths; "
+                "use lance storage_options / a URI path instead"
+            )
         return ds.write_lance(path)
     filesystem, path = resolve_filesystem(path, filesystem)
     return ds.write_parquet(path, compression="snappy", filesystem=filesystem)

@@ -59,13 +59,18 @@ def parse_warc_bytes(data: bytes, path: str = "") -> pa.Table:
         start = data.find(b"WARC/", pos)
         if start < 0:
             break
-        hdr_end = data.find(b"\r\n\r\n", start)
-        sep = 4
-        if hdr_end < 0:
-            hdr_end = data.find(b"\n\n", start)
-            sep = 2
-        if hdr_end < 0:
+        # header block ends at the FIRST blank line of either style: an
+        # LF-delimited record whose body is an HTTP response contains
+        # CRLFCRLF further in, so "CRLF first, LF as fallback" would
+        # mis-delimit the header and swallow the next record
+        e_crlf = data.find(b"\r\n\r\n", start)
+        e_lf = data.find(b"\n\n", start)
+        if e_crlf < 0 and e_lf < 0:
             break
+        if e_lf < 0 or (0 <= e_crlf <= e_lf):
+            hdr_end, sep = e_crlf, 4
+        else:
+            hdr_end, sep = e_lf, 2
         headers: dict[str, str] = {}
         for line in data[start:hdr_end].splitlines()[1:]:
             k, _, v = line.partition(b":")

@@ -112,3 +112,42 @@ def test_read_warc_end_to_end(ray_session, tmp_path):
     ).to_pandas()
     assert list(out2["doc_id"]) == ["<urn:uuid:r3>-0"]
     assert list(out2["text"]) == ["beta block"]
+
+
+def test_parse_warc_lf_headers_with_crlf_body():
+    """Review finding r5: LF-delimited WARC headers whose BODY is a normal
+    HTTP response (contains CRLFCRLF) must not mis-delimit the header at
+    the body's CRLFCRLF — the earlier blank line wins."""
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><p>one</p></body></html>"
+    )
+
+    def lf_rec(rid: str) -> bytes:
+        return (
+            b"WARC/1.0\nWARC-Type: response\n"
+            + b"WARC-Record-ID: <urn:uuid:%s>\n" % rid.encode()
+            + b"WARC-Identified-Payload-Type: text/html\n"
+            + b"Content-Length: %d\n\n" % len(body)
+            + body
+            + b"\n\n"
+        )
+
+    t = parse_warc_bytes(lf_rec("a") + lf_rec("b"))
+    assert t["warc_record_id"].to_pylist() == ["<urn:uuid:a>", "<urn:uuid:b>"]
+    assert t["warc_content"].to_pylist() == [body, body]
+
+
+def test_preprocess_survives_invalid_utf8(ray_session, tmp_path):
+    """Review finding r5: real crawl payloads carry non-UTF-8 pages; the
+    chain must lossy-decode (U+FFFD) instead of dying on the cast."""
+    latin = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><p>caf\xe9 latin</p></body></html>"  # 0xe9: invalid UTF-8
+    )
+    f = tmp_path / "seg.warc"
+    f.write_bytes(_record("bad", latin) + _record("good", _html_body("clean text")))
+    out = preprocess_common_crawl_warc([str(f)]).to_pandas()
+    texts = sorted(out["block_text"])
+    assert "clean text" in texts
+    assert any("caf� latin" == t for t in texts)  # replacement char, row kept
