@@ -161,6 +161,24 @@ def preprocess_crawl_text(
     Python row loop, no parser state)."""
 
     def step(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # ray 2.49 can hand over (and propagate) ZERO-COLUMN empty
+            # blocks, which poison downstream schema resolution — emit a
+            # typed empty block instead (record col falls back to string
+            # when the input block carries no columns at all)
+            rec_type = (
+                batch[record_col].type
+                if record_col in batch.column_names
+                else pa.string()
+            )
+            return pa.schema(
+                [
+                    (record_col, rec_type),
+                    ("block_id", pa.string()),
+                    ("block_idx", pa.int64()),
+                    ("block_text", pa.string()),
+                ]
+            ).empty_table()
         if payload_type_col is not None:
             mask = pc.equal(pc.fill_null(batch[payload_type_col], ""), "text/html")
             batch = batch.filter(mask)
