@@ -117,6 +117,20 @@ class DedupeConfig:
     # Hamming distance are rejected.  Caption LSH bands are NOT verified,
     # matching the reference (band collision == edge).
     phash_max_hamming: int = 3
+    # pHash keying scheme for the SIGNATURE path: n_chunks for multi-index
+    # subset keys (hashing.phash_subset_keys — exact pigeonhole recall at
+    # Hamming <= phash_max_hamming with C(n_chunks, n_chunks-max_hamming)
+    # keys/row and ~(n_chunks-max_hamming)*64/n_chunks-bit buckets), or None
+    # for the legacy contiguous phash_bands sub-band scheme.  The final edge
+    # set is IDENTICAL either way (every pair is exactly Hamming-verified;
+    # both schemes guarantee co-location within the radius) — this knob only
+    # controls bucket-size growth: the legacy 16-bit buckets hold corpus/2^16
+    # payloads each, turning the in-bucket verify quadratic past ~10^7 rows
+    # (measured: 10.8k reduce core-s at 64M).  Default 5 (2-of-5, ~26-bit
+    # keys) holds to ~10^9; use 8 (5-of-8, 40-bit keys, 56 keys/row) at
+    # 10^11-10^12.  The persisted incremental image band index keeps the
+    # sub-band scheme (its tier layout is on-disk metadata).
+    phash_chunks: int | None = 5
 
     # --- optional passes ---
     # exact substring-duplicate edges (suffix-array pass, functions/substring.py)
@@ -137,6 +151,17 @@ class DedupeConfig:
     num_salts: int = 1
     batch_size: int = 8192
     num_partitions: int | None = None  # groupby/join partitions; None = Ray default
+
+    def phash_keys_per_doc(self) -> int:
+        """Signature-path pHash keys emitted per row (0 when the image side
+        is disabled)."""
+        if self.phash_col is None:
+            return 0
+        if self.phash_chunks:
+            from math import comb
+
+            return comb(self.phash_chunks, self.phash_chunks - self.phash_max_hamming)
+        return self.phash_bands
 
     def resolved_bands_rows(self) -> tuple[int, int]:
         """(B, R) with the reference's ``assert B*R == num_perm`` guard

@@ -487,6 +487,64 @@ def phash_band_keys(phash: np.ndarray, n_bands: int) -> np.ndarray:
     return out
 
 
+def phash_subset_keys(phash: np.ndarray, n_chunks: int, max_hamming: int) -> np.ndarray:
+    """Multi-index Hamming keys (Norouzi et al., "Fast Search in Hamming
+    Space with Multi-Index Hashing"): split the 64-bit phash into
+    ``n_chunks`` chunks; a pair within Hamming distance ``max_hamming``
+    differs in at most ``max_hamming`` chunks, so at least
+    ``n_chunks - max_hamming`` chunks are EQUAL — keying every
+    (n_chunks - max_hamming)-subset of chunks guarantees one shared key
+    (exact pigeonhole recall, like the contiguous sub-band scheme, but
+    with ``(n_chunks - max_hamming) * chunk_width``-bit buckets instead of
+    ``64 / bands``-bit ones).
+
+    Why it exists (round-5 64M-row stress): the legacy 4 x 16-bit sub-band
+    buckets hold ``corpus / 2^16`` distinct payloads each, so the exact
+    pairwise verify inside a bucket grows QUADRATICALLY with corpus size
+    (10.8k reduce core-seconds at 64M rows).  With n_chunks=5 /
+    max_hamming=3 the keys are ~26-bit 2-chunk subsets (C(5,2)=10 keys per
+    row) and buckets stay O(corpus / 2^26); size ``n_chunks`` so that
+    ``(n_chunks - max_hamming) * (64 / n_chunks) >~ log2(corpus)`` — e.g.
+    8 chunks (5-of-8, 40-bit keys, 56 keys/row) at 10^12 images.
+
+    Because every candidate pair is exactly Hamming-verified downstream,
+    ANY keying scheme with the pigeonhole guarantee yields the IDENTICAL
+    final edge set — switching schemes provably cannot change clusters
+    (pinned by test against the legacy scheme).
+
+    Returns (n, C(n_chunks, n_chunks - max_hamming)) uint64, mixed to never
+    collide with caption band keys.
+    """
+    import itertools
+
+    ph = phash.astype(np.int64).view(np.uint64)
+    k = n_chunks - max_hamming
+    if k < 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole needs at least one guaranteed-equal chunk subset)"
+        )
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    shifts = np.cumsum([0] + widths[:-1])
+    chunks = [
+        (ph >> _U64(int(s))) & _U64((1 << w) - 1) for s, w in zip(shifts, widths)
+    ]
+    combos = list(itertools.combinations(range(n_chunks), k))
+    out = np.empty((len(ph), len(combos)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for ci, combo in enumerate(combos):
+            h = np.full(
+                len(ph),
+                (_U64(ci + 1) * _SM_GAMMA + _KIND_PHASH),
+                dtype=np.uint64,
+            )
+            for i in combo:
+                h = h * _POLY_P + chunks[i]
+            out[:, ci] = splitmix64(h)
+    return out
+
+
 def simhash64(texts, ngram_size: int = 1) -> np.ndarray:
     """64-bit SimHash per document over word n-gram shingles (Charikar 2002):
     sum ±1 per bit position across shingle hashes, sign → bit."""

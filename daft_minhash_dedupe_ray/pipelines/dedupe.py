@@ -242,9 +242,7 @@ class MinHashDedupePipeline:
             # overrides)
             from ..stages.util import band_sized_partitions
 
-            keys_per_doc = self.bands + (
-                self.cfg.phash_bands if self.cfg.phash_col else 0
-            )
+            keys_per_doc = self.bands + self.cfg.phash_keys_per_doc()
             P = self.cfg.num_partitions or band_sized_partitions(rows_before * keys_per_doc)
             fused_candidate_ingest(self.prep(ds), self.cfg, actors, num_partitions=P)
             walls["ingest"] = _time.perf_counter() - t

@@ -31,6 +31,7 @@ from ..hashing import (
     minhash_band_keys,
     minhash_signatures,
     phash_band_keys,
+    phash_subset_keys,
     shingle_hashes,
 )
 from ..text import normalize_array
@@ -104,11 +105,17 @@ class SignatureStage:
             payloadparts.append(np.zeros(m * self.bands, np.uint64))
         if cfg.phash_col is not None and cfg.phash_col in batch.column_names:
             ph = batch[cfg.phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pk = phash_band_keys(ph, cfg.phash_bands)
-            nodeparts.append(np.repeat(nodes, cfg.phash_bands))
+            if getattr(cfg, "phash_chunks", None):
+                # multi-index subset keys: same exact pigeonhole recall,
+                # bucket sizes that don't grow quadratic-verify hot at scale
+                pk = phash_subset_keys(ph, cfg.phash_chunks, cfg.phash_max_hamming)
+            else:
+                pk = phash_band_keys(ph, cfg.phash_bands)
+            n_keys = pk.shape[1]
+            nodeparts.append(np.repeat(nodes, n_keys))
             keyparts.append(pk.reshape(-1))
-            kindparts.append(np.ones(len(ph) * cfg.phash_bands, np.uint8))
-            payloadparts.append(np.repeat(ph.view(np.uint64), cfg.phash_bands))
+            kindparts.append(np.ones(len(ph) * n_keys, np.uint8))
+            payloadparts.append(np.repeat(ph.view(np.uint64), n_keys))
         if not keyparts:
             return CANDIDATE_SCHEMA.empty_table()
         return pa.table(

@@ -201,3 +201,48 @@ def test_minhash_band_keys_chunk_boundaries_and_huge_doc():
     keys, has2 = H.minhash_band_keys(flat, off, a, b, 16, 8, chunk_shingles=256)
     assert np.array_equal(has, has2)
     assert np.array_equal(keys, expected)
+
+
+def test_phash_subset_keys_pigeonhole():
+    """Multi-index subset keys: every pair within Hamming <= max_hamming
+    shares at least one key (exact pigeonhole), for both the default 2-of-5
+    and the web-scale 5-of-8 parameterizations."""
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 2**63, 300).astype(np.int64)
+    for n_chunks in (5, 8):
+        maxh = 3
+        for d in range(0, maxh + 1):
+            flipped = base.copy()
+            for i in range(len(flipped)):
+                bits = rng.choice(64, d, replace=False)
+                v = int(flipped[i])
+                for b in bits:
+                    v ^= 1 << int(b)
+                flipped[i] = np.int64(np.uint64(v % (1 << 64)).astype(np.int64))
+            ka = H.phash_subset_keys(base, n_chunks, maxh)
+            kb = H.phash_subset_keys(flipped, n_chunks, maxh)
+            shares = (ka == kb).any(axis=1)
+            assert shares.all(), f"chunks={n_chunks} d={d}: pigeonhole violated"
+    # keys/row count matches the config helper
+    from math import comb
+
+    assert H.phash_subset_keys(base, 5, 3).shape[1] == comb(5, 2)
+    assert H.phash_subset_keys(base, 8, 3).shape[1] == comb(8, 5)
+
+
+def test_phash_subset_keys_bucket_sizes_beat_legacy():
+    """The scale rationale: random (far) phashes collide vastly less under
+    2-of-5 ~26-bit keys than under 4x16-bit sub-bands."""
+    rng = np.random.RandomState(11)
+    ph = rng.randint(0, 2**63, 50_000).astype(np.int64)
+    legacy = H.phash_band_keys(ph, 4)
+    new = H.phash_subset_keys(ph, 5, 3)
+    # max bucket multiplicity across all keys
+    def max_bucket(keys):
+        _, c = np.unique(keys.ravel(), return_counts=True)
+        return c.max()
+
+    # 16-bit buckets already collide at 50k (grow linearly with corpus);
+    # ~26-bit subset keys stay near-singleton
+    assert max_bucket(new) < 5 <= max_bucket(legacy)
+    assert max_bucket(legacy) >= 3 * max_bucket(new)

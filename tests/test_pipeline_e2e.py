@@ -283,3 +283,31 @@ def test_run_fused_checkpoint_resume(ray_session, tmp_path):
     cfg2 = cfg.with_overrides(num_perm=64, bands=8, rows=8)
     out3, _, rep3 = MinHashDedupePipeline(cfg2).run_fused(ds, num_actors=2, ckpt_root=ck)
     assert "ingest" in rep3.phase_walls
+
+
+def test_phash_scheme_change_preserves_clusters(ray_session):
+    """The multi-index subset keys and the legacy sub-band keys must yield
+    the IDENTICAL final assignment set: both guarantee co-location within
+    phash_max_hamming and every candidate pair is exactly verified, so the
+    verified edge graph is scheme-independent (the round-5 scale fix cannot
+    change results by construction)."""
+    from dataclasses import replace
+
+    import numpy as np
+    import ray.data as rd
+
+    from daft_minhash_dedupe_ray.config import NORTH_STAR_CONFIG
+    from daft_minhash_dedupe_ray.pipelines.dedupe import MinHashDedupePipeline
+    from daft_minhash_dedupe_ray.synth import generate_table
+
+    t = generate_table(6000, seed=29, with_images=False)
+
+    def assigns(cfg):
+        pipe = MinHashDedupePipeline(cfg)
+        _, assign, _ = pipe.run_fused(rd.from_arrow(t), num_actors=2)
+        pdf = assign.to_pandas().astype({"u": "uint64", "rep": "uint64"})
+        return set(zip(pdf["u"], pdf["rep"]))
+
+    new = assigns(NORTH_STAR_CONFIG)  # phash_chunks=5 default
+    legacy = assigns(replace(NORTH_STAR_CONFIG, phash_chunks=None))
+    assert new == legacy and len(new) > 0
