@@ -70,6 +70,12 @@ def optimal_param(
 MAX_HASH = (1 << 32) - 1
 MOD_PRIME = 4_294_967_291  # largest prime < 2^32 (references/chengmao_minhash_spark.py:36-37)
 
+# "auto" pHash-scheme crossover: below this many input rows the legacy
+# 4 x 16-bit sub-band buckets stay cold (<~128 payloads/bucket) and cost
+# fewer keys/row; above it the multi-index subset keys win (see
+# DedupeConfig.phash_chunks)
+AUTO_PHASH_CHUNK_ROWS = 8_000_000
+
 
 @dataclass(frozen=True)
 class NormalizeFlags:
@@ -120,17 +126,21 @@ class DedupeConfig:
     # pHash keying scheme for the SIGNATURE path: n_chunks for multi-index
     # subset keys (hashing.phash_subset_keys — exact pigeonhole recall at
     # Hamming <= phash_max_hamming with C(n_chunks, n_chunks-max_hamming)
-    # keys/row and ~(n_chunks-max_hamming)*64/n_chunks-bit buckets), or None
-    # for the legacy contiguous phash_bands sub-band scheme.  The final edge
-    # set is IDENTICAL either way (every pair is exactly Hamming-verified;
-    # both schemes guarantee co-location within the radius) — this knob only
-    # controls bucket-size growth: the legacy 16-bit buckets hold corpus/2^16
-    # payloads each, turning the in-bucket verify quadratic past ~10^7 rows
-    # (measured: 10.8k reduce core-s at 64M).  Default 5 (2-of-5, ~26-bit
-    # keys) holds to ~10^9; use 8 (5-of-8, 40-bit keys, 56 keys/row) at
+    # keys/row and ~(n_chunks-max_hamming)*64/n_chunks-bit buckets), None
+    # for the legacy contiguous phash_bands sub-band scheme, or "auto"
+    # (default): legacy below AUTO_PHASH_CHUNK_ROWS input rows (fewer
+    # keys/row; its 16-bit buckets are still cold there), subset keys above
+    # — and whenever the row count is unknown (scale-safe).  The final edge
+    # set is IDENTICAL under every setting (every pair is exactly
+    # Hamming-verified; all schemes guarantee co-location within the
+    # radius — pinned by test), so this knob only trades exchange volume
+    # against in-bucket verify growth: legacy buckets hold corpus/2^16
+    # payloads each and turn quadratic past ~10^7 rows (measured: 10.8k
+    # reduce core-s at 64M).  chunks=5 (2-of-5, ~26-bit keys, 10 keys/row)
+    # holds to ~10^9; set 8 (5-of-8, 40-bit keys, 56 keys/row) at
     # 10^11-10^12.  The persisted incremental image band index keeps the
     # sub-band scheme (its tier layout is on-disk metadata).
-    phash_chunks: int | None = 5
+    phash_chunks: int | None | str = "auto"
 
     # --- optional passes ---
     # exact substring-duplicate edges (suffix-array pass, functions/substring.py)
@@ -152,15 +162,25 @@ class DedupeConfig:
     batch_size: int = 8192
     num_partitions: int | None = None  # groupby/join partitions; None = Ray default
 
-    def phash_keys_per_doc(self) -> int:
+    def resolve_phash_chunks(self, n_rows: int | None = None) -> int | None:
+        """Concrete chunk count for the signature path ("auto" resolves by
+        input size; unknown size resolves scale-safe to subset keys)."""
+        if self.phash_chunks != "auto":
+            return self.phash_chunks
+        if n_rows is not None and n_rows < AUTO_PHASH_CHUNK_ROWS:
+            return None
+        return 5
+
+    def phash_keys_per_doc(self, n_rows: int | None = None) -> int:
         """Signature-path pHash keys emitted per row (0 when the image side
         is disabled)."""
         if self.phash_col is None:
             return 0
-        if self.phash_chunks:
+        chunks = self.resolve_phash_chunks(n_rows)
+        if chunks:
             from math import comb
 
-            return comb(self.phash_chunks, self.phash_chunks - self.phash_max_hamming)
+            return comb(chunks, chunks - self.phash_max_hamming)
         return self.phash_bands
 
     def resolved_bands_rows(self) -> tuple[int, int]:

@@ -228,6 +228,14 @@ class MinHashDedupePipeline:
         t0 = _time.perf_counter()
         walls: dict[str, float] = {}
         rows_before = ds.count()
+        # resolve the "auto" pHash scheme HERE, where the row count is known
+        # (legacy sub-bands below the crossover: fewer keys/row; multi-index
+        # subset keys above: bounded buckets — identical results either way)
+        from dataclasses import replace as _replace
+
+        cfg_eff = _replace(
+            self.cfg, phash_chunks=self.cfg.resolve_phash_chunks(rows_before)
+        )
 
         def _cluster():
             import ray as _ray
@@ -242,9 +250,9 @@ class MinHashDedupePipeline:
             # overrides)
             from ..stages.util import band_sized_partitions
 
-            keys_per_doc = self.bands + self.cfg.phash_keys_per_doc()
-            P = self.cfg.num_partitions or band_sized_partitions(rows_before * keys_per_doc)
-            fused_candidate_ingest(self.prep(ds), self.cfg, actors, num_partitions=P)
+            keys_per_doc = self.bands + cfg_eff.phash_keys_per_doc()
+            P = cfg_eff.num_partitions or band_sized_partitions(rows_before * keys_per_doc)
+            fused_candidate_ingest(self.prep(ds), cfg_eff, actors, num_partitions=P)
             walls["ingest"] = _time.perf_counter() - t
             t = _time.perf_counter()
             assign = converge_and_collect(actors)

@@ -105,10 +105,11 @@ class SignatureStage:
             payloadparts.append(np.zeros(m * self.bands, np.uint64))
         if cfg.phash_col is not None and cfg.phash_col in batch.column_names:
             ph = batch[cfg.phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            if getattr(cfg, "phash_chunks", None):
+            chunks = cfg.resolve_phash_chunks()  # "auto" w/o row count -> subset keys
+            if chunks:
                 # multi-index subset keys: same exact pigeonhole recall,
                 # bucket sizes that don't grow quadratic-verify hot at scale
-                pk = phash_subset_keys(ph, cfg.phash_chunks, cfg.phash_max_hamming)
+                pk = phash_subset_keys(ph, chunks, cfg.phash_max_hamming)
             else:
                 pk = phash_band_keys(ph, cfg.phash_bands)
             n_keys = pk.shape[1]

@@ -308,6 +308,14 @@ def test_phash_scheme_change_preserves_clusters(ray_session):
         pdf = assign.to_pandas().astype({"u": "uint64", "rep": "uint64"})
         return set(zip(pdf["u"], pdf["rep"]))
 
-    new = assigns(NORTH_STAR_CONFIG)  # phash_chunks=5 default
+    new = assigns(replace(NORTH_STAR_CONFIG, phash_chunks=5))
     legacy = assigns(replace(NORTH_STAR_CONFIG, phash_chunks=None))
     assert new == legacy and len(new) > 0
+
+    # "auto" (the default) resolves by input size, scale-safe when unknown
+    cfg = NORTH_STAR_CONFIG
+    assert cfg.phash_chunks == "auto"
+    assert cfg.resolve_phash_chunks(500_000) is None  # legacy below crossover
+    assert cfg.resolve_phash_chunks(16_000_000) == 5
+    assert cfg.resolve_phash_chunks(None) == 5  # unknown size -> scale-safe
+    assert replace(cfg, phash_chunks=8).resolve_phash_chunks(100) == 8
