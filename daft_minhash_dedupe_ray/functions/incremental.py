@@ -894,6 +894,11 @@ def _image_sig_fingerprint(cfg) -> str:
             "sig": _sig_fingerprint(cfg),
             "phash_col": cfg.phash_col,
             "phash_bands": cfg.phash_bands,
+            # the RESOLVED keying scheme is part of the on-disk key layout:
+            # an index probed under a different scheme would silently miss
+            # every pHash hit — bind it into the fingerprint so mismatches
+            # fail loudly with the rebuild message instead
+            "phash_scheme": cfg.resolve_phash_chunks(),
         }
     )
 
