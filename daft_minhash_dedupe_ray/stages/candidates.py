@@ -376,15 +376,22 @@ def fused_candidate_ingest(
     num_actors = len(actors)
     sig = SignatureStage(cfg)
 
-    def _ingest_edges(eu: np.ndarray, ev: np.ndarray) -> None:
+    def _ingest_edges(eu: np.ndarray, ev: np.ndarray) -> list:
+        """Ship edges to their owning actors; returns the ack refs WITHOUT
+        waiting — the reduce task releases its CPU slot as soon as its own
+        contraction is done (blocked-in-ray.get acks were 511 of ~1400
+        reduce core-seconds at 64M rows), and the driver barriers on all
+        acks after the reduce wave (unions are idempotent/commutative, so
+        ack order is irrelevant; the per-partition spanning forest bounds
+        each in-flight payload)."""
         if len(eu) == 0:
-            return
+            return []
         owners = owner_of(eu, num_actors)
         refs = []
         for o in np.unique(owners):
             m = owners == o
             refs.append(actors[int(o)].ingest.remote(eu[m], ev[m]))
-        ray.get(refs)
+        return refs
 
     # the partition key is fused into the signature pass, so P must be known
     # up front — callers with a row count pass an input-sized value
@@ -504,9 +511,11 @@ def fused_candidate_ingest(
             # round 1 was 16 s at 4M rows with 2 AND 4 actors alike).
             pairs = forest_pairs(np.concatenate(parts))
             t3 = _t.perf_counter()
-            _ingest_edges(pairs[:, 0], pairs[:, 1])
+            ack_refs = _ingest_edges(pairs[:, 0], pairs[:, 1])
+        else:
+            ack_refs = []
         t4 = _t.perf_counter()
-        return n_raw, t1 - t0, t2 - t1, t3 - t2, t4 - t3
+        return n_raw, t1 - t0, t2 - t1, t3 - t2, t4 - t3, ack_refs
 
     mapper = ray.remote(sig_combine_split).options(num_returns=P)
 
@@ -552,16 +561,17 @@ def fused_candidate_ingest(
     out_refs = [
         _apply_fn.remote(chain_ingest, *[pb[p] for pb in parts]) for p in range(P)
     ]
-    results = ray.get(out_refs)  # barrier: all edges delivered
+    results = ray.get(out_refs)  # reduce tasks done (acks may still be in flight)
+    ray.get([r for res in results for r in res[5]])  # barrier: all edges delivered
     if os.environ.get("GRAFT_INGEST_PHASES"):
         import sys
 
-        agg = np.array([r[1:] for r in results]).sum(axis=0)
+        agg = np.array([r[1:5] for r in results]).sum(axis=0)
         print(
             f"[ingest-phases] blocks={n_blocks} P={P} submit={t_submit:.1f}s "
             f"map_wave={t_map:.1f}s reduce_wave={_time.perf_counter() - t0 - t_map:.1f}s "
             f"reduce core-s: concat={agg[0]:.0f} contract={agg[1]:.0f} "
-            f"forest={agg[2]:.0f} actor_wait={agg[3]:.0f}",
+            f"forest={agg[2]:.0f} actor_submit={agg[3]:.0f}",
             file=sys.stderr,
         )
 
