@@ -1388,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green in r1/r2 or is covered by an exact test oracle.
         "cosine_dup_pairs_lsh": _cosine_pairs_lsh,  # SQL-checked (banded LSH + verify; machinery in-cap via cosine/simhash/semantic)
         "events_hourly": R.events_hourly,
+        "events_hopping": R.events_hopping,  # SQL-checked (hopping window)
         "distinct_users": R.distinct_users,
         "value_quantiles": R.value_quantiles,  # SQL-checked (exact distributed quantiles)
         "top_tokens": _top_tokens,  # SQL-checked (corpus heavy hitters)
@@ -1536,6 +1537,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            WITH sec AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s
+                FROM events),
+            win AS (
+                SELECT event_type, value,
+                       CAST(floor((s - k * 900) / 3600.0) AS BIGINT) * 3600
+                           + k * 900 AS window_start
+                FROM sec CROSS JOIN (SELECT unnest(range(4)) AS k))
+            SELECT event_type, window_start,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM win GROUP BY 1, 2
+            ORDER BY event_type, window_start
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -218,6 +218,55 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_hopping(
+    sf_dir: str, size_s: int = 3600, hop_s: int = 900
+) -> pa.Table:
+    """HOPPING (sliding) window aggregate per event_type: 1-hour windows
+    advancing every 15 minutes, so each event lands in ``size/hop``
+    overlapping windows — the streaming-window operator Ray Data lacks,
+    expressed as a vectorised per-batch replicate-into-windows pass (one
+    window-start arithmetic per offset k, no row loop) + partial
+    aggregation before the one small groupby.  Window starts are epoch
+    seconds aligned to the hop grid."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    n_hops = size_s // hop_s
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        sec = us // 1_000_000
+        parts = []
+        for k in range(n_hops):
+            # window with start on the hop grid, offset by k hops, that
+            # contains this event: floor((t - k*hop)/size)*size + k*hop
+            wstart = ((sec - k * hop_s) // size_s) * size_s + k * hop_s
+            t = pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "window_start": pa.array(wstart, pa.int64()),
+                    "value": b["value"],
+                }
+            )
+            parts.append(t)
+        g = pa.concat_tables(parts).group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n", "sum_value"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out = _ensure_cols(out, ["event_type", "window_start", "n", "sum_value"])
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return pa.Table.from_pandas(
+        out.sort_values(["event_type", "window_start"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
     """Gap-based sessionization per user (streaming-shaped workload per the
     Ray guide: treat events as a keyed log, partition by user, order by ts

@@ -360,3 +360,35 @@ def test_events_terminal_parquet_sinks_match_table_forms(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_events_hopping_window_semantics(ray_session, tmp_path):
+    """Hopping windows: every event lands in exactly size/hop windows; each
+    containing window satisfies start <= t < start+size with start on the
+    hop grid; counts conserve (sum n == 4 x events)."""
+    import pyarrow.parquet as pq
+
+    from daft_minhash_dedupe_ray.pipelines import relational as R
+
+    secs = [0, 899, 900, 3599, 3600, 7201, 86400]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(secs), dtype=np.int64)),
+            "ts": pa.array(np.array(secs, dtype=np.int64) * 1_000_000).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.zeros(len(secs), dtype=np.int64)),
+            "event_type": pa.array(["a"] * len(secs)),
+            "value": pa.array(np.ones(len(secs))),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = R.events_hopping(str(tmp_path)).to_pandas()
+    assert out["n"].sum() == 4 * len(secs)  # each event in exactly 4 windows
+    for ws, n in zip(out["window_start"], out["n"]):
+        assert ws % 900 == 0  # hop grid
+        covered = [s_ for s_ in secs if ws <= s_ < ws + 3600]
+        assert n == len(covered)
+    # spot: the t=3600 event's four containing windows are 900-spaced
+    w36 = sorted(ws for ws, _ in zip(out["window_start"], out["n"]) if ws <= 3600 < ws + 3600)
+    assert w36 == [900, 1800, 2700, 3600]
