@@ -228,6 +228,8 @@ def events_hopping(
     window-start arithmetic per offset k, no row loop) + partial
     aggregation before the one small groupby.  Window starts are epoch
     seconds aligned to the hop grid."""
+    if size_s % hop_s != 0:
+        raise ValueError(f"window size {size_s}s must be a multiple of hop {hop_s}s")
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     n_hops = size_s // hop_s
 
