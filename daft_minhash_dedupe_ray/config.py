@@ -138,8 +138,10 @@ class DedupeConfig:
     # payloads each and turn quadratic past ~10^7 rows (measured: 10.8k
     # reduce core-s at 64M).  chunks=5 (2-of-5, ~26-bit keys, 10 keys/row)
     # holds to ~10^9; set 8 (5-of-8, 40-bit keys, 56 keys/row) at
-    # 10^11-10^12.  The persisted incremental image band index keeps the
-    # sub-band scheme (its tier layout is on-disk metadata).
+    # 10^11-10^12.  The persisted incremental image band index ALSO keys
+    # through this resolution (SignatureStage) — its on-disk fingerprint
+    # binds the resolved scheme, so a scheme change fails loudly with the
+    # rebuild message instead of silently missing probes.
     phash_chunks: int | None | str = "auto"
 
     # --- optional passes ---
@@ -164,12 +166,23 @@ class DedupeConfig:
 
     def resolve_phash_chunks(self, n_rows: int | None = None) -> int | None:
         """Concrete chunk count for the signature path ("auto" resolves by
-        input size; unknown size resolves scale-safe to subset keys)."""
+        input size; unknown size resolves scale-safe to subset keys).
+        Validates explicit values early — the kernel needs
+        ``chunks > max_hamming`` (at least one guaranteed-equal subset);
+        failing here beats a ValueError inside every Ray map task."""
         if self.phash_chunks != "auto":
+            if self.phash_chunks is not None and self.phash_chunks <= self.phash_max_hamming:
+                raise ValueError(
+                    f"phash_chunks={self.phash_chunks} must exceed "
+                    f"phash_max_hamming={self.phash_max_hamming} (or be None/'auto')"
+                )
             return self.phash_chunks
         if n_rows is not None and n_rows < AUTO_PHASH_CHUNK_ROWS:
             return None
-        return 5
+        # size from the radius: max_hamming + 2 chunks -> 2-of-(h+2) subset
+        # keys, i.e. always >= 2 guaranteed-equal chunks (h=3 -> the measured
+        # 2-of-5 default; a hardcoded 5 would crash h>=5 and degrade h=4)
+        return self.phash_max_hamming + 2
 
     def phash_keys_per_doc(self, n_rows: int | None = None) -> int:
         """Signature-path pHash keys emitted per row (0 when the image side

@@ -880,10 +880,14 @@ def incremental_image_near_dedupe(new_ds, corpus_ds, cfg, num_partitions: int = 
 
 # ------------------------------------------------------- image-tier band index
 # The indexed form of :func:`incremental_image_near_dedupe`: persists the
-# corpus' caption LSH band keys AND pHash sub-band keys (with the phash
+# corpus' caption LSH band keys AND pHash Hamming keys (with the phash
 # payload, so the probe can confirm Hamming <= budget exactly) in the same
-# Bloom-sketched hash-range layout.  Key spaces are disjoint by construction
-# (phash_band_keys mixes a kind seed), so one sorted file serves both tiers.
+# Bloom-sketched hash-range layout.  The pHash keys follow
+# ``cfg.resolve_phash_chunks()`` (SignatureStage — sub-band or multi-index
+# subset scheme); the resolved scheme is bound into the index fingerprint
+# below so build and probe can never silently disagree.  Key spaces are
+# disjoint by construction (both schemes mix a kind seed), so one sorted
+# file serves both tiers.
 
 
 def _image_sig_fingerprint(cfg) -> str:

@@ -562,7 +562,17 @@ def fused_candidate_ingest(
         _apply_fn.remote(chain_ingest, *[pb[p] for pb in parts]) for p in range(P)
     ]
     results = ray.get(out_refs)  # reduce tasks done (acks may still be in flight)
-    ray.get([r for res in results for r in res[5]])  # barrier: all edges delivered
+    # ack barrier, per partition so a narrow failure window stays recoverable:
+    # the ack refs are owned by the reduce workers, so a worker death AFTER
+    # its task completed but BEFORE this barrier surfaces as an owner-died
+    # error even though the unions were (or would be) applied fine — re-run
+    # that partition's reduce (idempotent unions; shard refs re-fetch)
+    for p, res in enumerate(results):
+        try:
+            ray.get(res[5])
+        except ray.exceptions.RayError:
+            retry = ray.get(_apply_fn.remote(chain_ingest, *[pb[p] for pb in parts]))
+            ray.get(retry[5])
     if os.environ.get("GRAFT_INGEST_PHASES"):
         import sys
 

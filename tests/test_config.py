@@ -32,3 +32,24 @@ def test_bands_rows_guard():
         DedupeConfig(num_perm=64, bands=9, rows=8).resolved_bands_rows()
     with pytest.raises(ValueError):
         DedupeConfig(num_perm=64, bands=8).resolved_bands_rows()
+
+
+def test_phash_chunks_validation_and_radius_sizing():
+    """Review r5: 'auto' sizes chunks from the Hamming radius (a hardcoded 5
+    crashed max_hamming>=5 and degraded ==4), and invalid explicit pairs
+    fail at config time, not inside Ray map tasks."""
+    import pytest
+
+    from daft_minhash_dedupe_ray.config import DedupeConfig
+
+    assert DedupeConfig(phash_max_hamming=3).resolve_phash_chunks(None) == 5
+    assert DedupeConfig(phash_max_hamming=4).resolve_phash_chunks(None) == 6
+    assert DedupeConfig(phash_max_hamming=5).resolve_phash_chunks(None) == 7
+    assert DedupeConfig(phash_max_hamming=5).phash_keys_per_doc() == 21  # C(7,2)
+    with pytest.raises(ValueError, match="must exceed"):
+        DedupeConfig(phash_chunks=5, phash_max_hamming=5).resolve_phash_chunks()
+    with pytest.raises(ValueError, match="must exceed"):
+        DedupeConfig(phash_chunks=3, phash_max_hamming=3).phash_keys_per_doc()
+    # None (legacy) and explicit-valid still pass
+    assert DedupeConfig(phash_chunks=None).resolve_phash_chunks() is None
+    assert DedupeConfig(phash_chunks=8, phash_max_hamming=3).resolve_phash_chunks() == 8
